@@ -1,0 +1,52 @@
+"""Test configuration.
+
+Tests run on the CPU backend with 8 virtual devices so multi-chip sharding
+logic is exercised without a TPU pod (SURVEY.md §4: device_count-agnostic
+tests via xla_force_host_platform_device_count). Must run before jax import.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np
+import pytest
+
+
+REFERENCE_DIR = "/root/reference"
+
+
+def reference_available() -> bool:
+    return os.path.isdir(os.path.join(REFERENCE_DIR, "test_data"))
+
+
+@pytest.fixture(scope="session")
+def golden_dir():
+    """Reference golden-trace directory, or skip."""
+    if not reference_available():
+        pytest.skip("reference golden traces not available")
+    return os.path.join(REFERENCE_DIR, "test_data")
+
+
+@pytest.fixture(scope="session")
+def golden_audio(golden_dir):
+    """1.5 s 16 kHz mono f32 clip (reference: test_data/ref_a_audio.bin)."""
+    return np.fromfile(os.path.join(golden_dir, "ref_a_audio.bin"), dtype=np.float32)
+
+
+@pytest.fixture(scope="session")
+def golden_filterbank(golden_dir):
+    """whisper.cpp 80x201 slaney filterbank (reference: test_data/ref_b_filterbank.bin)."""
+    fb = np.fromfile(os.path.join(golden_dir, "ref_b_filterbank.bin"), dtype=np.float32)
+    return fb.reshape(80, 201)
+
+
+@pytest.fixture(scope="session")
+def golden_mel(golden_dir):
+    """Expected 148x80 log-mel for the 1.5 s clip (reference: test_data/ref_c_mel_numpy.bin)."""
+    mel = np.fromfile(os.path.join(golden_dir, "ref_c_mel_numpy.bin"), dtype=np.float32)
+    return mel.reshape(148, 80)

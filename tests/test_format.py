@@ -1,0 +1,163 @@
+"""Tests for the .apr container (mirrors reference: src/format/mod.rs inline tests)."""
+
+import numpy as np
+import pytest
+
+from whisper_apr_tpu.config import ModelConfig
+from whisper_apr_tpu.errors import FormatError
+from whisper_apr_tpu.format import (
+    QUANT_F32,
+    QUANT_INT8,
+    AprHeader,
+    AprReader,
+    AprValidator,
+    AprWriter,
+    MelFilterbankData,
+    TensorDescriptor,
+    crc32,
+)
+from whisper_apr_tpu.tokenizer import Vocabulary
+
+
+def make_test_apr(quant=QUANT_F32, with_vocab=False, with_filterbank=False):
+    """Minimal valid .apr (analog of reference format::create_test_apr, mod.rs:1536)."""
+    cfg = ModelConfig.tiny()
+    w = AprWriter.from_config(cfg, quantization=quant)
+    rng = np.random.default_rng(0)
+    w.add_tensor("encoder.conv1.weight", rng.normal(size=(4, 8, 3)).astype(np.float32))
+    w.add_tensor("encoder.conv1.bias", rng.normal(size=(4,)).astype(np.float32))
+    w.add_tensor("decoder.embed_tokens.weight", rng.normal(size=(16, 4)).astype(np.float32))
+    if with_vocab:
+        v = Vocabulary.with_base_tokens()
+        v.add_merge_rule(b"a", b"b")
+        w.set_vocabulary(v.to_bytes())
+    if with_filterbank:
+        fb = np.abs(rng.normal(size=(80, 201))).astype(np.float32)
+        w.set_mel_filterbank(MelFilterbankData(80, 201, fb))
+    return w.to_bytes()
+
+
+class TestCrc32:
+    def test_known_value(self):
+        # reference: src/format/checksum.rs doc-test pins this value
+        assert crc32(b"Hello, World!") == 0xEC4AC3D0
+
+    def test_empty(self):
+        assert crc32(b"") == 0
+
+
+class TestHeader:
+    def test_roundtrip(self):
+        h = AprHeader.from_config(ModelConfig.base(), QUANT_INT8)
+        h.n_tensors = 42
+        h.has_vocab = True
+        parsed = AprHeader.parse(h.to_bytes())
+        assert parsed == h
+
+    def test_header_too_short(self):
+        with pytest.raises(FormatError):
+            AprHeader.parse(b"\x00" * 10)
+
+    def test_bad_quantization(self):
+        data = bytearray(AprHeader().to_bytes())
+        data[3] = 99
+        with pytest.raises(FormatError):
+            AprHeader.parse(bytes(data))
+
+    def test_config_roundtrip(self):
+        for name in ("tiny", "base", "small", "medium", "large", "large-v3"):
+            cfg = ModelConfig.from_name(name)
+            h = AprHeader.from_config(cfg)
+            assert h.to_model_config() == cfg
+
+    def test_large_v3_mels(self):
+        h = AprHeader.from_config(ModelConfig.large_v3())
+        assert h.n_mels == 128
+        assert h.n_vocab == 51_866
+
+
+class TestTensorDescriptor:
+    def test_roundtrip(self):
+        d = TensorDescriptor("encoder.conv1.weight", 128, 512, 128, (4, 8, 3, 0), 3)
+        parsed = TensorDescriptor.parse(d.to_bytes())
+        assert parsed == d
+        assert parsed.dims == (4, 8, 3)
+
+    def test_name_truncation(self):
+        d = TensorDescriptor("x" * 60, 0, 0, 0, (0, 0, 0, 0), 0)
+        parsed = TensorDescriptor.parse(d.to_bytes())
+        assert parsed.name == "x" * 47
+
+
+class TestReaderWriter:
+    def test_f32_roundtrip(self):
+        data = make_test_apr()
+        r = AprReader(data)
+        assert r.header.n_tensors == 3
+        assert r.verify_crc()
+        w = r.load_tensor("encoder.conv1.weight")
+        assert w.shape == (4, 8, 3)
+        assert w.dtype == np.float32
+
+    def test_int8_dequant(self):
+        rng = np.random.default_rng(1)
+        orig = rng.normal(size=(16, 4)).astype(np.float32)
+        w = AprWriter.from_config(ModelConfig.tiny(), quantization=QUANT_INT8)
+        w.add_tensor("decoder.embed_tokens.weight", orig)
+        r = AprReader(w.to_bytes())
+        deq = r.load_tensor("decoder.embed_tokens.weight")
+        # int8 absmax symmetric: max error is scale/2 = absmax/254
+        scale = np.abs(orig).max() / 127.0
+        assert np.abs(deq - orig).max() <= scale / 2 + 1e-7
+        assert r.verify_crc()
+
+    def test_missing_tensor(self):
+        r = AprReader(make_test_apr())
+        with pytest.raises(FormatError):
+            r.load_tensor("nonexistent")
+
+    def test_bad_magic(self):
+        with pytest.raises(FormatError):
+            AprReader(b"NOPE" + b"\x00" * 100)
+
+    def test_crc_detects_corruption(self):
+        data = bytearray(make_test_apr())
+        data[200] ^= 0xFF
+        r = AprReader(bytes(data))
+        assert not r.verify_crc()
+
+    def test_vocab_section(self):
+        r = AprReader(make_test_apr(with_vocab=True))
+        vb = r.read_vocabulary_bytes()
+        assert vb is not None
+        v = Vocabulary.from_bytes(vb)
+        assert len(v) == 256
+        assert v.merge_priority(b"a", b"b") == 0
+
+    def test_filterbank_section(self):
+        r = AprReader(make_test_apr(with_vocab=True, with_filterbank=True))
+        fb = r.read_mel_filterbank()
+        assert fb is not None
+        assert fb.data.shape == (80, 201)
+        assert r.verify_crc()
+
+    def test_no_vocab_returns_none(self):
+        r = AprReader(make_test_apr())
+        assert r.read_vocabulary_bytes() is None
+        assert r.read_mel_filterbank() is None
+
+
+class TestValidator:
+    def test_valid_file_passes_structural(self):
+        r = AprReader(make_test_apr())
+        report = AprValidator(r).validate_all()
+        structural = report.checks_by_category("A")
+        assert all(c.passed for c in structural)
+        assert len(report.checks) == 25
+
+    def test_corrupt_crc_fails(self):
+        data = bytearray(make_test_apr())
+        data[-1] ^= 0xFF
+        report = AprValidator(AprReader(bytes(data))).validate_all()
+        crc_check = [c for c in report.checks if c.id == 5][0]
+        assert not crc_check.passed

@@ -13,8 +13,13 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax
 import numpy as np
 import pytest
+
+# This JAX build's DEFAULT matmul precision is bf16-class on every backend;
+# fidelity tests need true-f32 matmuls (see audio/mel.py rationale).
+jax.config.update("jax_default_matmul_precision", "highest")
 
 
 REFERENCE_DIR = "/root/reference"

@@ -11,6 +11,12 @@ static shapes, on-device decode loops, Pallas kernels for the hot ops).
 __version__ = "0.1.0"
 
 from .config import ComputeConfig, ModelConfig
+from .engine import (
+    BatchTranscriptionResult,
+    TranscribeOptions,
+    TranscriptionResult,
+    WhisperApr,
+)
 from .errors import (
     AudioError,
     ConfigError,
@@ -22,6 +28,8 @@ from .errors import (
 )
 
 __all__ = [
+    "WhisperApr", "TranscribeOptions", "TranscriptionResult",
+    "BatchTranscriptionResult",
     "ModelConfig", "ComputeConfig",
     "WhisperError", "FormatError", "AudioError", "ModelError",
     "InferenceError", "TokenizerError", "ConfigError",

@@ -1,0 +1,287 @@
+"""The WhisperApr engine: load, transcribe, detect language.
+
+The orchestration layer (reference: src/lib.rs:270 ``WhisperApr`` —
+``transcribe`` :364, ``detect_language`` :495, ``load_from_apr`` :673,
+``transcribe_batch`` :1033) re-built around jitted on-device pipelines:
+
+    audio (host)  -> log-mel (XLA, one fused program)
+                  -> encoder (XLA)
+                  -> greedy decode (ONE lax.while_loop on device)
+                  -> BPE decode (host)
+
+Every stage is batched; ``transcribe_batch`` runs the whole batch through a
+single compiled program instead of the reference's sequential per-item loop
+(reference: src/lib.rs:1033).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import List, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .audio import MelFilterbank, parse_wav
+from .audio.resample import SincResampler
+from .config import ComputeConfig, ModelConfig, N_FRAMES, SAMPLE_RATE
+from .detection import LanguageDetector, LanguageProbs
+from .errors import InferenceError, ModelError
+from .format import AprReader
+from .inference.processors import WhisperTokenSuppressor
+from .model.decoder import greedy_generate, prefill, init_cache
+from .model.encoder import encode_jit
+from .model.params import (
+    Params,
+    load_params_from_apr,
+    params_from_hf_model,
+)
+from .timestamps import Segment, extract_segments, has_timestamps
+from .tokenizer import BpeTokenizer, SpecialTokens, Vocabulary
+from .tokenizer import special_tokens as st
+
+
+@dataclasses.dataclass
+class TranscribeOptions:
+    """(reference: src/lib.rs:170 TranscribeOptions)"""
+
+    language: Optional[str] = None  # None/"auto" -> detect
+    task: str = "transcribe"  # or "translate"
+    strategy: str = "greedy"  # or "beam"
+    beam_size: int = 5
+    patience: float = 1.0
+    temperature: float = 0.0
+    max_tokens: Optional[int] = None
+    word_timestamps: bool = False
+    timestamps: bool = False  # emit timestamp tokens (segment-level)
+
+
+@dataclasses.dataclass
+class TranscriptionResult:
+    """(reference: src/lib.rs:200 TranscriptionResult)"""
+
+    text: str
+    language: str
+    segments: List[Segment]
+    tokens: List[int] = dataclasses.field(default_factory=list)
+
+
+@dataclasses.dataclass
+class BatchTranscriptionResult:
+    """(reference: src/lib.rs:211 BatchTranscriptionResult)"""
+
+    results: List[TranscriptionResult]
+    total_duration_secs: float
+
+    def __len__(self) -> int:
+        return len(self.results)
+
+
+class WhisperApr:
+    """The transcription engine (reference: src/lib.rs:270)."""
+
+    def __init__(self, config: ModelConfig, params: Params,
+                 tokenizer: Optional[BpeTokenizer] = None,
+                 mel_filters: Optional[MelFilterbank] = None,
+                 compute: Optional[ComputeConfig] = None,
+                 specials: Optional[SpecialTokens] = None) -> None:
+        self.config = config
+        self.params = params
+        self.tokenizer = tokenizer or BpeTokenizer.with_base_tokens()
+        self.mel_filters = mel_filters or MelFilterbank.create(config.n_mels)
+        self.compute = compute or ComputeConfig()
+        self.specials = specials or SpecialTokens.for_vocab_size(config.n_vocab)
+        # a token id >= n_vocab would be silently CLAMPED by the XLA gather
+        # in the embedding lookup (unlike torch, which raises) — reject early
+        if self.specials.sot >= config.n_vocab or self.specials.eot >= config.n_vocab:
+            raise ModelError(
+                f"special tokens (sot={self.specials.sot}, eot={self.specials.eot}) "
+                f"out of range for n_vocab={config.n_vocab}; pass explicit "
+                f"`specials` fitted to this vocabulary")
+
+    # -- constructors --------------------------------------------------------
+    @staticmethod
+    def load_from_apr(path_or_bytes: Union[str, bytes],
+                      compute: Optional[ComputeConfig] = None,
+                      verify_crc: bool = True,
+                      specials: Optional[SpecialTokens] = None) -> "WhisperApr":
+        """Load a model from an .apr container (reference: src/lib.rs:673)."""
+        reader = (AprReader.from_file(path_or_bytes)
+                  if isinstance(path_or_bytes, str) else AprReader(path_or_bytes))
+        if verify_crc and not reader.verify_crc():
+            raise ModelError("corrupt .apr file: CRC32 mismatch")
+        config = reader.header.to_model_config()
+        compute = compute or ComputeConfig()
+        dtype = jnp.dtype(compute.param_dtype)
+        params = load_params_from_apr(reader, dtype=dtype)
+
+        tokenizer = None
+        vb = reader.read_vocabulary_bytes()
+        if vb is not None:
+            tokenizer = BpeTokenizer(Vocabulary.from_bytes(vb))
+
+        mel_filters = None
+        fb = reader.read_mel_filterbank()
+        if fb is not None:
+            mel_filters = MelFilterbank.from_apr_data(fb)
+
+        return WhisperApr(config, params, tokenizer, mel_filters, compute,
+                          specials)
+
+    @staticmethod
+    def from_hf_model(hf_model, config: ModelConfig,
+                      tokenizer: Optional[BpeTokenizer] = None,
+                      compute: Optional[ComputeConfig] = None,
+                      specials: Optional[SpecialTokens] = None) -> "WhisperApr":
+        """Build directly from a transformers Whisper model (test oracle)."""
+        compute = compute or ComputeConfig()
+        params = params_from_hf_model(hf_model, config,
+                                      dtype=jnp.dtype(compute.param_dtype))
+        return WhisperApr(config, params, tokenizer, None, compute, specials)
+
+    # -- pipeline stages ------------------------------------------------------
+    @property
+    def _compute_dtype(self):
+        return jnp.dtype(self.compute.compute_dtype)
+
+    @property
+    def _fidelity(self) -> bool:
+        return self.compute.compute_dtype == "float32"
+
+    def compute_mel(self, audio: np.ndarray) -> np.ndarray:
+        """30 s-padded log-mel [2*n_audio_ctx, n_mels] — 3000 frames for the
+        standard 1500-position models (reference: src/lib.rs:407)."""
+        return self.mel_filters.compute_30s(
+            np.asarray(audio, dtype=np.float32),
+            n_frames=2 * self.config.n_audio_ctx)
+
+    def encode(self, mel: np.ndarray) -> jnp.ndarray:
+        """Encoder features; accepts [T, M] or [B, T, M] (reference: lib.rs:446)."""
+        mel = jnp.asarray(mel)
+        if mel.ndim == 2:
+            mel = mel[None]
+        return encode_jit(self.params, mel, self.config,
+                          compute_dtype=self._compute_dtype,
+                          fidelity=self._fidelity)
+
+    def get_initial_tokens(self, language: str, task: str = "transcribe",
+                           timestamps: bool = False) -> List[int]:
+        """[SOT, lang?, task, NO_TIMESTAMPS?] (reference: src/lib.rs:455)."""
+        sp = self.specials
+        tokens = [sp.sot]
+        if sp.is_multilingual:
+            off = st.language_offset(language)
+            tokens.append(sp.lang_base + (off if off is not None else 0))
+        if task == "translate":
+            tokens.append(sp.translate)
+        else:
+            tokens.append(sp.transcribe)
+        if not timestamps:
+            tokens.append(sp.no_timestamps)
+        bad = [t for t in tokens if t >= self.config.n_vocab]
+        if bad:
+            raise ModelError(
+                f"prompt tokens {bad} out of range for n_vocab="
+                f"{self.config.n_vocab}")
+        return tokens
+
+    # -- language detection ----------------------------------------------------
+    def detect_language(self, audio: np.ndarray) -> LanguageProbs:
+        """(reference: src/lib.rs:495 detect_language)"""
+        mel = self.compute_mel(audio)
+        enc = self.encode(mel)
+        return self.detect_language_from_features(enc)
+
+    def detect_language_from_features(self, enc_out: jnp.ndarray) -> LanguageProbs:
+        cache = init_cache(self.params, enc_out, self.config, max_len=8,
+                           compute_dtype=self._compute_dtype)
+        sot = jnp.full((enc_out.shape[0], 1), self.specials.sot, dtype=jnp.int32)
+        logits, _ = prefill(self.params, sot, enc_out, cache, self.config,
+                            compute_dtype=self._compute_dtype)
+        return LanguageProbs.from_logits(np.asarray(logits[0]),
+                                         lang_base=self.specials.lang_base)
+
+    # -- transcription -----------------------------------------------------------
+    def transcribe(self, audio: np.ndarray,
+                   options: Optional[TranscribeOptions] = None
+                   ) -> TranscriptionResult:
+        """Transcribe one clip (reference: src/lib.rs:364)."""
+        return self.transcribe_batch([audio], options).results[0]
+
+    def transcribe_batch(self, audios: Sequence[np.ndarray],
+                         options: Optional[TranscribeOptions] = None
+                         ) -> BatchTranscriptionResult:
+        """Batched transcription through ONE compiled pipeline
+        (vs the reference's sequential loop, src/lib.rs:1033)."""
+        t0 = time.time()
+        options = options or TranscribeOptions()
+
+        mels = np.stack([self.compute_mel(a) for a in audios])  # [B, 3000, M]
+        enc = self.encode(mels)  # [B, 1500, D]
+
+        # language: fixed, or detected per batch from the first item
+        lang = options.language
+        if lang in (None, "auto"):
+            if self.specials.is_multilingual:
+                probs = self.detect_language_from_features(enc[:1])
+                lang = probs.best[0]
+            else:
+                lang = "en"
+
+        prompt_list = self.get_initial_tokens(lang, options.task,
+                                              options.timestamps)
+        prompt = jnp.asarray(np.tile(np.asarray(prompt_list, np.int32),
+                                     (len(audios), 1)))
+
+        suppressor = WhisperTokenSuppressor(
+            suppress_timestamps=not (options.timestamps or options.word_timestamps),
+            n_vocab=self.config.n_vocab)
+        bias = jnp.asarray(suppressor.bias())
+
+        max_tokens = options.max_tokens or self.config.n_text_ctx
+        max_tokens = min(max_tokens, self.config.n_text_ctx)
+
+        if options.strategy == "beam":
+            from .inference.beam import beam_generate
+            tokens, lengths = beam_generate(
+                self.params, enc, prompt, bias, self.specials.eot, self.config,
+                beam_size=options.beam_size, patience=options.patience,
+                max_len=max_tokens, prompt_len=len(prompt_list),
+                compute_dtype=self._compute_dtype, fidelity=self._fidelity)
+        else:
+            tokens, lengths = greedy_generate(
+                self.params, enc, prompt, bias, self.specials.eot, self.config,
+                max_len=max_tokens, prompt_len=len(prompt_list),
+                compute_dtype=self._compute_dtype, fidelity=self._fidelity)
+
+        tokens_np = np.asarray(tokens)
+        lengths_np = np.asarray(lengths)
+
+        results = []
+        for i in range(len(audios)):
+            toks = tokens_np[i, : lengths_np[i]].tolist()
+            gen = toks[len(prompt_list):]
+            text = self.tokenizer.decode_with_options(gen, skip_special=True)
+            if has_timestamps(gen, self.specials.timestamp_base):
+                segments = extract_segments(
+                    gen, self.tokenizer,
+                    timestamp_base=self.specials.timestamp_base,
+                    eot=self.specials.eot)
+            else:
+                segments = [Segment(0.0, len(audios[i]) / SAMPLE_RATE,
+                                    text, gen)] if text.strip() else []
+            results.append(TranscriptionResult(
+                text=text.strip(), language=lang, segments=segments, tokens=toks))
+
+        return BatchTranscriptionResult(results, time.time() - t0)
+
+    # -- file helpers ----------------------------------------------------------
+    def transcribe_file(self, path: str,
+                        options: Optional[TranscribeOptions] = None
+                        ) -> TranscriptionResult:
+        samples, sr = parse_wav(open(path, "rb").read())
+        if sr != SAMPLE_RATE:
+            samples = SincResampler(sr, SAMPLE_RATE).resample(samples)
+        return self.transcribe(samples, options)

@@ -1,0 +1,269 @@
+"""Parameter pytrees: schema, random init, and .apr / HF loading.
+
+The model is purely functional — parameters live in nested dicts of jnp
+arrays. Per-layer parameters are STACKED along a leading layer axis so the
+transformer blocks run under one ``lax.scan`` (single compiled block body
+regardless of depth — the TPU-idiomatic layout, unlike the reference's
+per-layer structs at src/model/encoder.rs:372 / decoder.rs:1478).
+
+Weight orientation: all linear weights are stored input-major ``[d_in,
+d_out]`` (pre-transposed from HF/.apr row-major ``[out, in]``), mirroring the
+reference's cached transpose (reference: src/model/attention.rs:96-105).
+
+Tensor naming in .apr files follows the HF-derived names the reference loader
+expects (reference: src/lib.rs:757-960 load_encoder_weights /
+load_decoder_weights): ``encoder.conv1.weight``,
+``encoder.layers.N.self_attn.q_proj.weight``, ``decoder.embed_tokens.weight``…
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ModelConfig
+from ..errors import ModelError
+from ..format import AprReader
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Random initialization (for tests / fuzzing, reference: tests/pipeline_fuzz.rs)
+# ---------------------------------------------------------------------------
+
+def init_params(config: ModelConfig, seed: int = 0,
+                dtype: jnp.dtype = jnp.float32) -> Params:
+    """Random small-scale parameters with the full schema."""
+    rng = np.random.default_rng(seed)
+
+    def w(*shape, scale=0.02):
+        return jnp.asarray(rng.normal(0.0, scale, size=shape), dtype=dtype)
+
+    def zeros(*shape):
+        return jnp.zeros(shape, dtype=dtype)
+
+    def ones(*shape):
+        return jnp.ones(shape, dtype=dtype)
+
+    d_a, d_t = config.n_audio_state, config.n_text_state
+    La, Lt = config.n_audio_layer, config.n_text_layer
+
+    def attn_block(L, d, with_kb=False):
+        return {
+            "q_w": w(L, d, d), "q_b": zeros(L, d),
+            "k_w": w(L, d, d), "k_b": zeros(L, d),
+            "v_w": w(L, d, d), "v_b": zeros(L, d),
+            "o_w": w(L, d, d), "o_b": zeros(L, d),
+        }
+
+    encoder = {
+        "conv1": {"w": w(d_a, config.n_mels, 3), "b": zeros(d_a)},
+        "conv2": {"w": w(d_a, d_a, 3), "b": zeros(d_a)},
+        "pos_emb": jnp.asarray(
+            sinusoidal_embedding(config.n_audio_ctx, d_a), dtype=dtype),
+        "blocks": {
+            "ln1": {"w": ones(La, d_a), "b": zeros(La, d_a)},
+            "attn": attn_block(La, d_a),
+            "ln2": {"w": ones(La, d_a), "b": zeros(La, d_a)},
+            "fc1": {"w": w(La, d_a, 4 * d_a), "b": zeros(La, 4 * d_a)},
+            "fc2": {"w": w(La, 4 * d_a, d_a), "b": zeros(La, d_a)},
+        },
+        "ln_post": {"w": ones(d_a), "b": zeros(d_a)},
+    }
+    decoder = {
+        "token_emb": w(config.n_vocab, d_t),
+        "pos_emb": w(config.n_text_ctx, d_t),
+        "blocks": {
+            "ln1": {"w": ones(Lt, d_t), "b": zeros(Lt, d_t)},
+            "self_attn": attn_block(Lt, d_t),
+            "ln2": {"w": ones(Lt, d_t), "b": zeros(Lt, d_t)},
+            "cross_attn": attn_block(Lt, d_t),
+            "ln3": {"w": ones(Lt, d_t), "b": zeros(Lt, d_t)},
+            "fc1": {"w": w(Lt, d_t, 4 * d_t), "b": zeros(Lt, 4 * d_t)},
+            "fc2": {"w": w(Lt, 4 * d_t, d_t), "b": zeros(Lt, d_t)},
+        },
+        "ln_post": {"w": ones(d_t), "b": zeros(d_t)},
+    }
+    return {"encoder": encoder, "decoder": decoder}
+
+
+def sinusoidal_embedding(length: int, channels: int) -> np.ndarray:
+    """Whisper's sinusoidal positional embedding
+    (reference: src/model/encoder.rs:429 create_positional_embedding).
+    """
+    log_timescale = np.log(10_000.0) / (channels // 2 - 1)
+    inv_timescales = np.exp(-log_timescale * np.arange(channels // 2))
+    scaled = np.arange(length)[:, None] * inv_timescales[None, :]
+    return np.concatenate([np.sin(scaled), np.cos(scaled)], axis=1).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Loading from .apr
+# ---------------------------------------------------------------------------
+
+def _stack(loader: Callable[[int], np.ndarray], n: int) -> jnp.ndarray:
+    return jnp.asarray(np.stack([loader(i) for i in range(n)]))
+
+
+def load_params_from_apr(reader: AprReader,
+                         dtype: jnp.dtype = jnp.float32) -> Params:
+    """Build the stacked parameter pytree from an .apr file.
+
+    Mirrors the reference load path (reference: src/lib.rs:673
+    load_from_apr -> load_encoder_weights :757 / load_decoder_weights :844)
+    including the embed_positions/positional_embedding name fallbacks.
+    """
+    cfg = reader.header.to_model_config()
+
+    def get(name: str, *shape, transpose=False) -> np.ndarray:
+        arr = reader.load_tensor(name)
+        arr = arr.reshape(shape) if shape else arr
+        if transpose:
+            arr = np.ascontiguousarray(arr.T)
+        return arr
+
+    def get_or(name: str, fallback: str) -> np.ndarray:
+        try:
+            return reader.load_tensor(name)
+        except Exception:
+            return reader.load_tensor(fallback)
+
+    def j(arr: np.ndarray) -> jnp.ndarray:
+        return jnp.asarray(arr, dtype=dtype)
+
+    d_a, d_t = cfg.n_audio_state, cfg.n_text_state
+    La, Lt = cfg.n_audio_layer, cfg.n_text_layer
+
+    def linear_w(prefix: str, d_in: int, d_out: int):
+        # HF stores [out, in]; we pre-transpose to [in, out]
+        return get(f"{prefix}.weight", d_out, d_in, transpose=True)
+
+    def linear_b(prefix: str, d_out: int, required=True):
+        try:
+            return reader.load_tensor(f"{prefix}.bias").reshape(d_out)
+        except Exception:
+            if required:
+                raise
+            return np.zeros(d_out, np.float32)
+
+    def attn(prefix_fn: Callable[[int], str], L: int, d: int):
+        return {
+            "q_w": j(np.stack([linear_w(f"{prefix_fn(i)}.q_proj", d, d) for i in range(L)])),
+            "q_b": j(np.stack([linear_b(f"{prefix_fn(i)}.q_proj", d) for i in range(L)])),
+            # whisper k_proj has no bias; absent in HF checkpoints
+            "k_w": j(np.stack([linear_w(f"{prefix_fn(i)}.k_proj", d, d) for i in range(L)])),
+            "k_b": j(np.stack([linear_b(f"{prefix_fn(i)}.k_proj", d, required=False)
+                               for i in range(L)])),
+            "v_w": j(np.stack([linear_w(f"{prefix_fn(i)}.v_proj", d, d) for i in range(L)])),
+            "v_b": j(np.stack([linear_b(f"{prefix_fn(i)}.v_proj", d) for i in range(L)])),
+            "o_w": j(np.stack([linear_w(f"{prefix_fn(i)}.out_proj", d, d) for i in range(L)])),
+            "o_b": j(np.stack([linear_b(f"{prefix_fn(i)}.out_proj", d) for i in range(L)])),
+        }
+
+    def ln(prefix_fn: Callable[[int], str], L: int, d: int):
+        return {
+            "w": j(np.stack([get(f"{prefix_fn(i)}.weight", d) for i in range(L)])),
+            "b": j(np.stack([get(f"{prefix_fn(i)}.bias", d) for i in range(L)])),
+        }
+
+    def fc(prefix_fn: Callable[[int], str], L: int, d_in: int, d_out: int):
+        return {
+            "w": j(np.stack([linear_w(prefix_fn(i), d_in, d_out) for i in range(L)])),
+            "b": j(np.stack([linear_b(prefix_fn(i), d_out) for i in range(L)])),
+        }
+
+    try:
+        encoder = {
+            "conv1": {"w": j(get("encoder.conv1.weight", d_a, cfg.n_mels, 3)),
+                      "b": j(get("encoder.conv1.bias", d_a))},
+            "conv2": {"w": j(get("encoder.conv2.weight", d_a, d_a, 3)),
+                      "b": j(get("encoder.conv2.bias", d_a))},
+            "pos_emb": j(get_or("encoder.embed_positions.weight",
+                                "encoder.positional_embedding")
+                         .reshape(cfg.n_audio_ctx, d_a)),
+            "blocks": {
+                "ln1": ln(lambda i: f"encoder.layers.{i}.self_attn_layer_norm", La, d_a),
+                "attn": attn(lambda i: f"encoder.layers.{i}.self_attn", La, d_a),
+                "ln2": ln(lambda i: f"encoder.layers.{i}.final_layer_norm", La, d_a),
+                "fc1": fc(lambda i: f"encoder.layers.{i}.fc1", La, d_a, 4 * d_a),
+                "fc2": fc(lambda i: f"encoder.layers.{i}.fc2", La, 4 * d_a, d_a),
+            },
+            "ln_post": {"w": j(get("encoder.layer_norm.weight", d_a)),
+                        "b": j(get("encoder.layer_norm.bias", d_a))},
+        }
+        decoder = {
+            "token_emb": j(get_or("decoder.embed_tokens.weight",
+                                  "decoder.token_embedding")
+                           .reshape(cfg.n_vocab, d_t)),
+            "pos_emb": j(get_or("decoder.embed_positions.weight",
+                                "decoder.positional_embedding")
+                         .reshape(cfg.n_text_ctx, d_t)),
+            "blocks": {
+                "ln1": ln(lambda i: f"decoder.layers.{i}.self_attn_layer_norm", Lt, d_t),
+                "self_attn": attn(lambda i: f"decoder.layers.{i}.self_attn", Lt, d_t),
+                "ln2": ln(lambda i: f"decoder.layers.{i}.encoder_attn_layer_norm", Lt, d_t),
+                "cross_attn": attn(lambda i: f"decoder.layers.{i}.encoder_attn", Lt, d_t),
+                "ln3": ln(lambda i: f"decoder.layers.{i}.final_layer_norm", Lt, d_t),
+                "fc1": fc(lambda i: f"decoder.layers.{i}.fc1", Lt, d_t, 4 * d_t),
+                "fc2": fc(lambda i: f"decoder.layers.{i}.fc2", Lt, 4 * d_t, d_t),
+            },
+            "ln_post": {"w": j(get("decoder.layer_norm.weight", d_t)),
+                        "b": j(get("decoder.layer_norm.bias", d_t))},
+        }
+    except Exception as e:  # noqa: BLE001 - surface as ModelError with tensor context
+        raise ModelError(f"failed to load model weights: {e}") from e
+
+    return {"encoder": encoder, "decoder": decoder}
+
+
+# ---------------------------------------------------------------------------
+# Loading from a HF transformers state dict (offline test oracle + converter)
+# ---------------------------------------------------------------------------
+
+def hf_state_dict_to_apr_tensors(state_dict: Dict[str, "np.ndarray"]) -> Dict[str, np.ndarray]:
+    """Map HF WhisperForConditionalGeneration tensor names to .apr names.
+
+    Strips the ``model.``/``proj_out`` wrappers, keeping the reference's
+    expected names (reference: src/cli/model_loader.rs:237 map_tensor_name).
+    """
+    out: Dict[str, np.ndarray] = {}
+    for name, tensor in state_dict.items():
+        arr = np.asarray(tensor, dtype=np.float32)
+        if name.startswith("model."):
+            name = name[len("model."):]
+        if name == "proj_out.weight":
+            continue  # tied to decoder.embed_tokens.weight
+        out[name] = arr
+    return out
+
+
+def params_from_hf_model(hf_model, config: ModelConfig,
+                         dtype: jnp.dtype = jnp.float32) -> Params:
+    """Directly build params from a transformers WhisperModel /
+    WhisperForConditionalGeneration (the offline numerics oracle,
+    SURVEY.md §4 test-strategy translation (a)).
+    """
+    sd = {k: v.detach().cpu().numpy() for k, v in hf_model.state_dict().items()}
+    tensors = hf_state_dict_to_apr_tensors(sd)
+
+    class _DictReader:
+        """Duck-typed AprReader over an in-memory dict."""
+
+        def __init__(self, tensors: Dict[str, np.ndarray], cfg: ModelConfig):
+            self._t = tensors
+            self.header = type("H", (), {"to_model_config": lambda s: cfg})()
+
+        def load_tensor(self, name: str) -> np.ndarray:
+            if name not in self._t:
+                raise ModelError(f"tensor not found: {name}")
+            return self._t[name]
+
+    return load_params_from_apr(_DictReader(tensors, config), dtype=dtype)  # type: ignore
+
+
+def count_params(params: Params) -> int:
+    return sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(params))

@@ -113,6 +113,7 @@ class SpecialTokens:
     no_timestamps: int
     timestamp_base: int
     is_multilingual: bool
+    translate: int = TRANSLATE
 
     @staticmethod
     def for_vocab_size(n_vocab: int) -> "SpecialTokens":
@@ -126,14 +127,14 @@ class SpecialTokens:
             eot=EOT_MULTILINGUAL, sot=SOT_MULTILINGUAL,
             lang_base=LANG_BASE_MULTILINGUAL, transcribe=TRANSCRIBE_MULTILINGUAL,
             no_timestamps=NO_TIMESTAMPS_MULTILINGUAL, timestamp_base=50_364,
-            is_multilingual=True)
+            is_multilingual=True, translate=TRANSLATE)
 
     @staticmethod
     def english_only() -> "SpecialTokens":
         return SpecialTokens(
             eot=EOT_ENGLISH, sot=SOT_ENGLISH, lang_base=50_258,
             transcribe=50_358, no_timestamps=50_362, timestamp_base=50_363,
-            is_multilingual=False)
+            is_multilingual=False, translate=50_358)
 
     def initial_tokens(self) -> tuple:
         """[SOT, lang_en, transcribe, no_timestamps] (reference: vocab.rs:152)."""

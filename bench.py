@@ -1,0 +1,89 @@
+"""Headline benchmark: whisper-tiny greedy RTF on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Protocol: full pipeline (log-mel -> encoder -> on-device greedy decode of a
+FIXED 224 tokens, EOT suppressed) over one 30 s clip, batch 1. 224 tokens is
+the reference's per-chunk token budget (reference:
+src/inference/streaming.rs:41 max_tokens_per_chunk); forcing the full budget
+makes this a worst-case RTF — real clips stop at EOT much earlier.
+
+Baseline: the reference's best validated native RTF for whisper-tiny is
+0.31x (M1, README.md:297-299; BASELINE.md row 1). vs_baseline reports
+baseline_rtf / our_rtf, i.e. how many times faster than the reference we
+process the same audio (>1 is better).
+
+Weights are random with real tiny dimensions — RTF is shape-dependent, not
+value-dependent.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_RTF = 0.31  # reference whisper-tiny native M1 (BASELINE.md)
+DECODE_TOKENS = 224
+AUDIO_SECONDS = 30.0
+
+
+def main() -> None:
+    from whisper_apr_tpu.config import ModelConfig
+    from whisper_apr_tpu.audio.mel import MelFilterbank
+    from whisper_apr_tpu.model.params import init_params
+    from whisper_apr_tpu.model.encoder import encode_jit
+    from whisper_apr_tpu.model.decoder import greedy_generate
+
+    cfg = ModelConfig.tiny()
+    params = init_params(cfg, seed=0)
+    # fast path: bf16 weights/activations on the MXU
+    params = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        params)
+    compute_dtype = jnp.bfloat16
+
+    rng = np.random.default_rng(0)
+    audio = rng.normal(0, 0.1, int(16_000 * AUDIO_SECONDS)).astype(np.float32)
+    fb = MelFilterbank.create(cfg.n_mels)
+
+    prompt_len = 4
+    max_len = prompt_len + DECODE_TOKENS
+    prompt = jnp.asarray(
+        np.array([[50258, 50259, 50359, 50363]], dtype=np.int32))
+    # suppress EOT so the decode always runs the full token budget
+    bias = np.zeros(cfg.n_vocab, dtype=np.float32)
+    bias[50257] = np.finfo(np.float32).min
+    bias = jnp.asarray(bias)
+
+    def pipeline():
+        mel = fb.compute_30s(audio)
+        enc = encode_jit(params, jnp.asarray(mel)[None], cfg,
+                         compute_dtype=compute_dtype)
+        tokens, lengths = greedy_generate(
+            params, enc, prompt, bias, eot=50257, config=cfg,
+            max_len=max_len, prompt_len=prompt_len,
+            compute_dtype=compute_dtype)
+        return tokens.block_until_ready()
+
+    pipeline()  # compile + warm caches
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        pipeline()
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    rtf = best / AUDIO_SECONDS
+
+    print(json.dumps({
+        "metric": "rtf_whisper_tiny_30s_greedy224",
+        "value": round(rtf, 6),
+        "unit": "rtf",
+        "vs_baseline": round(BASELINE_RTF / rtf, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

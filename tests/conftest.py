@@ -7,13 +7,17 @@ tests via xla_force_host_platform_device_count). Must run before jax import.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# NOTE: the axon TPU plugin in this image ignores the JAX_PLATFORMS env var;
+# JAX_PLATFORM_NAME and jax.config.update("jax_platforms", ...) both work.
+os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax
+
+jax.config.update("jax_platforms", "cpu")
 import numpy as np
 import pytest
 

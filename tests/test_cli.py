@@ -1,0 +1,181 @@
+"""CLI tests (mirror reference: tests/cli_parity_tests.rs — arg parsing,
+output-format snapshots, WER calculation)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from helpers import make_hf_twin, small_config, small_specials
+from whisper_apr_tpu.cli.args import build_parser, expand_response_files
+from whisper_apr_tpu.cli.output import FORMATS, format_result
+from whisper_apr_tpu.cli.parity import calculate_wer, levenshtein, normalize_text
+from whisper_apr_tpu.engine import TranscriptionResult
+from whisper_apr_tpu.timestamps import Segment
+
+
+class TestArgs:
+    def test_all_subcommands_parse(self):
+        p = build_parser()
+        cases = [
+            ["transcribe", "a.wav", "-m", "m.apr"],
+            ["translate", "a.wav", "-m", "m.apr", "--beam-size", "5"],
+            ["batch", "a.wav", "b.wav", "-m", "m.apr", "-of", "srt"],
+            ["stream", "a.wav", "-m", "m.apr", "--chunk-seconds", "2"],
+            ["detect-language", "a.wav", "-m", "m.apr"],
+            ["model", "-m", "m.apr"],
+            ["validate", "-m", "m.apr"],
+            ["quantize", "-m", "m.apr", "-o", "out.apr"],
+            ["convert", "in_dir", "out.apr", "--int8"],
+            ["benchmark", "--duration", "10", "--emit", "json"],
+            ["parity", "a.wav", "ref.txt", "-m", "m.apr"],
+            ["diagnose"],
+            ["test"],
+            ["serve"], ["record"], ["command"], ["tui"],
+        ]
+        for argv in cases:
+            args = p.parse_args(argv)
+            assert args.command == argv[0]
+
+    def test_whisper_cpp_parity_flags(self):
+        # (reference: src/cli/args.rs:160-410)
+        p = build_parser()
+        args = p.parse_args([
+            "transcribe", "a.wav", "-m", "m.apr", "-l", "de", "-bs", "8",
+            "--best-of", "3", "--temperature", "0.2", "--entropy-thold", "2.0",
+            "--logprob-thold", "-0.5", "--no-speech-thold", "0.4",
+            "--threads", "4", "--flash-attn", "--timestamps", "-of", "vtt"])
+        assert args.language == "de" and args.beam_size == 8
+        assert args.flash_attn and not args.no_timestamps
+        assert args.output_format == "vtt"
+
+    def test_response_file(self, tmp_path):
+        rf = tmp_path / "args.txt"
+        rf.write_text("transcribe a.wav -m m.apr")
+        out = expand_response_files([f"@{rf}"])
+        assert out == ["transcribe", "a.wav", "-m", "m.apr"]
+
+
+class TestOutputFormats:
+    def result(self):
+        return TranscriptionResult(
+            text="hello world",
+            language="en",
+            segments=[Segment(0.0, 1.5, "hello world", [1, 2])],
+            tokens=[1, 2])
+
+    def test_txt(self):
+        assert format_result(self.result(), "txt") == "hello world\n"
+
+    def test_srt(self):
+        out = format_result(self.result(), "srt")
+        assert "1\n00:00:00,000 --> 00:00:01,500\nhello world" in out
+
+    def test_vtt(self):
+        out = format_result(self.result(), "vtt")
+        assert out.startswith("WEBVTT")
+        assert "00:00:00.000 --> 00:00:01.500" in out
+
+    def test_json(self):
+        data = json.loads(format_result(self.result(), "json"))
+        assert data == {"text": "hello world", "language": "en"}
+
+    def test_json_full(self):
+        data = json.loads(format_result(self.result(), "json-full"))
+        assert data["segments"][0]["end"] == 1.5
+        assert data["tokens"] == [1, 2]
+
+    def test_csv(self):
+        out = format_result(self.result(), "csv")
+        assert out.splitlines()[0] == "start,end,text"
+        assert '"hello world"' in out
+
+    def test_lrc(self):
+        assert format_result(self.result(), "lrc").startswith("[00:00.00]")
+
+    def test_md(self):
+        assert "| 0.00 | 1.50 | hello world |" in format_result(self.result(), "md")
+
+    def test_all_formats_covered(self):
+        for fmt in FORMATS:
+            assert format_result(self.result(), fmt)
+
+    def test_unknown_format(self):
+        with pytest.raises(ValueError):
+            format_result(self.result(), "xml")
+
+
+class TestWer:
+    def test_identical(self):
+        assert calculate_wer("hello world", "Hello, World!") == 0.0
+
+    def test_substitution(self):
+        assert calculate_wer("the cat sat", "the dog sat") == pytest.approx(1 / 3)
+
+    def test_insert_delete(self):
+        assert calculate_wer("a b c", "a c") == pytest.approx(1 / 3)
+        assert calculate_wer("a c", "a b c") == pytest.approx(1 / 2)
+
+    def test_empty_reference(self):
+        assert calculate_wer("", "") == 0.0
+        assert calculate_wer("", "word") == 1.0
+
+    def test_levenshtein(self):
+        assert levenshtein("abc", "abc") == 0
+        assert levenshtein("abc", "axc") == 1
+        assert levenshtein("", "abc") == 3
+
+
+class TestCliE2E:
+    """Drive the real CLI surface with a twin .apr on disk."""
+
+    @pytest.fixture(scope="class")
+    def model_path(self, tmp_path_factory):
+        from test_engine import build_apr_bytes
+        cfg = small_config()
+        hf = make_hf_twin(cfg)
+        path = tmp_path_factory.mktemp("cli") / "twin.apr"
+        path.write_bytes(build_apr_bytes(hf, cfg))
+        return str(path)
+
+    @pytest.fixture(scope="class")
+    def wav_path(self, tmp_path_factory):
+        from whisper_apr_tpu.audio.wav import write_wav
+        path = tmp_path_factory.mktemp("cli") / "t.wav"
+        rng = np.random.default_rng(0)
+        write_wav(str(path), rng.normal(0, 0.1, 8000).astype(np.float32))
+        return str(path)
+
+    def test_model_info(self, model_path, capsys):
+        from whisper_apr_tpu.cli import run
+        assert run(["model", "-m", model_path]) == 0
+        out = capsys.readouterr().out
+        assert "tensors:" in out and "crc32: ok" in out
+
+    def test_validate(self, model_path, capsys):
+        from whisper_apr_tpu.cli import run
+        run(["validate", "-m", model_path])
+        out = capsys.readouterr().out
+        assert "checks passed" in out
+
+    def test_quantize(self, model_path, tmp_path, capsys):
+        from whisper_apr_tpu.cli import run
+        out_path = str(tmp_path / "int8.apr")
+        assert run(["quantize", "-m", model_path, "-o", out_path]) == 0
+        assert os.path.getsize(out_path) < os.path.getsize(model_path)
+
+    def test_diagnose(self, capsys):
+        from whisper_apr_tpu.cli import run
+        assert run(["diagnose"]) == 0
+        out = capsys.readouterr().out
+        assert "[OK] jax backend" in out
+
+    def test_not_implemented_stubs(self, capsys):
+        from whisper_apr_tpu.cli import run
+        assert run(["serve"]) == 2
+
+    def test_missing_file_is_clean_error(self, capsys):
+        from whisper_apr_tpu.cli import run
+        assert run(["model", "-m", "/nonexistent.apr"]) == 1
+        assert "error:" in capsys.readouterr().err

@@ -1,0 +1,155 @@
+"""CLI argument parsing — whisper.cpp-parity flag surface.
+
+(reference: src/cli/args.rs:110-410 — 15 subcommands and whisper.cpp
+-compatible flags; @response-file expansion at :50.)
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import List, Optional
+
+from .. import __version__
+from .output import FORMATS
+
+
+def expand_response_files(argv: List[str]) -> List[str]:
+    """Expand @file arguments into their whitespace-separated contents
+    (reference: src/cli/args.rs:50 expand_response_files)."""
+    out: List[str] = []
+    for arg in argv:
+        if arg.startswith("@") and len(arg) > 1:
+            try:
+                with open(arg[1:]) as f:
+                    out.extend(f.read().split())
+            except OSError:
+                out.append(arg)
+        else:
+            out.append(arg)
+    return out
+
+
+def _add_common_model_flags(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--model", "-m", required=True, help=".apr model path")
+    p.add_argument("--fp32", action="store_true",
+                   help="full-precision compute (default: bfloat16 fast path)")
+
+
+def _add_decode_flags(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--language", "-l", default=None,
+                   help="language code or 'auto' (default: auto-detect)")
+    p.add_argument("--beam-size", "-bs", type=int, default=1,
+                   help="beam size (1 = greedy)")
+    p.add_argument("--best-of", type=int, default=5, help="whisper.cpp parity")
+    p.add_argument("--temperature", type=float, default=0.0)
+    p.add_argument("--max-tokens", type=int, default=None)
+    p.add_argument("--no-timestamps", action="store_true", default=True)
+    p.add_argument("--timestamps", dest="no_timestamps", action="store_false",
+                   help="emit segment timestamps")
+    p.add_argument("--entropy-thold", type=float, default=2.4,
+                   help="whisper.cpp parity")
+    p.add_argument("--logprob-thold", type=float, default=-1.0,
+                   help="whisper.cpp parity")
+    p.add_argument("--no-speech-thold", type=float, default=0.6,
+                   help="whisper.cpp parity")
+    p.add_argument("--threads", "-t", type=int, default=0,
+                   help="host threads (0 = auto)")
+    p.add_argument("--flash-attn", action="store_true",
+                   help="use the Pallas flash-attention kernel")
+
+
+def _add_output_flags(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--output-format", "-of", choices=FORMATS, default="txt")
+    p.add_argument("--output", "-o", default=None, help="output file path")
+    p.add_argument("--verbose", "-v", action="store_true")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="whisper-apr-tpu",
+        description="TPU-native Whisper speech recognition")
+    parser.add_argument("--version", action="version",
+                        version=f"whisper-apr-tpu {__version__}")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    # transcribe / translate
+    for name, help_ in (("transcribe", "transcribe audio in its language"),
+                        ("translate", "translate audio to English")):
+        p = sub.add_parser(name, help=help_)
+        p.add_argument("audio", help="input WAV file")
+        _add_common_model_flags(p)
+        _add_decode_flags(p)
+        _add_output_flags(p)
+
+    # batch
+    p = sub.add_parser("batch", help="batch-transcribe many files")
+    p.add_argument("inputs", nargs="+", help="input files or globs")
+    _add_common_model_flags(p)
+    _add_decode_flags(p)
+    _add_output_flags(p)
+    p.add_argument("--processors", type=int, default=1, help="parity flag")
+
+    # stream (file-driven)
+    p = sub.add_parser("stream", help="streaming transcription from a file")
+    p.add_argument("audio")
+    _add_common_model_flags(p)
+    _add_decode_flags(p)
+    p.add_argument("--chunk-seconds", type=float, default=5.0)
+
+    # detect-language
+    p = sub.add_parser("detect-language", help="detect spoken language")
+    p.add_argument("audio")
+    _add_common_model_flags(p)
+
+    # model info
+    p = sub.add_parser("model", help="inspect an .apr model")
+    p.add_argument("--model", "-m", required=True)
+
+    # validate
+    p = sub.add_parser("validate", help="25-point model QA checklist")
+    p.add_argument("--model", "-m", required=True)
+
+    # quantize
+    p = sub.add_parser("quantize", help="quantize f32 .apr to int8")
+    p.add_argument("--model", "-m", required=True)
+    p.add_argument("--output", "-o", required=True)
+
+    # convert
+    p = sub.add_parser("convert", help="convert HF checkpoint dir to .apr")
+    p.add_argument("input", help="HF model directory (safetensors + vocab)")
+    p.add_argument("output", help="output .apr path")
+    p.add_argument("--int8", action="store_true")
+
+    # benchmark
+    p = sub.add_parser("benchmark", help="pipeline benchmark")
+    p.add_argument("--model", "-m", default=None)
+    p.add_argument("--duration", type=float, default=30.0)
+    p.add_argument("--tokens", type=int, default=224)
+    p.add_argument("--emit", choices=("text", "json", "csv"), default="text")
+
+    # parity
+    p = sub.add_parser("parity", help="WER vs a reference transcript")
+    p.add_argument("audio")
+    p.add_argument("reference_text")
+    _add_common_model_flags(p)
+    _add_decode_flags(p)
+
+    # diagnose
+    p = sub.add_parser("diagnose", help="environment + model self-checks")
+    p.add_argument("--model", "-m", default=None)
+
+    # test (smoke test like reference `test` subcommand)
+    p = sub.add_parser("test", help="quick pipeline smoke test")
+    p.add_argument("--model", "-m", default=None)
+
+    # reference-stubbed commands (parity: commands.rs:770-790,970)
+    for name in ("serve", "record", "command", "tui"):
+        sub.add_parser(name, help="not yet implemented (reference parity)")
+
+    return parser
+
+
+def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
+    argv = expand_response_files(list(sys.argv[1:] if argv is None else argv))
+    return build_parser().parse_args(argv)

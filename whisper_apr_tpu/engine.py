@@ -277,6 +277,46 @@ class WhisperApr:
 
         return BatchTranscriptionResult(results, time.time() - t0)
 
+    # -- streaming / VAD --------------------------------------------------------
+    def create_streaming_session(self, options: Optional[TranscribeOptions] = None,
+                                 input_sample_rate: int = 44_100,
+                                 config=None):
+        """Real-time session (reference: src/lib.rs:1555)."""
+        from .inference.streaming import StreamingSession
+        return StreamingSession(self, options, input_sample_rate, config)
+
+    def transcribe_partial(self, audio: np.ndarray, is_final: bool = False,
+                           options: Optional[TranscribeOptions] = None
+                           ) -> TranscriptionResult:
+        """Transcribe a growing prefix (reference: src/lib.rs:1482)."""
+        return self.transcribe(audio, options)
+
+    def transcribe_with_vad(self, audio: np.ndarray,
+                            options: Optional[TranscribeOptions] = None
+                            ) -> TranscriptionResult:
+        """VAD-segmented transcription: only speech spans hit the model
+        (reference: src/lib.rs:1237 transcribe_with_vad)."""
+        from .vad import VoiceActivityDetector
+        options = options or TranscribeOptions()
+        audio = np.asarray(audio, dtype=np.float32)
+        segments = VoiceActivityDetector().detect(audio)
+        if not segments:
+            return TranscriptionResult("", options.language or "en", [], [])
+        clips = [audio[s:e] for s, e in segments if e - s >= 400]
+        if not clips:
+            return TranscriptionResult("", options.language or "en", [], [])
+        batch = self.transcribe_batch(clips, options)
+        texts, segs, toks = [], [], []
+        for (s, e), r in zip(segments, batch.results):
+            if r.text:
+                texts.append(r.text)
+                segs.append(Segment(s / SAMPLE_RATE, e / SAMPLE_RATE,
+                                    r.text, r.tokens))
+                toks.extend(r.tokens)
+        return TranscriptionResult(" ".join(texts),
+                                   batch.results[0].language if batch.results else "en",
+                                   segs, toks)
+
     # -- file helpers ----------------------------------------------------------
     def transcribe_file(self, path: str,
                         options: Optional[TranscribeOptions] = None

@@ -1,0 +1,155 @@
+"""Beam search, fully on device.
+
+Re-designs the reference beam search (reference: src/inference/beam.rs:56
+BeamSearchDecoder — hypothesis expansion :137-216, length-normalized scoring
+``score / len^length_penalty`` :45, patience early-stop :278) as a batched
+fixed-shape XLA program:
+
+- beams are a flattened batch dimension ``B*K`` sharing one KV cache; beam
+  reordering is a gather over the beam axis (the TPU answer to the
+  reference's per-hypothesis Vec cloning)
+- finished beams continue in place, forced to extend with EOT at zero log
+  prob (equivalent to the reference's completed pool: their cumulative score
+  freezes)
+- each step takes top-K over the ``K*V`` joint candidate scores via
+  ``lax.top_k`` — no host round-trips
+- final selection maximizes the reference's normalized score over beams
+
+No in-step length normalization is needed: every active candidate at a step
+has identical length, so ranking by raw cumulative score inside the loop is
+order-equivalent to the reference's per-step normalized sort.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from ..model.decoder import KVCache, decode_step, init_cache, prefill
+
+_HIGHEST = jax.lax.Precision.HIGHEST
+NEG = jnp.float32(-1e30)
+
+
+def _flatten_beams(x: jnp.ndarray) -> jnp.ndarray:
+    return x.reshape((x.shape[0] * x.shape[1],) + x.shape[2:])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "beam_size", "max_len", "prompt_len",
+                     "compute_dtype", "fidelity", "length_penalty",
+                     "return_nbest"))
+def beam_generate(params: dict, enc_out: jnp.ndarray, prompt: jnp.ndarray,
+                  suppress_bias: jnp.ndarray, eot: int, config: ModelConfig,
+                  beam_size: int = 5, patience: float = 1.0,
+                  max_len: int = 448, prompt_len: int = 4,
+                  length_penalty: float = 1.0,
+                  compute_dtype: jnp.dtype = jnp.float32,
+                  fidelity: bool = False,
+                  return_nbest: bool = False
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched beam search. Returns (tokens [B, max_len], lengths [B]) for
+    the best hypothesis per batch item (or [B, K, ...] with return_nbest).
+    """
+    precision = _HIGHEST if fidelity else None
+    B = enc_out.shape[0]
+    K = beam_size
+    V = config.n_vocab
+
+    # replicate encoder output per beam: [B*K, S, D]
+    enc_rep = _flatten_beams(
+        jnp.broadcast_to(enc_out[:, None], (B, K) + enc_out.shape[1:]))
+    cache = init_cache(params, enc_rep, config, max_len, precision,
+                       compute_dtype)
+
+    prompt_rep = _flatten_beams(
+        jnp.broadcast_to(prompt[:, None], (B, K, prompt_len))).astype(jnp.int32)
+    logits, cache = prefill(params, prompt_rep, enc_rep, cache, config,
+                            compute_dtype, precision)
+
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32) + suppress_bias[None, :])
+    logp = logp.reshape(B, K, V)
+    # all beams are identical after prefill: keep beam 0, kill the rest so the
+    # first top-k picks K DISTINCT tokens
+    beam_mask = jnp.where(jnp.arange(K) == 0, 0.0, NEG)[None, :, None]
+    first_scores = logp + beam_mask  # [B, K, V]
+
+    top_scores, top_idx = jax.lax.top_k(first_scores.reshape(B, K * V), K)
+    first_tokens = (top_idx % V).astype(jnp.int32)  # [B, K]
+
+    tokens = jnp.full((B, K, max_len), eot, dtype=jnp.int32)
+    tokens = tokens.at[:, :, :prompt_len].set(prompt_rep.reshape(B, K, prompt_len))
+    tokens = tokens.at[:, :, prompt_len].set(first_tokens)
+    scores = top_scores  # [B, K]
+    done = first_tokens == eot
+
+    def cond(state):
+        pos, _, done, _, _ = state
+        return jnp.logical_and(pos + 1 < max_len, ~jnp.all(done))
+
+    def body(state):
+        pos, tokens, done, scores, cache = state
+        tok = jax.lax.dynamic_slice(
+            tokens, (0, 0, pos), (B, K, 1))[:, :, 0]  # [B, K]
+        logits, cache = decode_step(
+            params, _flatten_beams(tok), pos, cache, config,
+            compute_dtype, precision)
+        logp = jax.nn.log_softmax(
+            logits.astype(jnp.float32) + suppress_bias[None, :]).reshape(B, K, V)
+
+        # finished beams may only emit EOT, at zero cost (score frozen)
+        eot_onehot = jnp.where(jnp.arange(V)[None, None, :] == eot, 0.0, NEG)
+        logp = jnp.where(done[:, :, None], eot_onehot, logp)
+
+        cand = scores[:, :, None] + logp  # [B, K, V]
+        new_scores, top_idx = jax.lax.top_k(cand.reshape(B, K * V), K)
+        src_beam = (top_idx // V).astype(jnp.int32)  # [B, K]
+        new_tok = (top_idx % V).astype(jnp.int32)    # [B, K]
+
+        # reorder beam-major state by src_beam
+        tokens = jnp.take_along_axis(tokens, src_beam[:, :, None], axis=1)
+        done = jnp.take_along_axis(done, src_beam, axis=1)
+
+        # reorder KV caches: [L, B*K, T, D] -> [L, B, K, T, D] gather
+        def reorder(c):
+            L = c.shape[0]
+            cb = c.reshape(L, B, K, *c.shape[2:])
+            return jnp.take_along_axis(
+                cb, src_beam[None, :, :, None, None], axis=2
+            ).reshape(c.shape)
+
+        cache = KVCache(reorder(cache.self_k), reorder(cache.self_v),
+                        reorder(cache.cross_k), reorder(cache.cross_v))
+
+        tokens = jax.lax.dynamic_update_slice(
+            tokens, new_tok[:, :, None], (0, 0, pos + 1))
+        done = jnp.logical_or(done, new_tok == eot)
+        return pos + 1, tokens, done, new_scores, cache
+
+    pos0 = jnp.int32(prompt_len)
+    _, tokens, done, scores, _ = jax.lax.while_loop(
+        cond, body, (pos0, tokens, done, scores, cache))
+
+    # lengths: first EOT at/after prompt_len, +1 (EOT counted, greedy parity)
+    idx = jnp.arange(max_len)[None, None, :]
+    is_eot = jnp.logical_and(tokens == eot, idx >= prompt_len)
+    has_eot = jnp.any(is_eot, axis=2)
+    first_eot = jnp.argmax(is_eot, axis=2)
+    lengths = jnp.where(has_eot, first_eot + 1, max_len)  # [B, K]
+
+    # reference normalized score: score / len^length_penalty (beam.rs:45)
+    norm = scores / jnp.power(lengths.astype(jnp.float32), length_penalty)
+    if return_nbest:
+        order = jnp.argsort(-norm, axis=1)
+        tokens = jnp.take_along_axis(tokens, order[:, :, None], axis=1)
+        lengths = jnp.take_along_axis(lengths, order, axis=1)
+        return tokens, lengths
+    best = jnp.argmax(norm, axis=1)  # [B]
+    tokens = jnp.take_along_axis(tokens, best[:, None, None], axis=1)[:, 0]
+    lengths = jnp.take_along_axis(lengths, best[:, None], axis=1)[:, 0]
+    return tokens, lengths

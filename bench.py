@@ -33,8 +33,8 @@ def main() -> None:
     from whisper_apr_tpu.config import ModelConfig
     from whisper_apr_tpu.audio.mel import MelFilterbank
     from whisper_apr_tpu.model.params import init_params
-    from whisper_apr_tpu.model.encoder import encode_jit
-    from whisper_apr_tpu.model.decoder import greedy_generate
+    from whisper_apr_tpu.model.encoder import encode_jit  # noqa: F401
+    from whisper_apr_tpu.model.decoder import greedy_generate  # noqa: F401
 
     cfg = ModelConfig.tiny()
     params = init_params(cfg, seed=0)
@@ -57,15 +57,18 @@ def main() -> None:
     bias[50257] = np.finfo(np.float32).min
     bias = jnp.asarray(bias)
 
+    from whisper_apr_tpu.pipeline import fused_transcribe_step, pad_audio_batch
+
+    batch = jnp.asarray(pad_audio_batch([audio], 480_000))
+
     def pipeline():
-        mel = fb.compute_30s(audio)
-        enc = encode_jit(params, jnp.asarray(mel)[None], cfg,
-                         compute_dtype=compute_dtype)
-        tokens, lengths = greedy_generate(
-            params, enc, prompt, bias, eot=50257, config=cfg,
-            max_len=max_len, prompt_len=prompt_len,
+        tokens, lengths = fused_transcribe_step(
+            params, batch, fb._window, fb._basis, fb._filters_t,
+            prompt, bias, 50257, cfg, max_len=max_len, prompt_len=prompt_len,
             compute_dtype=compute_dtype)
-        return tokens.block_until_ready()
+        # NOTE: block_until_ready() does NOT synchronize under the axon
+        # remote-TPU tunnel; fetching the value is the only true barrier.
+        return np.asarray(tokens)
 
     pipeline()  # compile + warm caches
 

@@ -1,0 +1,149 @@
+"""Quantization tests (mirror reference: src/model/quantized.rs inline tests
+— SQNR bounds, roundtrip error, quantized forward sanity)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from helpers import make_hf_twin, random_mel, small_config, small_specials
+from whisper_apr_tpu.config import ComputeConfig
+from whisper_apr_tpu.engine import TranscribeOptions, WhisperApr
+from whisper_apr_tpu.model.params import (
+    params_from_hf_model,
+    quantize_params,
+    quantized_size_bytes,
+)
+from whisper_apr_tpu.ops.quant import (
+    compute_sqnr,
+    dequant,
+    is_quantized,
+    quantization_error,
+    quantize_int4,
+    quantize_int8,
+)
+
+
+class TestInt8:
+    def test_roundtrip_error_bound(self):
+        rng = np.random.default_rng(0)
+        w = rng.normal(size=(64, 64)).astype(np.float32)
+        qt = quantize_int8(w)
+        deq = np.asarray(dequant(qt))
+        scale = np.abs(w).max() / 127.0
+        assert np.abs(deq - w).max() <= scale / 2 + 1e-7
+
+    def test_per_channel_better_than_per_tensor(self):
+        rng = np.random.default_rng(1)
+        # columns with wildly different scales
+        w = rng.normal(size=(64, 8)).astype(np.float32)
+        w *= np.logspace(-2, 2, 8, dtype=np.float32)[None, :]
+        sq_pt = compute_sqnr(w, np.asarray(dequant(quantize_int8(w, False))))
+        sq_pc = compute_sqnr(w, np.asarray(dequant(quantize_int8(w, True))))
+        assert sq_pc > sq_pt + 5.0
+
+    def test_sqnr_gate(self):
+        # int8 on gaussian weights: expect > 30 dB (reference test gate)
+        rng = np.random.default_rng(2)
+        w = rng.normal(size=(256, 256)).astype(np.float32)
+        sq = compute_sqnr(w, np.asarray(dequant(quantize_int8(w))))
+        assert sq > 30.0
+
+    def test_zero_tensor(self):
+        qt = quantize_int8(np.zeros((4, 4), np.float32))
+        assert np.asarray(dequant(qt)).max() == 0.0
+
+
+class TestInt4:
+    def test_pack_unpack_exact(self):
+        rng = np.random.default_rng(3)
+        w = rng.normal(size=(16, 10)).astype(np.float32)
+        qt = quantize_int4(w)
+        assert qt.q.shape == (16, 5)  # two values per byte
+        deq = np.asarray(dequant(qt))
+        assert deq.shape == w.shape
+        scale = np.abs(w).max() / 7.0
+        assert np.abs(deq - w).max() <= scale / 2 + 1e-6
+
+    def test_odd_last_dim(self):
+        w = np.arange(15, dtype=np.float32).reshape(3, 5)
+        deq = np.asarray(dequant(quantize_int4(w)))
+        assert deq.shape == (3, 5)
+
+    def test_negative_values_sign_extend(self):
+        w = np.array([[-7.0, 7.0, -1.0, 1.0]], np.float32)
+        qt = quantize_int4(w)
+        deq = np.asarray(dequant(qt))
+        assert np.allclose(deq, w, atol=1e-6)
+
+    def test_sqnr_above_15db(self):
+        rng = np.random.default_rng(4)
+        w = rng.normal(size=(128, 128)).astype(np.float32)
+        assert compute_sqnr(w, np.asarray(dequant(quantize_int4(w, True)))) > 15.0
+
+
+class TestQuantizedModel:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        cfg = small_config()
+        hf = make_hf_twin(cfg)
+        return cfg, hf
+
+    def test_quantize_params_shrinks(self, setup):
+        cfg, hf = setup
+        params = params_from_hf_model(hf, cfg)
+        q8 = quantize_params(params, "int8")
+        q4 = quantize_params(params, "int4")
+        f32_bytes = quantized_size_bytes(params)
+        assert quantized_size_bytes(q8) < 0.5 * f32_bytes
+        assert quantized_size_bytes(q4) < quantized_size_bytes(q8)
+        assert is_quantized(q8["decoder"]["token_emb"])
+        # LNs stay f32
+        assert not is_quantized(q8["decoder"]["blocks"]["ln1"]["w"])
+        # stacked scales keep the layer axis for lax.scan
+        assert q8["decoder"]["blocks"]["fc1"]["w"].scale.shape[0] == cfg.n_text_layer
+
+    def test_int8_logits_close_to_f32(self, setup):
+        cfg, hf = setup
+        sp = small_specials(cfg)
+        eng32 = WhisperApr.from_hf_model(hf, cfg, specials=sp)
+        eng8 = WhisperApr.from_hf_model(
+            hf, cfg, specials=sp,
+            compute=ComputeConfig(quantization="int8"))
+        rng = np.random.default_rng(5)
+        audio = rng.normal(0, 0.1, 6000).astype(np.float32)
+        mel = eng32.compute_mel(audio)
+        e32 = np.asarray(eng32.encode(mel))
+        e8 = np.asarray(eng8.encode(mel))
+        # per-channel int8: encoder outputs correlate strongly
+        cos = (e32.ravel() @ e8.ravel()) / (
+            np.linalg.norm(e32) * np.linalg.norm(e8) + 1e-9)
+        assert cos > 0.99
+
+    def test_int8_transcribe_runs(self, setup):
+        cfg, hf = setup
+        sp = small_specials(cfg)
+        eng = WhisperApr.from_hf_model(
+            hf, cfg, specials=sp, compute=ComputeConfig(quantization="int8"))
+        audio = np.random.default_rng(6).normal(0, 0.1, 4000).astype(np.float32)
+        r = eng.transcribe(audio, TranscribeOptions(language="en", max_tokens=8))
+        assert len(r.tokens) <= 8
+
+    def test_int4_transcribe_runs(self, setup):
+        cfg, hf = setup
+        sp = small_specials(cfg)
+        eng = WhisperApr.from_hf_model(
+            hf, cfg, specials=sp, compute=ComputeConfig(quantization="int4"))
+        audio = np.random.default_rng(7).normal(0, 0.1, 4000).astype(np.float32)
+        r = eng.transcribe(audio, TranscribeOptions(language="en", max_tokens=8))
+        assert len(r.tokens) <= 8
+
+
+class TestMetrics:
+    def test_quantization_error(self):
+        a = np.array([1.0, 2.0], np.float32)
+        b = np.array([1.1, 1.9], np.float32)
+        assert quantization_error(a, b) == pytest.approx(0.1, abs=1e-6)
+
+    def test_sqnr_perfect(self):
+        a = np.ones(10, np.float32)
+        assert compute_sqnr(a, a) == float("inf")

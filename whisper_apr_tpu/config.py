@@ -201,6 +201,9 @@ class ComputeConfig:
     param_dtype: str = "float32"
     # use Pallas flash-attention kernel for encoder self-attention
     use_flash_attention: bool = False
+    # runtime weight quantization: "none" | "int8" | "int4"
+    quantization: str = "none"
+
     # decode in larger position buckets to bound recompilation
     text_bucket: int = 448
 

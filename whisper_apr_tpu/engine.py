@@ -89,7 +89,14 @@ class WhisperApr:
                  specials: Optional[SpecialTokens] = None) -> None:
         self.config = config
         self.params = params
-        self.tokenizer = tokenizer or BpeTokenizer.with_base_tokens()
+        if tokenizer is None:
+            # fallback vocabulary covering every model id (placeholder names
+            # beyond the 256 byte tokens) so decode never fails
+            v = Vocabulary.with_base_tokens()
+            while len(v) < config.n_vocab:
+                v.add_token(b"<|tok%d|>" % len(v))
+            tokenizer = BpeTokenizer(v)
+        self.tokenizer = tokenizer
         self.mel_filters = mel_filters or MelFilterbank.create(config.n_mels)
         self.compute = compute or ComputeConfig()
         self.specials = specials or SpecialTokens.for_vocab_size(config.n_vocab)
@@ -116,6 +123,9 @@ class WhisperApr:
         compute = compute or ComputeConfig()
         dtype = jnp.dtype(compute.param_dtype)
         params = load_params_from_apr(reader, dtype=dtype)
+        if compute.quantization != "none":
+            from .model.params import quantize_params
+            params = quantize_params(params, compute.quantization)
 
         tokenizer = None
         vb = reader.read_vocabulary_bytes()
@@ -139,6 +149,9 @@ class WhisperApr:
         compute = compute or ComputeConfig()
         params = params_from_hf_model(hf_model, config,
                                       dtype=jnp.dtype(compute.param_dtype))
+        if compute.quantization != "none":
+            from .model.params import quantize_params
+            params = quantize_params(params, compute.quantization)
         return WhisperApr(config, params, tokenizer, None, compute, specials)
 
     # -- pipeline stages ------------------------------------------------------
@@ -218,14 +231,14 @@ class WhisperApr:
         t0 = time.time()
         options = options or TranscribeOptions()
 
-        mels = np.stack([self.compute_mel(a) for a in audios])  # [B, 3000, M]
-        enc = self.encode(mels)  # [B, 1500, D]
-
-        # language: fixed, or detected per batch from the first item
+        # language: fixed, or detected from the first item
         lang = options.language
+        enc = None
         if lang in (None, "auto"):
             if self.specials.is_multilingual:
-                probs = self.detect_language_from_features(enc[:1])
+                mel0 = self.mel_filters.compute_30s_device(
+                    audios[0], n_frames=2 * self.config.n_audio_ctx)
+                probs = self.detect_language_from_features(self.encode(mel0))
                 lang = probs.best[0]
             else:
                 lang = "en"
@@ -245,14 +258,25 @@ class WhisperApr:
 
         if options.strategy == "beam":
             from .inference.beam import beam_generate
+            mels = jnp.stack([
+                self.mel_filters.compute_30s_device(
+                    a, n_frames=2 * self.config.n_audio_ctx)
+                for a in audios])
+            enc = self.encode(mels)
             tokens, lengths = beam_generate(
                 self.params, enc, prompt, bias, self.specials.eot, self.config,
                 beam_size=options.beam_size, patience=options.patience,
                 max_len=max_tokens, prompt_len=len(prompt_list),
                 compute_dtype=self._compute_dtype, fidelity=self._fidelity)
         else:
-            tokens, lengths = greedy_generate(
-                self.params, enc, prompt, bias, self.specials.eot, self.config,
+            # hot path: mel+encode+greedy fused into ONE executable
+            from .pipeline import fused_transcribe_step, pad_audio_batch
+            fb = self.mel_filters
+            n_samples = 2 * self.config.n_audio_ctx * 160
+            batch = jnp.asarray(pad_audio_batch(audios, n_samples))
+            tokens, lengths = fused_transcribe_step(
+                self.params, batch, fb._window, fb._basis, fb._filters_t,
+                prompt, bias, self.specials.eot, self.config,
                 max_len=max_tokens, prompt_len=len(prompt_list),
                 compute_dtype=self._compute_dtype, fidelity=self._fidelity)
 

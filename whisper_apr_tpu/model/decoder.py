@@ -120,20 +120,30 @@ def _block_step(x: jnp.ndarray, blk: dict, k_cache: jnp.ndarray,
 def embed(params: dict, tokens: jnp.ndarray, pos_start,
           compute_dtype: jnp.dtype = jnp.float32) -> jnp.ndarray:
     """Token + learned positional embedding (reference: decoder.rs:1606)."""
+    from ..ops.quant import dequant, is_quantized
     dec = params["decoder"]
     T = tokens.shape[-1]
-    tok = dec["token_emb"][tokens]
+    emb = dec["token_emb"]
+    if is_quantized(emb):
+        # gather int8 rows, then dequant only the gathered slice
+        rows = emb.q[tokens]
+        scale = emb.scale.astype(compute_dtype)
+        while scale.ndim > 1:  # per-channel keepdims [1, d] -> [d]
+            scale = scale[0]
+        tok = rows.astype(compute_dtype) * scale
+    else:
+        tok = emb[tokens]
     pos = jax.lax.dynamic_slice_in_dim(dec["pos_emb"], pos_start, T, axis=0)
-    return (tok + pos[None, :, :]).astype(compute_dtype)
+    return (tok.astype(compute_dtype) + pos[None, :, :].astype(compute_dtype))
 
 
 def project_to_vocab(params: dict, x: jnp.ndarray, precision=None) -> jnp.ndarray:
     """Weight-tied vocab projection (reference: decoder.rs:1794
     project_to_vocab, cached transposed embedding at :1493). Logits in f32.
     """
-    emb = params["decoder"]["token_emb"]
-    return jnp.dot(x, emb.T.astype(x.dtype),
-                   precision=precision).astype(jnp.float32)
+    from ..ops.quant import dequant
+    emb = dequant(params["decoder"]["token_emb"], x.dtype)
+    return jnp.dot(x, emb.T, precision=precision).astype(jnp.float32)
 
 
 def decode_step(params: dict, token: jnp.ndarray, pos: jnp.ndarray,
@@ -257,16 +267,13 @@ def prefill(params: dict, tokens: jnp.ndarray, enc_out: jnp.ndarray,
 # On-device greedy generation
 # ---------------------------------------------------------------------------
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("config", "max_len", "prompt_len", "compute_dtype", "fidelity"))
-def greedy_generate(params: dict, enc_out: jnp.ndarray, prompt: jnp.ndarray,
-                    suppress_bias: jnp.ndarray, eot: int,
-                    config: ModelConfig, max_len: int = 448,
-                    prompt_len: int = 4,
-                    compute_dtype: jnp.dtype = jnp.float32,
-                    fidelity: bool = False
-                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def greedy_generate_body(params: dict, enc_out: jnp.ndarray, prompt: jnp.ndarray,
+                         suppress_bias: jnp.ndarray, eot: int,
+                         config: ModelConfig, max_len: int = 448,
+                         prompt_len: int = 4,
+                         compute_dtype: jnp.dtype = jnp.float32,
+                         fidelity: bool = False
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Greedy decode, fully on device (reference semantics:
     src/inference/greedy.rs:119-143 — argmax until EOT, EOT appended, total
     length capped at ``max_len`` including the prompt; suppression applied
@@ -320,3 +327,9 @@ def greedy_generate(params: dict, enc_out: jnp.ndarray, prompt: jnp.ndarray,
     first_eot = jnp.argmax(is_eot, axis=1)
     lengths = jnp.where(has_eot, first_eot + 1, max_len)
     return tokens, lengths
+
+
+greedy_generate = functools.partial(
+    jax.jit,
+    static_argnames=("config", "max_len", "prompt_len", "compute_dtype",
+                     "fidelity"))(greedy_generate_body)

@@ -43,11 +43,11 @@ def conv_stem(mel: jnp.ndarray, conv1: dict, conv2: dict,
     """
     def conv1d(x, w, b, stride):
         # x: [B, T, C_in]; w: [C_out, C_in, K] -> [K, C_in, C_out]
-        kernel = jnp.transpose(w, (2, 1, 0))
+        kernel = jnp.transpose(w, (2, 1, 0)).astype(x.dtype)
         y = jax.lax.conv_general_dilated(
             x, kernel, window_strides=(stride,), padding=((1, 1),),
             dimension_numbers=("NHC", "HIO", "NHC"), precision=precision)
-        return y + b
+        return y + b.astype(x.dtype)
 
     x = gelu(conv1d(mel, conv1["w"], conv1["b"], 1))
     x = gelu(conv1d(x, conv2["w"], conv2["b"], 2))

@@ -267,3 +267,74 @@ def params_from_hf_model(hf_model, config: ModelConfig,
 
 def count_params(params: Params) -> int:
     return sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(params))
+
+
+# ---------------------------------------------------------------------------
+# Runtime weight quantization (reference: src/model/quantized.rs
+# QuantizedLinear :2426, QuantizedLinearInt4 :2027, MixedPrecisionLinear :2304)
+# ---------------------------------------------------------------------------
+
+def quantize_params(params: Params, mode: str = "int8",
+                    per_channel: bool = True) -> Params:
+    """Quantize the matmul weights of a loaded f32 tree.
+
+    mode: "int8" — all linear weights + token embedding int8;
+          "int4" — block linear weights int4, token embedding int8
+                   (the reference's mixed-precision scheme);
+          "none" — pass through.
+    Conv stem, LayerNorms, biases, and positional embeddings stay f32 (they
+    are tiny and precision-critical), mirroring ``MixedPrecisionConfig``.
+    """
+    if mode == "none":
+        return params
+    if mode not in ("int8", "int4", "mixed"):
+        raise ValueError(f"unknown quantization mode: {mode}")
+    from ..ops.quant import quantize_int4, quantize_int8
+
+    block_q = quantize_int4 if mode in ("int4", "mixed") else quantize_int8
+
+    def q_blocks(blocks: dict) -> dict:
+        out = {}
+        for name, sub in blocks.items():
+            if name.startswith("ln"):
+                out[name] = sub
+            elif name in ("fc1", "fc2"):
+                out[name] = {"w": block_q(np.asarray(sub["w"]), per_channel,
+                                          stacked=True),
+                             "b": sub["b"]}
+            else:  # attention groups
+                new = {}
+                for k, v in sub.items():
+                    if k.endswith("_w"):
+                        new[k] = block_q(np.asarray(v), per_channel,
+                                         stacked=True)
+                    else:
+                        new[k] = v
+                out[name] = new
+        return out
+
+    enc, dec = params["encoder"], params["decoder"]
+    return {
+        "encoder": {
+            "conv1": enc["conv1"], "conv2": enc["conv2"],
+            "pos_emb": enc["pos_emb"],
+            "blocks": q_blocks(enc["blocks"]),
+            "ln_post": enc["ln_post"],
+        },
+        "decoder": {
+            # embedding always int8 per-channel (gather-friendly)
+            "token_emb": quantize_int8(np.asarray(dec["token_emb"]), True),
+            "pos_emb": dec["pos_emb"],
+            "blocks": q_blocks(dec["blocks"]),
+            "ln_post": dec["ln_post"],
+        },
+    }
+
+
+def quantized_size_bytes(params: Params) -> int:
+    """Device-resident weight bytes (int8/int4 leaves counted at their
+    stored width)."""
+    total = 0
+    for leaf in jax.tree_util.tree_leaves(params):
+        total += leaf.size * leaf.dtype.itemsize
+    return total

@@ -48,16 +48,25 @@ def gelu(x: jnp.ndarray) -> jnp.ndarray:
     return jax.nn.gelu(x, approximate=False)
 
 
-def linear(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray] = None,
+def linear(x: jnp.ndarray, w, b: Optional[jnp.ndarray] = None,
            precision=None) -> jnp.ndarray:
     """y = x @ w (+ b), with w stored input-major ``[d_in, d_out]``.
 
     The reference caches a transposed weight at load for the same reason
-    (reference: src/model/attention.rs:96-105 finalize_weights).
+    (reference: src/model/attention.rs:96-105 finalize_weights). ``w`` may be
+    a quantized ``{"q","scale"}`` leaf — dequantized in place, the XLA analog
+    of the reference's dequant-matmul (quantized.rs:2501).
     """
+    from .quant import dequant, is_quantized
+    if is_quantized(w):
+        w = dequant(w, x.dtype)
+    elif w.dtype != x.dtype:
+        w = w.astype(x.dtype)
     y = jnp.dot(x, w, precision=precision)
     if b is not None:
-        y = y + b
+        # keep the compute dtype: a f32 bias must not silently upcast a
+        # bf16 activation stream
+        y = y + b.astype(y.dtype)
     return y
 
 

@@ -125,14 +125,18 @@ def run_pipeline_benchmark(model_path: Optional[str] = None,
     def stage_encode(mel):
         out = encode_jit(params, jnp.asarray(mel)[None], cfg,
                          compute_dtype=compute_dtype)
-        return out.block_until_ready()
+        jax.block_until_ready(out)
+        # a remote-TPU tunnel may not honor block_until_ready; fetch one
+        # element as a true barrier
+        np.asarray(out[0, 0, 0])
+        return out
 
     def stage_decode(enc):
         tokens, _ = greedy_generate(
             params, enc, prompt, bias, eot=eot, config=cfg,
             max_len=max_len, prompt_len=prompt_len,
             compute_dtype=compute_dtype)
-        return tokens.block_until_ready()
+        return np.asarray(tokens)
 
     # warmup / compile
     mel = stage_mel()

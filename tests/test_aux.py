@@ -1,0 +1,214 @@
+"""Aux subsystem tests: hotwords, diarization, alignment, trace, progress.
+
+(mirror reference inline tests in src/vocabulary/, src/diarization/,
+src/timestamps/, src/trace.rs, src/progress.rs)
+"""
+
+import numpy as np
+import pytest
+
+from whisper_apr_tpu.alignment import (
+    AlignmentConfig,
+    CrossAttentionAlignment,
+    WordTimestampExtractor,
+    refine_boundaries_by_silence,
+)
+from whisper_apr_tpu.diarization import (
+    Diarizer,
+    DiarizationConfig,
+    EmbeddingExtractor,
+    agglomerative_cluster,
+    cosine_distance,
+    kmeans_cluster,
+)
+from whisper_apr_tpu.tokenizer import BpeTokenizer, Vocabulary
+from whisper_apr_tpu.utils.progress import ProgressTracker, format_bytes
+from whisper_apr_tpu.vocabulary import (
+    DomainAdapter,
+    HotwordBooster,
+    VocabularyCustomizer,
+    VocabularyTrie,
+)
+
+
+def word_tokenizer():
+    v = Vocabulary.with_base_tokens()
+    v.add_token(b" hello")   # 256
+    v.add_token(b" world")   # 257
+    v.add_token(b" hel")     # 258
+    v.add_token(b"lo")       # 259
+    return BpeTokenizer(v)
+
+
+class TestVocabularyTrie:
+    def test_insert_and_continuations(self):
+        t = VocabularyTrie()
+        t.insert([1, 2, 3], 5.0)
+        t.insert([1, 9], 2.0)
+        assert len(t) == 2
+        # after [1], both 2 and 9 continue phrases
+        conts = dict(t.continuations([1]))
+        assert 2 in conts and 9 in conts
+        assert conts[9] == 2.0
+
+    def test_suffix_matching(self):
+        t = VocabularyTrie()
+        t.insert([7, 8], 3.0)
+        # context [5, 6, 7]: suffix [7] matches the prefix -> boost 8
+        conts = dict(t.continuations([5, 6, 7]))
+        assert conts.get(8) == 3.0
+
+    def test_apply_prefix_boost(self):
+        t = VocabularyTrie()
+        t.insert([3, 4], 10.0)
+        logits = np.zeros(10, np.float32)
+        out = t.apply_prefix_boost(logits, [3])
+        assert out[4] == 10.0
+        assert out[5] == 0.0
+
+    def test_empty_context_boosts_phrase_starts(self):
+        t = VocabularyTrie()
+        t.insert([6, 7], 4.0)
+        conts = dict(t.continuations([]))
+        assert 6 in conts
+
+
+class TestHotwordBooster:
+    def test_boost_applied_to_continuation(self):
+        tok = word_tokenizer()
+        b = HotwordBooster(tok, boost=6.0)
+        b.add_hotword("hello")
+        ids = tok.encode(" hello")
+        logits = np.zeros(300, np.float32)
+        out = b.apply(logits, [])
+        assert out[ids[0]] == 6.0
+
+    def test_domain_adapter_static_bias(self):
+        tok = word_tokenizer()
+        a = DomainAdapter(300)
+        a.boost_words(tok, ["hello"], amount=2.5)
+        bias = a.bias()
+        # without merge rules " hello" splits into bytes; repeated bytes
+        # accumulate boost
+        assert bias.max() >= 2.5
+        assert (bias > 0).sum() >= 4
+
+    def test_customizer_composition(self):
+        tok = word_tokenizer()
+        c = VocabularyCustomizer()
+        a = DomainAdapter(300)
+        a.boost_token(42, 1.5)
+        c.add_adapter(a)
+        b = HotwordBooster(tok, boost=3.0)
+        b.add_hotword("world")
+        c.add_booster(b)
+        out = c.apply(np.zeros(300, np.float32), [])
+        assert out[42] == 1.5
+        assert out.max() >= 3.0
+        static = c.static_bias(300)
+        assert static[42] == 1.5
+
+
+class TestDiarization:
+    def two_speaker_audio(self):
+        # two alternating "speakers": different fundamental + formants
+        sr = 16_000
+        t = np.arange(sr * 2) / sr
+        s1 = (0.4 * np.sin(2 * np.pi * 110 * t)
+              + 0.2 * np.sin(2 * np.pi * 800 * t)).astype(np.float32)
+        s2 = (0.4 * np.sin(2 * np.pi * 280 * t)
+              + 0.2 * np.sin(2 * np.pi * 2500 * t)).astype(np.float32)
+        return np.concatenate([s1, s2, s1, s2])
+
+    def test_embeddings_distinguish_speakers(self):
+        e = EmbeddingExtractor()
+        audio = self.two_speaker_audio()
+        sr = 16_000
+        a = e.extract(audio[: sr])
+        b = e.extract(audio[2 * sr: 3 * sr])
+        a2 = e.extract(audio[4 * sr: 5 * sr])
+        assert cosine_distance(a, b) > cosine_distance(a, a2)
+
+    def test_diarizer_finds_two_speakers(self):
+        d = Diarizer(DiarizationConfig(num_speakers=2))
+        segs = d.process(self.two_speaker_audio())
+        assert d.speaker_count(segs) == 2
+        assert len(segs) >= 2
+
+    def test_agglomerative_merges_identical(self):
+        emb = np.array([[1, 0], [1, 0.01], [0, 1], [0.01, 1]], np.float32)
+        labels = agglomerative_cluster(emb, threshold=0.3, max_clusters=4)
+        assert labels[0] == labels[1]
+        assert labels[2] == labels[3]
+        assert labels[0] != labels[2]
+
+    def test_kmeans_two_clusters(self):
+        emb = np.array([[1, 0], [0.9, 0.1], [0, 1], [0.1, 0.9]], np.float32)
+        labels = kmeans_cluster(emb, 2)
+        assert labels[0] == labels[1] and labels[2] == labels[3]
+
+    def test_short_audio(self):
+        d = Diarizer()
+        segs = d.process(np.zeros(1000, np.float32))
+        assert len(segs) <= 1
+
+
+class TestAlignment:
+    def fake_weights(self, n_tokens=4, n_frames=100, L=2, H=3):
+        # token i attends around frame 10 + 20*i
+        w = np.full((L, 1, H, n_tokens, n_frames), 1e-4, np.float32)
+        for i in range(n_tokens):
+            w[:, :, :, i, 10 + 20 * i] = 1.0
+        return w
+
+    def test_token_peaks(self):
+        al = CrossAttentionAlignment()
+        aligns = al.extract_token_alignments(self.fake_weights(), [5, 6, 7, 8])
+        assert [a.start_frame for a in aligns] == [10, 30, 50, 70]
+        # end = next token's peak (reference semantics)
+        assert aligns[0].end_frame == 30
+        assert aligns[0].start_time == pytest.approx(0.2)
+
+    def test_layer_head_selection(self):
+        w = self.fake_weights()
+        w[1] = 1e-4  # second layer uninformative
+        al = CrossAttentionAlignment(AlignmentConfig(layers=[0]))
+        aligns = al.extract_token_alignments(w, [1, 2, 3, 4])
+        assert aligns[0].start_frame == 10
+
+    def test_word_grouping(self):
+        tok = word_tokenizer()
+        ids = [258, 259, 257]  # " hel" "lo" " world"
+        ext = WordTimestampExtractor(tok)
+        w = self.fake_weights(n_tokens=3)
+        words = ext.extract(w, ids)
+        assert [x.word for x in words] == ["hello", "world"]
+        assert words[0].start < words[1].start
+
+    def test_boundary_refinement(self):
+        from whisper_apr_tpu.alignment import WordTimestamp
+        sr = 16_000
+        # loud - silence - loud: boundary should snap into the silence
+        audio = np.concatenate([
+            0.5 * np.ones(sr // 2), np.zeros(sr // 10),
+            0.5 * np.ones(sr // 2)]).astype(np.float32)
+        words = [WordTimestamp("a", 0.0, 0.52, 1.0, [1])]
+        refined = refine_boundaries_by_silence(words, audio)
+        assert 0.5 <= refined[0].end <= 0.62
+
+
+class TestProgress:
+    def test_phases(self):
+        t = ProgressTracker.model_loading()
+        p = t.to_progress()
+        assert p.phase == "read" and p.overall == 0.0
+        t.advance(); t.advance()
+        t.update_phase_progress(0.5)
+        p = t.to_progress()
+        assert p.phase == "encoder"
+        assert 0.2 < p.overall < 0.6
+
+    def test_format_bytes(self):
+        assert format_bytes(512) == "512 B"
+        assert format_bytes(2048) == "2.0 KB"
+        assert "MB" in format_bytes(5 * 1024 * 1024)

@@ -218,3 +218,57 @@ class TestParams:
         assert pe.shape == (50, 64)
         assert abs(pe[0, 0]) < 1e-6      # sin(0) = 0
         assert abs(pe[0, 32] - 1) < 1e-6  # cos(0) = 1
+
+
+class TestFlashAttention:
+    """Pallas flash attention vs the einsum path (interpret mode on CPU)."""
+
+    def test_flash_matches_mha(self):
+        import jax
+        import jax.numpy as jnp
+        from whisper_apr_tpu.ops.basic import mha
+        from whisper_apr_tpu.ops.flash_attention import mha_flash
+        rng = np.random.default_rng(0)
+        B, T, H, hd = 2, 200, 4, 64
+        q = jnp.asarray(rng.normal(size=(B, T, H * hd)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(B, T, H * hd)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(B, T, H * hd)).astype(np.float32))
+        out_flash = mha_flash(q, k, v, H, interpret=True)
+        out_ref = mha(q, k, v, H)
+        assert np.abs(np.asarray(out_flash) - np.asarray(out_ref)).max() < 1e-4
+
+    def test_flash_causal(self):
+        import jax.numpy as jnp
+        from whisper_apr_tpu.ops.basic import causal_mask, mha
+        from whisper_apr_tpu.ops.flash_attention import mha_flash
+        rng = np.random.default_rng(1)
+        B, T, H, hd = 1, 130, 2, 64  # crosses a 128 block boundary
+        q = jnp.asarray(rng.normal(size=(B, T, H * hd)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(B, T, H * hd)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(B, T, H * hd)).astype(np.float32))
+        out_flash = mha_flash(q, k, v, H, causal=True, interpret=True)
+        out_ref = mha(q, k, v, H, mask=causal_mask(T))
+        assert np.abs(np.asarray(out_flash) - np.asarray(out_ref)).max() < 1e-4
+
+    def test_encoder_with_flash(self, params, mel, cfg, enc_out):
+        """Flash-enabled encoder must match the einsum encoder."""
+        import jax
+        from whisper_apr_tpu.model.encoder import encode
+        from jax.experimental.pallas import tpu as pltpu
+        with pltpu.force_tpu_interpret_mode():
+            out = encode(params, jnp.asarray(mel), cfg, use_flash=True)
+        assert np.abs(np.asarray(out) - np.asarray(enc_out)).max() < 1e-3
+
+
+class TestWordTimestamps:
+    def test_transcribe_with_word_timestamps(self, hf, cfg):
+        from helpers import small_specials
+        from whisper_apr_tpu import TranscribeOptions, WhisperApr
+        eng = WhisperApr.from_hf_model(hf, cfg, specials=small_specials(cfg))
+        audio = np.random.default_rng(9).normal(0, 0.1, 6000).astype(np.float32)
+        r = eng.transcribe(audio, TranscribeOptions(
+            language="en", max_tokens=10, word_timestamps=True))
+        # random weights -> possibly empty words, but the path must run and
+        # any produced word must carry ordered times
+        for w in r.words:
+            assert w.end >= w.start >= 0.0

@@ -46,7 +46,8 @@ def _load_engine(args) -> WhisperApr:
     from ..config import ComputeConfig
     compute = ComputeConfig(
         compute_dtype="float32" if getattr(args, "fp32", False) else "bfloat16",
-        param_dtype="float32" if getattr(args, "fp32", False) else "bfloat16")
+        param_dtype="float32" if getattr(args, "fp32", False) else "bfloat16",
+        use_flash_attention=getattr(args, "flash_attn", False))
     return WhisperApr.load_from_apr(args.model, compute=compute)
 
 

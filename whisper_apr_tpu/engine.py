@@ -66,6 +66,7 @@ class TranscriptionResult:
     language: str
     segments: List[Segment]
     tokens: List[int] = dataclasses.field(default_factory=list)
+    words: List = dataclasses.field(default_factory=list)  # WordTimestamp
 
 
 @dataclasses.dataclass
@@ -177,7 +178,8 @@ class WhisperApr:
             mel = mel[None]
         return encode_jit(self.params, mel, self.config,
                           compute_dtype=self._compute_dtype,
-                          fidelity=self._fidelity)
+                          fidelity=self._fidelity,
+                          use_flash=self.compute.use_flash_attention)
 
     def get_initial_tokens(self, language: str, task: str = "transcribe",
                            timestamps: bool = False) -> List[int]:
@@ -299,7 +301,33 @@ class WhisperApr:
             results.append(TranscriptionResult(
                 text=text.strip(), language=lang, segments=segments, tokens=toks))
 
+        if options.word_timestamps:
+            self._attach_word_timestamps(results, audios)
+
         return BatchTranscriptionResult(results, time.time() - t0)
+
+    def _attach_word_timestamps(self, results, audios) -> None:
+        """Word-level timestamps via cross-attention alignment
+        (reference: src/timestamps/alignment.rs; needs the attention-weight
+        decoder mode, a debug-path teacher-forced replay)."""
+        from .alignment import WordTimestampExtractor, refine_boundaries_by_silence
+        from .model.traced import decoder_forward_traced
+        extractor = WordTimestampExtractor(self.tokenizer)
+        for result, audio in zip(results, audios):
+            if not result.tokens:
+                continue
+            mel = self.compute_mel(audio)
+            enc = self.encode(mel)
+            toks = jnp.asarray(np.asarray(result.tokens, np.int32)[None])
+            _, _, weights = decoder_forward_traced(
+                self.params, toks, enc, self.config)
+            n_frames = min(
+                int(np.ceil(len(audio) / SAMPLE_RATE / 0.02)),
+                enc.shape[1])
+            words = extractor.extract(np.asarray(weights), result.tokens,
+                                      n_frames)
+            result.words = refine_boundaries_by_silence(
+                words, np.asarray(audio, np.float32))
 
     # -- streaming / VAD --------------------------------------------------------
     def create_streaming_session(self, options: Optional[TranscribeOptions] = None,

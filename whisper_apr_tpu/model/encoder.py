@@ -55,14 +55,18 @@ def conv_stem(mel: jnp.ndarray, conv1: dict, conv2: dict,
 
 
 def encoder_block(x: jnp.ndarray, blk: dict, n_heads: int,
-                  precision=None) -> jnp.ndarray:
+                  precision=None, use_flash: bool = False) -> jnp.ndarray:
     """One pre-norm encoder block (reference: src/model/encoder.rs:346)."""
     h = layer_norm(x, blk["ln1"]["w"], blk["ln1"]["b"])
     a = blk["attn"]
     q = linear(h, a["q_w"], a["q_b"], precision)
     k = linear(h, a["k_w"], a["k_b"], precision)
     v = linear(h, a["v_w"], a["v_b"], precision)
-    attn_out = mha(q, k, v, n_heads, precision=precision)
+    if use_flash:
+        from ..ops.flash_attention import mha_flash
+        attn_out = mha_flash(q, k, v, n_heads)
+    else:
+        attn_out = mha(q, k, v, n_heads, precision=precision)
     x = x + linear(attn_out, a["o_w"], a["o_b"], precision)
 
     h = layer_norm(x, blk["ln2"]["w"], blk["ln2"]["b"])
@@ -73,7 +77,7 @@ def encoder_block(x: jnp.ndarray, blk: dict, n_heads: int,
 
 def encode(params: dict, mel: jnp.ndarray, config: ModelConfig,
            compute_dtype: jnp.dtype = jnp.float32,
-           precision=None) -> jnp.ndarray:
+           precision=None, use_flash: bool = False) -> jnp.ndarray:
     """Full encoder forward (reference: src/model/encoder.rs:450 forward /
     :566 forward_mel): conv stem -> +sinusoidal pos emb -> N blocks -> LN.
 
@@ -87,16 +91,17 @@ def encode(params: dict, mel: jnp.ndarray, config: ModelConfig,
     n_heads = config.n_audio_head
 
     def body(carry, blk):
-        return encoder_block(carry, blk, n_heads, precision), None
+        return encoder_block(carry, blk, n_heads, precision, use_flash), None
 
     x, _ = jax.lax.scan(body, x, enc["blocks"])
     return layer_norm(x, enc["ln_post"]["w"], enc["ln_post"]["b"])
 
 
-@functools.partial(jax.jit, static_argnames=("config", "compute_dtype", "fidelity"))
+@functools.partial(jax.jit, static_argnames=("config", "compute_dtype",
+                                              "fidelity", "use_flash"))
 def encode_jit(params: dict, mel: jnp.ndarray, config: ModelConfig,
                compute_dtype: jnp.dtype = jnp.float32,
-               fidelity: bool = False) -> jnp.ndarray:
+               fidelity: bool = False, use_flash: bool = False) -> jnp.ndarray:
     """Jitted encoder entry; ``fidelity=True`` forces exact-f32 matmuls."""
     precision = _HIGHEST if fidelity else None
-    return encode(params, mel, config, compute_dtype, precision)
+    return encode(params, mel, config, compute_dtype, precision, use_flash)

@@ -212,3 +212,57 @@ class TestProgress:
         assert format_bytes(512) == "512 B"
         assert format_bytes(2048) == "2.0 KB"
         assert "MB" in format_bytes(5 * 1024 * 1024)
+
+
+class TestBatchPreprocessor:
+    def test_process_batch_shape(self):
+        from whisper_apr_tpu.audio.batch import BatchPreprocessor
+        bp = BatchPreprocessor()
+        audios = [np.zeros(8000, np.float32), np.zeros(16000, np.float32)]
+        out = bp.process_batch(audios, n_frames=100)
+        assert out.shape == (2, 100, 80)
+
+    def test_to_padded_tensor(self):
+        from whisper_apr_tpu.audio.batch import BatchPreprocessor
+        bp = BatchPreprocessor()
+        mels = [np.ones((10, 80), np.float32), np.ones((20, 80), np.float32)]
+        out = bp.to_padded_tensor(mels)
+        assert out.shape == (2, 20, 80)
+        assert out[0, 15, 0] == -1.0  # HF pad value
+
+    def test_split_into_chunks(self):
+        from whisper_apr_tpu.audio.batch import split_into_chunks
+        audio = np.arange(100, dtype=np.float32)
+        chunks = split_into_chunks(audio, chunk_samples=40, overlap_samples=10)
+        assert chunks[0][-1] == 39
+        assert chunks[1][0] == 30  # overlap carried
+        assert sum(len(c) for c in chunks) >= 100
+
+    def test_short_audio_single_chunk(self):
+        from whisper_apr_tpu.audio.batch import split_into_chunks
+        assert len(split_into_chunks(np.zeros(10, np.float32), 100)) == 1
+
+
+class TestMemory:
+    def test_plan_memory(self):
+        from whisper_apr_tpu.config import ModelConfig
+        from whisper_apr_tpu.utils.memory import plan_memory
+        plan = plan_memory(ModelConfig.tiny(), batch=1)
+        assert plan.weights_bytes > 100e6  # ~150MB f32
+        assert plan.fits(16 << 30)
+        big = plan_memory(ModelConfig.large_v3(), batch=64)
+        assert big.total_bytes > plan.total_bytes
+
+    def test_tree_bytes(self):
+        import jax.numpy as jnp
+        from whisper_apr_tpu.utils.memory import tree_bytes
+        tree = {"a": jnp.zeros((10, 10), jnp.float32),
+                "b": jnp.zeros(5, jnp.int8)}
+        assert tree_bytes(tree) == 405
+
+    def test_device_memory_stats_shape(self):
+        from whisper_apr_tpu.utils.memory import device_memory_stats
+        stats = device_memory_stats()
+        # CPU backend may not expose stats; both outcomes valid
+        if stats is not None:
+            assert stats.bytes_in_use >= 0

@@ -1,0 +1,201 @@
+"""Serving + KV-variant tests: continuous batching, sliding window, paging."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from helpers import make_hf_twin, small_config, small_specials
+from whisper_apr_tpu import WhisperApr, TranscribeOptions
+from whisper_apr_tpu.errors import InferenceError
+from whisper_apr_tpu.model.decoder import decode_step, init_cache, prefill
+from whisper_apr_tpu.model.encoder import encode_jit
+from whisper_apr_tpu.model.kv_variants import (
+    PAGE_SIZE,
+    PagedKVCache,
+    SlidingConfig,
+    SlidingKVCache,
+    decode_step_multi,
+)
+from whisper_apr_tpu.model.params import params_from_hf_model
+from whisper_apr_tpu.parallel.serving import BatchScheduler
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return small_config()
+
+
+@pytest.fixture(scope="module")
+def hf(cfg):
+    return make_hf_twin(cfg)
+
+
+@pytest.fixture(scope="module")
+def engine(hf, cfg):
+    return WhisperApr.from_hf_model(hf, cfg, specials=small_specials(cfg))
+
+
+@pytest.fixture(scope="module")
+def setup(hf, cfg):
+    params = params_from_hf_model(hf, cfg)
+    rng = np.random.default_rng(0)
+    mel = rng.normal(size=(2, 2 * cfg.n_audio_ctx, cfg.n_mels)).astype(np.float32)
+    enc = encode_jit(params, jnp.asarray(mel), cfg, fidelity=True)
+    return params, enc
+
+
+class TestDecodeStepMulti:
+    def test_matches_uniform_positions(self, setup, cfg):
+        """With equal positions, decode_step_multi == decode_step."""
+        params, enc = setup
+        rng = np.random.default_rng(1)
+        tokens = jnp.asarray(rng.integers(0, cfg.n_vocab, size=(2, 5)),
+                             dtype=jnp.int32)
+        c1 = init_cache(params, enc, cfg, max_len=16)
+        c2 = init_cache(params, enc, cfg, max_len=16)
+        lg1 = lg2 = None
+        for i in range(5):
+            lg1, c1 = decode_step(params, tokens[:, i], jnp.int32(i), c1, cfg)
+            lg2, c2 = decode_step_multi(
+                params, tokens[:, i], jnp.full((2,), i, jnp.int32), c2, cfg)
+        assert np.abs(np.asarray(lg1) - np.asarray(lg2)).max() < 1e-4
+
+    def test_mixed_positions(self, setup, cfg):
+        """Slots at different depths must match their per-slot references."""
+        params, enc = setup
+        rng = np.random.default_rng(2)
+        toks = rng.integers(0, cfg.n_vocab, size=(2, 6)).astype(np.int32)
+
+        # sequence 0 advances 3 tokens, sequence 1 advances 6 — run them
+        # separately as references
+        refs = []
+        for b, n in ((0, 3), (1, 6)):
+            c = init_cache(params, enc[b:b + 1], cfg, max_len=16)
+            lg = None
+            for i in range(n):
+                lg, c = decode_step(params,
+                                    jnp.asarray(toks[b:b + 1, i]),
+                                    jnp.int32(i), c, cfg)
+            refs.append(np.asarray(lg[0]))
+
+        # batched: advance slot 1 alone for 3 steps (slot 0 done-masked by
+        # feeding its last token at a frozen position is NOT equivalent, so
+        # advance both for 3 then only check slot-1 continuation)
+        c = init_cache(params, enc, cfg, max_len=16)
+        for i in range(3):
+            lg, c = decode_step_multi(
+                params, jnp.asarray(toks[:, i]),
+                jnp.full((2,), i, jnp.int32), c, cfg)
+        assert np.abs(np.asarray(lg[0]) - refs[0]).max() < 1e-4
+        # slot 0 idles (rewrites its position-2 slot), slot 1 continues
+        for i in range(3, 6):
+            pos = jnp.asarray(np.array([2, i], np.int32))
+            tok = jnp.asarray(np.array([toks[0, 2], toks[1, i]], np.int32))
+            lg, c = decode_step_multi(params, tok, pos, c, cfg)
+        assert np.abs(np.asarray(lg[1]) - refs[1]).max() < 1e-4
+
+
+class TestBatchScheduler:
+    def test_matches_transcribe(self, engine):
+        """Scheduler output == engine.transcribe for the same clips."""
+        rng = np.random.default_rng(3)
+        audios = [rng.normal(0, 0.1, 4000 + 1000 * i).astype(np.float32)
+                  for i in range(3)]
+        opts = TranscribeOptions(language="en", max_tokens=10)
+        expected = [engine.transcribe(a, opts).tokens for a in audios]
+
+        sched = BatchScheduler(engine, n_slots=2)
+        ids = [sched.submit(a, "en", max_tokens=10) for a in audios]
+        sched.run_until_drained()
+        for rid, exp in zip(ids, expected):
+            comp = sched.result(rid)
+            assert comp is not None
+            # scheduler pads token list with trailing EOT; compare prefix
+            assert comp.tokens[: len(exp)] == exp
+
+    def test_continuous_batching_slot_reuse(self, engine):
+        rng = np.random.default_rng(4)
+        sched = BatchScheduler(engine, n_slots=1)  # force serialization
+        ids = [sched.submit(rng.normal(0, 0.1, 3000).astype(np.float32),
+                            "en", max_tokens=6) for _ in range(3)]
+        sched.run_until_drained()
+        assert all(sched.result(i) is not None for i in ids)
+
+    def test_queue_and_decode_times_recorded(self, engine):
+        sched = BatchScheduler(engine, n_slots=2)
+        rid = sched.submit(np.zeros(3000, np.float32), "en", max_tokens=4)
+        sched.run_until_drained()
+        comp = sched.result(rid)
+        assert comp.queue_seconds >= 0.0
+        assert comp.decode_seconds >= 0.0
+
+
+class TestSlidingKVCache:
+    def test_matches_full_within_window(self, setup, cfg, engine):
+        """Until the window wraps, sliding == full cache."""
+        params, enc = setup
+        rng = np.random.default_rng(5)
+        toks = rng.integers(0, cfg.n_vocab, size=(2, 6)).astype(np.int32)
+        sl = SlidingKVCache(params, enc, cfg, SlidingConfig(window_size=16,
+                                                            context_overlap=4))
+        full = init_cache(params, enc, cfg, max_len=16)
+        for i in range(6):
+            lg_s = sl.step(params, jnp.asarray(toks[:, i]))
+            lg_f, full = decode_step(params, jnp.asarray(toks[:, i]),
+                                     jnp.int32(i), full, cfg)
+        assert np.abs(np.asarray(lg_s) - np.asarray(lg_f)).max() < 1e-4
+
+    def test_wraps_without_error(self, setup, cfg):
+        params, enc = setup
+        rng = np.random.default_rng(6)
+        sl = SlidingKVCache(params, enc, cfg, SlidingConfig.ultra_low_latency())
+        for i in range(40):  # window 32: wraps
+            lg = sl.step(params, jnp.asarray(
+                rng.integers(0, cfg.n_vocab, size=2).astype(np.int32)))
+        assert np.isfinite(np.asarray(lg)).all()
+        stats = sl.stats()
+        assert stats.tokens_seen == 40
+        assert stats.slides == 8
+        assert stats.utilization == 1.0
+
+    def test_presets(self):
+        assert SlidingConfig.standard().window_size == 448
+        assert SlidingConfig.low_latency().window_size == 64
+        assert SlidingConfig.ultra_low_latency().context_overlap == 8
+
+
+class TestPagedKVCache:
+    def test_alloc_extend_free(self, cfg):
+        p = PagedKVCache(cfg, n_pages=8)
+        p.alloc(0, n_tokens=PAGE_SIZE)  # 1 page
+        assert p.free_pages == 7
+        p.extend(0, PAGE_SIZE)  # second page
+        assert p.free_pages == 6
+        p.free(0)
+        assert p.free_pages == 8
+
+    def test_exhaustion_rolls_back(self, cfg):
+        p = PagedKVCache(cfg, n_pages=2)
+        p.alloc(0, n_tokens=2 * PAGE_SIZE)
+        with pytest.raises(InferenceError):
+            p.alloc(1, n_tokens=PAGE_SIZE)
+        # sequence 0 untouched
+        assert p.seq_len(0) == 2 * PAGE_SIZE
+
+    def test_write_and_gather(self, cfg):
+        p = PagedKVCache(cfg, n_pages=4)
+        p.alloc(7, n_tokens=0)
+        L, D = cfg.n_text_layer, cfg.n_text_state
+        rng = np.random.default_rng(7)
+        written = []
+        for pos in range(PAGE_SIZE + 3):  # crosses a page boundary
+            p.extend(7, 1)
+            k = jnp.asarray(rng.normal(size=(L, D)).astype(np.float32))
+            v = jnp.asarray(rng.normal(size=(L, D)).astype(np.float32))
+            p.write_token(7, k, v, pos)
+            written.append((np.asarray(k), np.asarray(v)))
+        k_all, v_all = p.gather(7)
+        assert k_all.shape == (L, PAGE_SIZE + 3, D)
+        for pos, (k, v) in enumerate(written):
+            assert np.allclose(np.asarray(k_all[:, pos]), k)
+            assert np.allclose(np.asarray(v_all[:, pos]), v)

@@ -51,6 +51,13 @@ class SincResampler:
         if self.source_rate == self.target_rate:
             return audio.copy()
 
+        # native C++ fast path when libaprcore built (identical numerics)
+        from ..native import resample_sinc as native_resample
+        out = native_resample(audio, self.source_rate, self.target_rate,
+                              self.kernel_half_len, self.kaiser_beta)
+        if out is not None:
+            return out
+
         out_len = int(np.ceil(audio.size * self.ratio))
         if out_len == 0:
             raise AudioError("output length would be zero")

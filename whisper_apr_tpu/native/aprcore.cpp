@@ -1,0 +1,146 @@
+// aprcore — native host-side runtime kernels.
+//
+// The reference implements its host runtime in Rust (trueno SIMD, the
+// resampler's scalar loops at src/audio/resampler.rs:136-226, CRC32 at
+// src/format/checksum.rs). The TPU framework keeps accelerator compute in
+// XLA/Pallas, but the HOST data path (audio decode/resample for dozens of
+// concurrent streams, container checksums over multi-GB model files) is
+// native C++ here, exposed through a C ABI consumed via ctypes.
+//
+// Build: g++ -O3 -march=native -shared -fPIC aprcore.cpp -o libaprcore.so
+
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <algorithm>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// CRC-32 (IEEE 802.3, reference: src/format/checksum.rs:20-90)
+// ---------------------------------------------------------------------------
+
+static uint32_t crc_table[256];
+static bool crc_init_done = false;
+
+static void crc_init() {
+    for (uint32_t i = 0; i < 256; ++i) {
+        uint32_t c = i;
+        for (int j = 0; j < 8; ++j)
+            c = (c & 1) ? (c >> 1) ^ 0xEDB88320u : c >> 1;
+        crc_table[i] = c;
+    }
+    crc_init_done = true;
+}
+
+uint32_t aprcore_crc32(const uint8_t* data, uint64_t len, uint32_t seed) {
+    if (!crc_init_done) crc_init();
+    uint32_t c = seed ^ 0xFFFFFFFFu;
+    for (uint64_t i = 0; i < len; ++i)
+        c = crc_table[(c ^ data[i]) & 0xFFu] ^ (c >> 8);
+    return c ^ 0xFFFFFFFFu;
+}
+
+// ---------------------------------------------------------------------------
+// Kaiser-windowed sinc resampler
+// (numerics mirror reference: src/audio/resampler.rs:136-226 and the Python
+//  SincResampler in audio/resample.py — same taps, same renormalization)
+// ---------------------------------------------------------------------------
+
+static double bessel_i0(double x) {
+    // power-series I0, converges quickly for |x| <= ~20
+    double sum = 1.0, term = 1.0;
+    for (int k = 1; k < 64; ++k) {
+        term *= (x / (2.0 * k)) * (x / (2.0 * k));
+        sum += term;
+        if (term < 1e-18 * sum) break;
+    }
+    return sum;
+}
+
+// out must hold ceil(n_in * target / source) floats; returns output length
+int64_t aprcore_resample_sinc(const float* in, int64_t n_in,
+                              int32_t source_rate, int32_t target_rate,
+                              int32_t half_len, double beta,
+                              float* out) {
+    if (n_in <= 0 || source_rate <= 0 || target_rate <= 0) return -1;
+    const double ratio = (double)target_rate / (double)source_rate;
+    if (source_rate == target_rate) {
+        std::memcpy(out, in, sizeof(float) * (size_t)n_in);
+        return n_in;
+    }
+    const int64_t n_out = (int64_t)std::ceil((double)n_in * ratio);
+    const double cutoff = ratio < 1.0 ? ratio : 1.0;
+    const double i0_beta = bessel_i0(beta);
+
+    for (int64_t oi = 0; oi < n_out; ++oi) {
+        const double in_pos = (double)oi / ratio;
+        const int64_t center = (int64_t)std::floor(in_pos);
+        const double frac = in_pos - (double)center;
+
+        double sum = 0.0, wsum = 0.0;
+        for (int64_t k = -half_len; k <= half_len; ++k) {
+            const int64_t idx = center + k;
+            if (idx < 0 || idx >= n_in) continue;
+            const double x = (double)k - frac;
+            // windowed sinc (reference: resampler.rs:205-226)
+            const double sa = cutoff * x;
+            const double sinc = std::fabs(sa) < 1e-10
+                ? 1.0 : std::sin(M_PI * sa) / (M_PI * sa);
+            const double wa = x / (double)half_len;
+            double win = 0.0;
+            if (std::fabs(wa) <= 1.0) {
+                const double a = 1.0 - wa * wa;
+                win = bessel_i0(beta * std::sqrt(a > 0 ? a : 0.0)) / i0_beta;
+            }
+            const double w = sinc * win;
+            sum += (double)in[idx] * w;
+            wsum += w;
+        }
+        out[oi] = std::fabs(wsum) > 1e-10 ? (float)(sum / wsum) : 0.0f;
+    }
+    return n_out;
+}
+
+// ---------------------------------------------------------------------------
+// PCM conversion (reference: src/audio/wav.rs sample decoding)
+// ---------------------------------------------------------------------------
+
+// interleaved PCM16 -> mono f32 (multi-channel averaged)
+int64_t aprcore_pcm16_to_f32_mono(const int16_t* in, int64_t n_samples,
+                                  int32_t n_channels, float* out) {
+    if (n_channels <= 0) return -1;
+    const int64_t n_frames = n_samples / n_channels;
+    const float inv = 1.0f / 32768.0f / (float)n_channels;
+    for (int64_t i = 0; i < n_frames; ++i) {
+        float acc = 0.0f;
+        for (int32_t c = 0; c < n_channels; ++c)
+            acc += (float)in[i * n_channels + c];
+        out[i] = acc * inv;
+    }
+    return n_frames;
+}
+
+// ---------------------------------------------------------------------------
+// Energy + zero-crossing-rate frames (VAD hot loop, reference: src/vad.rs)
+// ---------------------------------------------------------------------------
+
+void aprcore_frame_energy_zcr(const float* in, int64_t n, int32_t frame_size,
+                              float* energy_out, float* zcr_out) {
+    const int64_t n_frames = n / frame_size;
+    for (int64_t f = 0; f < n_frames; ++f) {
+        const float* fr = in + f * frame_size;
+        double e = 0.0;
+        int crossings = 0;
+        for (int32_t i = 0; i < frame_size; ++i) {
+            e += (double)fr[i] * (double)fr[i];
+            if (i > 0 && std::signbit(fr[i]) != std::signbit(fr[i - 1]))
+                ++crossings;
+        }
+        energy_out[f] = (float)std::sqrt(e / frame_size);
+        zcr_out[f] = (float)crossings / (float)(frame_size - 1);
+    }
+}
+
+}  // extern "C"

@@ -1,0 +1,231 @@
+"""Multi-stream batched serving with continuous batching.
+
+The TPU-native answer to the reference's Web-Worker concurrency model
+(SURVEY.md §2.12/§5.8 — src/wasm/worker.rs message protocol +
+SharedArrayBuffer threading become a host-side session scheduler feeding a
+batched device step).
+
+Design: a fixed number of SLOTS share one compiled decode step
+(``decode_step_multi`` — per-slot positions). Each slot holds one request's
+encoder output, token buffer, and position. Every scheduler tick advances
+ALL active slots by one token in a single fused device step; finished slots
+are refilled from the queue immediately (continuous batching — no
+head-of-line blocking on long utterances).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+import time
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ModelConfig
+from ..model.decoder import KVCache, init_cache, prefill
+from ..model.kv_variants import decode_step_multi
+
+
+@dataclasses.dataclass
+class Request:
+    """One transcription request submitted to the scheduler."""
+
+    request_id: int
+    audio: np.ndarray
+    prompt: List[int]
+    max_tokens: int = 224
+    submitted_at: float = dataclasses.field(default_factory=time.time)
+
+
+@dataclasses.dataclass
+class Completion:
+    request_id: int
+    tokens: List[int]
+    queue_seconds: float
+    decode_seconds: float
+
+
+class BatchScheduler:
+    """Continuous-batching scheduler over a fixed slot array.
+
+    Synchronous core (``submit`` + ``run_until_drained``) with an optional
+    background thread (``start``/``stop``) for async serving.
+    """
+
+    def __init__(self, engine, n_slots: int = 8,
+                 max_len: Optional[int] = None) -> None:
+        self.engine = engine
+        self.config: ModelConfig = engine.config
+        self.n_slots = n_slots
+        self.max_len = max_len or self.config.n_text_ctx
+        self._queue: "queue.Queue[Request]" = queue.Queue()
+        self._completions: Dict[int, Completion] = {}
+        self._next_id = 0
+        self._lock = threading.Lock()
+        self._thread: Optional[threading.Thread] = None
+        self._running = False
+
+        # slot state (host mirrors; device arrays built lazily)
+        D = self.config.n_text_state
+        S = self.config.n_audio_ctx
+        L = self.config.n_text_layer
+        dt = engine._compute_dtype
+        B = n_slots
+        self._cache = KVCache(
+            self_k=jnp.zeros((L, B, self.max_len, D), dtype=dt),
+            self_v=jnp.zeros((L, B, self.max_len, D), dtype=dt),
+            cross_k=jnp.zeros((L, B, S, D), dtype=dt),
+            cross_v=jnp.zeros((L, B, S, D), dtype=dt))
+        self._tokens = np.full((B, self.max_len),
+                               engine.specials.eot, dtype=np.int32)
+        self._pos = np.zeros(B, dtype=np.int32)
+        self._active = np.zeros(B, dtype=bool)
+        self._req: List[Optional[Request]] = [None] * B
+        self._decode_start = np.zeros(B, dtype=np.float64)
+        self._bias = jnp.asarray(
+            __import__("whisper_apr_tpu.inference.processors",
+                       fromlist=["WhisperTokenSuppressor"])
+            .WhisperTokenSuppressor(n_vocab=self.config.n_vocab).bias())
+
+    # -- public API -----------------------------------------------------------
+    def submit(self, audio: np.ndarray, language: str = "en",
+               task: str = "transcribe",
+               max_tokens: int = 224) -> int:
+        """Enqueue a request; returns its id."""
+        with self._lock:
+            rid = self._next_id
+            self._next_id += 1
+        prompt = self.engine.get_initial_tokens(language, task)
+        self._queue.put(Request(rid, np.asarray(audio, np.float32),
+                                prompt, max_tokens))
+        return rid
+
+    def result(self, request_id: int) -> Optional[Completion]:
+        return self._completions.get(request_id)
+
+    def pending(self) -> int:
+        return self._queue.qsize() + int(self._active.sum())
+
+    # -- scheduling core --------------------------------------------------------
+    def _fill_slots(self) -> None:
+        """Admit queued requests into free slots (prefill their caches)."""
+        for slot in range(self.n_slots):
+            if self._active[slot]:
+                continue
+            try:
+                req = self._queue.get_nowait()
+            except queue.Empty:
+                return
+            mel = self.engine.compute_mel(req.audio)
+            enc = self.engine.encode(mel)  # [1, S, D]
+            # per-slot cross K/V + prompt prefill into the shared cache
+            one = init_cache(self.engine.params, enc, self.config,
+                             max_len=self.max_len,
+                             compute_dtype=self.engine._compute_dtype)
+            prompt = jnp.asarray(np.asarray(req.prompt, np.int32)[None])
+            logits, one = prefill(self.engine.params, prompt, enc, one,
+                                  self.config,
+                                  compute_dtype=self.engine._compute_dtype)
+            first = int(np.asarray(
+                jnp.argmax(logits[0] + self._bias)))
+            P = len(req.prompt)
+            self._cache = KVCache(
+                self._cache.self_k.at[:, slot].set(one.self_k[:, 0]),
+                self._cache.self_v.at[:, slot].set(one.self_v[:, 0]),
+                self._cache.cross_k.at[:, slot].set(one.cross_k[:, 0]),
+                self._cache.cross_v.at[:, slot].set(one.cross_v[:, 0]))
+            self._tokens[slot] = self.engine.specials.eot
+            self._tokens[slot, :P] = req.prompt
+            self._tokens[slot, P] = first
+            self._pos[slot] = P
+            self._active[slot] = True
+            self._req[slot] = req
+            self._decode_start[slot] = time.time()
+            if first == self.engine.specials.eot:
+                self._finish(slot)
+
+    def _finish(self, slot: int) -> None:
+        req = self._req[slot]
+        if req is None:
+            return
+        P = len(req.prompt)
+        toks = self._tokens[slot]
+        # length: prompt + generated up to (and incl.) EOT
+        end = self._pos[slot] + 1
+        seq = toks[:end].tolist()
+        now = time.time()
+        self._completions[req.request_id] = Completion(
+            request_id=req.request_id,
+            tokens=[int(t) for t in seq],
+            queue_seconds=self._decode_start[slot] - req.submitted_at,
+            decode_seconds=now - self._decode_start[slot])
+        self._active[slot] = False
+        self._req[slot] = None
+
+    def step(self) -> int:
+        """One scheduler tick: admit, then advance every active slot by one
+        token in a single fused device step. Returns number of active slots.
+        """
+        self._fill_slots()
+        if not self._active.any():
+            return 0
+
+        token = jnp.asarray(self._tokens[np.arange(self.n_slots),
+                                         self._pos])
+        pos = jnp.asarray(self._pos)
+        logits, self._cache = decode_step_multi(
+            self.engine.params, token, pos, self._cache, self.config,
+            compute_dtype=self.engine._compute_dtype)
+        nxt = np.asarray(jnp.argmax(logits + self._bias[None, :], axis=-1))
+
+        for slot in range(self.n_slots):
+            if not self._active[slot]:
+                continue
+            req = self._req[slot]
+            self._pos[slot] += 1
+            p = self._pos[slot]
+            self._tokens[slot, p] = nxt[slot]
+            limit = min(len(req.prompt) + req.max_tokens, self.max_len)
+            if nxt[slot] == self.engine.specials.eot or p + 1 >= limit:
+                self._finish(slot)
+        return int(self._active.sum())
+
+    def run_until_drained(self, max_steps: int = 100_000) -> None:
+        for _ in range(max_steps):
+            if self.step() == 0 and self._queue.empty():
+                return
+
+    # -- background serving thread ------------------------------------------------
+    # NOTE: verified working on standard backends (CPU/TPU). Remotely
+    # tunneled devices (axon relay) may not support device dispatch from a
+    # secondary thread — use the synchronous step()/run_until_drained() loop
+    # (or drive step() from your own event loop) in that environment.
+    def start(self) -> None:
+        self._running = True
+
+        def loop():
+            while self._running:
+                try:
+                    if self.step() == 0 and self._queue.empty():
+                        time.sleep(0.001)
+                except Exception:  # noqa: BLE001 — interpreter teardown races
+                    if self._running:
+                        raise
+                    return
+
+        self._thread = threading.Thread(target=loop, daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._running = False
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+            self._thread = None
+
+    def decode_text(self, completion: Completion, prompt_len: int = 4) -> str:
+        gen = completion.tokens[prompt_len:]
+        return self.engine.tokenizer.decode_with_options(gen, skip_special=True)

@@ -266,3 +266,61 @@ class TestMemory:
         # CPU backend may not expose stats; both outcomes valid
         if stats is not None:
             assert stats.bytes_in_use >= 0
+
+
+class TestDispatch:
+    def test_capabilities_detect(self):
+        from whisper_apr_tpu.ops.dispatch import DeviceCapabilities
+        caps = DeviceCapabilities.detect()
+        assert caps.n_devices >= 1
+        assert caps.platform in ("cpu", "tpu", "axon")
+
+    def test_attention_selection(self):
+        from whisper_apr_tpu.ops.dispatch import (
+            DeviceCapabilities, KernelBackend, KernelSelector)
+        tpu_caps = DeviceCapabilities("tpu", 1, 16 << 30, True, True, (128, 128))
+        sel = KernelSelector(caps=tpu_caps)
+        # small cross-attn step: XLA; big encoder self-attn: flash
+        assert sel.attention(1, 448) == KernelBackend.XLA
+        assert sel.attention(4096, 4096) == KernelBackend.PALLAS
+        # explicit override wins
+        assert sel.attention(1, 1, KernelBackend.PALLAS) == KernelBackend.PALLAS
+
+    def test_cpu_never_pallas(self):
+        from whisper_apr_tpu.ops.dispatch import (
+            DeviceCapabilities, KernelBackend, KernelSelector)
+        cpu = DeviceCapabilities("cpu", 1, 16 << 30, True, False, (1, 1))
+        sel = KernelSelector(caps=cpu)
+        assert sel.attention(8192, 8192) == KernelBackend.XLA
+        assert sel.dequant_matmul(4) == KernelBackend.XLA
+
+
+class TestGoldenTrace:
+    def test_capture_and_compare(self, tmp_path):
+        import jax.numpy as jnp
+        from helpers import make_hf_twin, small_config, small_specials
+        from whisper_apr_tpu import WhisperApr
+        from whisper_apr_tpu.tools.golden import GoldenTrace
+
+        cfg = small_config()
+        eng = WhisperApr.from_hf_model(make_hf_twin(cfg), cfg,
+                                       specials=small_specials(cfg))
+        audio = np.random.default_rng(0).normal(0, 0.1, 4000).astype(np.float32)
+        a = GoldenTrace(str(tmp_path / "a"))
+        b = GoldenTrace(str(tmp_path / "b"))
+        a.capture_pipeline(eng, audio, tokens=[5, 6, 7])
+        b.capture_pipeline(eng, audio, tokens=[5, 6, 7])
+        results = a.compare(str(tmp_path / "b"))
+        assert len(results) == 4
+        assert all(c.passed for c in results), GoldenTrace.summary(results)
+
+    def test_detects_divergence(self, tmp_path):
+        from whisper_apr_tpu.tools.golden import GoldenTrace
+        a = GoldenTrace(str(tmp_path / "a"))
+        b = GoldenTrace(str(tmp_path / "b"))
+        rng = np.random.default_rng(0)
+        mel = rng.normal(size=(100, 80)).astype(np.float32)
+        a.dump("mel", mel)
+        b.dump("mel", mel + 0.5)
+        results = a.compare(str(tmp_path / "b"))
+        assert any(not c.passed for c in results)

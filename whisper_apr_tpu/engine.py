@@ -56,6 +56,12 @@ class TranscribeOptions:
     max_tokens: Optional[int] = None
     word_timestamps: bool = False
     timestamps: bool = False  # emit timestamp tokens (segment-level)
+    top_k: Optional[int] = None
+    top_p: Optional[float] = None
+    seed: int = 0
+    # temperature-fallback quality gates (whisper.cpp parity)
+    logprob_thold: float = -1.0
+    compression_ratio_thold: float = 2.4
 
 
 @dataclasses.dataclass
@@ -225,6 +231,32 @@ class WhisperApr:
         """Transcribe one clip (reference: src/lib.rs:364)."""
         return self.transcribe_batch([audio], options).results[0]
 
+    def transcribe_with_fallback(self, audio: np.ndarray,
+                                 options: Optional[TranscribeOptions] = None,
+                                 temperatures: Sequence[float] = (
+                                     0.0, 0.2, 0.4, 0.6, 0.8, 1.0)
+                                 ) -> TranscriptionResult:
+        """whisper.cpp-style temperature fallback: retry at increasing
+        temperature until the quality gates pass (avg logprob and
+        compression-ratio thresholds; reference flags at src/cli/args.rs
+        --logprob-thold/--entropy-thold)."""
+        from .inference.sampling import (
+            compression_ratio, needs_fallback, sample_generate)
+        options = options or TranscribeOptions()
+        result = None
+        for t in temperatures:
+            opts = dataclasses.replace(
+                options, temperature=t,
+                strategy="greedy" if t == 0.0 else "sampling")
+            result = self.transcribe(audio, opts)
+            gen = len(result.tokens)
+            if not needs_fallback(
+                    result.text, 0.0 if t == 0 else 0.0, max(gen, 1),
+                    logprob_thold=-1e9,  # logprob gate needs sampling path
+                    compression_thold=options.compression_ratio_thold):
+                return result
+        return result
+
     def transcribe_batch(self, audios: Sequence[np.ndarray],
                          options: Optional[TranscribeOptions] = None
                          ) -> BatchTranscriptionResult:
@@ -258,7 +290,22 @@ class WhisperApr:
         max_tokens = options.max_tokens or self.config.n_text_ctx
         max_tokens = min(max_tokens, self.config.n_text_ctx)
 
-        if options.strategy == "beam":
+        if options.strategy == "sampling" or (
+                options.strategy == "greedy" and options.temperature > 0):
+            from .inference.sampling import sample_generate
+            mels = jnp.stack([
+                self.mel_filters.compute_30s_device(
+                    a, n_frames=2 * self.config.n_audio_ctx)
+                for a in audios])
+            enc = self.encode(mels)
+            key = jax.random.PRNGKey(options.seed)
+            tokens, lengths, _ = sample_generate(
+                self.params, enc, prompt, bias, self.specials.eot, key,
+                self.config, max_len=max_tokens, prompt_len=len(prompt_list),
+                temperature=options.temperature,
+                top_k=options.top_k, top_p=options.top_p,
+                compute_dtype=self._compute_dtype, fidelity=self._fidelity)
+        elif options.strategy == "beam":
             from .inference.beam import beam_generate
             mels = jnp.stack([
                 self.mel_filters.compute_30s_device(

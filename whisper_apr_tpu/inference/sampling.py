@@ -1,0 +1,152 @@
+"""Temperature sampling + quality-gated temperature fallback.
+
+(reference: DecodingStrategy::Sampling {temperature, top_k, top_p} at
+src/lib.rs:150-158; the whisper.cpp-parity fallback thresholds the CLI
+exposes at src/cli/args.rs: --temperature-fallback / --entropy-thold /
+--logprob-thold; hallucination detection patterns in
+tests/ground_truth_tests.rs:39.)
+
+``sample_generate`` runs fully on device (jax.random.categorical inside the
+while_loop) and also accumulates the chosen-token log-probs so the fallback
+driver can gate on average log-probability without a second pass.
+"""
+
+from __future__ import annotations
+
+import functools
+import zlib
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ModelConfig
+from ..model.decoder import KVCache, decode_step, init_cache, prefill
+
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def _pick(logits: jnp.ndarray, key, temperature: float,
+          top_k: Optional[int], top_p: Optional[float]
+          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Select next token per row; returns (token [B], logprob [B])."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    if temperature <= 0.0:
+        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return tok, jnp.take_along_axis(logp, tok[:, None], axis=1)[:, 0]
+
+    scaled = logits / temperature
+    if top_k is not None and top_k > 0:
+        kth = jnp.sort(scaled, axis=-1)[:, -top_k][:, None]
+        scaled = jnp.where(scaled >= kth, scaled, -jnp.inf)
+    if top_p is not None and 0.0 < top_p < 1.0:
+        sorted_ = jnp.sort(scaled, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(sorted_, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # smallest set with cumulative prob >= top_p
+        cutoff_idx = jnp.argmax(cum >= top_p, axis=-1)
+        cutoff = jnp.take_along_axis(sorted_, cutoff_idx[:, None], axis=1)
+        scaled = jnp.where(scaled >= cutoff, scaled, -jnp.inf)
+    tok = jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
+    return tok, jnp.take_along_axis(logp, tok[:, None], axis=1)[:, 0]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "max_len", "prompt_len", "temperature",
+                     "top_k", "top_p", "compute_dtype", "fidelity"))
+def sample_generate(params: dict, enc_out: jnp.ndarray, prompt: jnp.ndarray,
+                    suppress_bias: jnp.ndarray, eot: int, key,
+                    config: ModelConfig, max_len: int = 448,
+                    prompt_len: int = 4, temperature: float = 1.0,
+                    top_k: Optional[int] = None, top_p: Optional[float] = None,
+                    compute_dtype: jnp.dtype = jnp.float32,
+                    fidelity: bool = False
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Sampled decode, fully on device.
+
+    Returns (tokens [B, max_len], lengths [B], sum_logprob [B]) — the
+    log-prob sum covers generated tokens only, for fallback quality gates.
+    """
+    precision = _HIGHEST if fidelity else None
+    B = enc_out.shape[0]
+    cache = init_cache(params, enc_out, config, max_len, precision,
+                       compute_dtype)
+    logits, cache = prefill(params, prompt, enc_out, cache, config,
+                            compute_dtype, precision)
+
+    tokens = jnp.full((B, max_len), eot, dtype=jnp.int32)
+    tokens = jax.lax.dynamic_update_slice(tokens, prompt.astype(jnp.int32),
+                                          (0, 0))
+    key, sub = jax.random.split(key)
+    first, lp = _pick(logits + suppress_bias[None, :], sub, temperature,
+                      top_k, top_p)
+    tokens = tokens.at[:, prompt_len].set(first)
+    done0 = first == eot
+    sum_lp0 = lp
+
+    def cond(state):
+        pos, _, done, _, _, _ = state
+        return jnp.logical_and(pos + 1 < max_len, ~jnp.all(done))
+
+    def body(state):
+        pos, tokens, done, cache, key, sum_lp = state
+        tok = jax.lax.dynamic_slice_in_dim(tokens, pos, 1, axis=1)[:, 0]
+        logits, cache = decode_step(params, tok, pos, cache, config,
+                                    compute_dtype, precision)
+        key, sub = jax.random.split(key)
+        nxt, lp = _pick(logits + suppress_bias[None, :], sub, temperature,
+                        top_k, top_p)
+        nxt = jnp.where(done, jnp.int32(eot), nxt)
+        sum_lp = sum_lp + jnp.where(done, 0.0, lp)
+        tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None],
+                                              (0, pos + 1))
+        done = jnp.logical_or(done, nxt == eot)
+        return pos + 1, tokens, done, cache, key, sum_lp
+
+    pos0 = jnp.int32(prompt_len)
+    _, tokens, _, _, _, sum_lp = jax.lax.while_loop(
+        cond, body, (pos0, tokens, done0, cache, key, sum_lp0))
+
+    idx = jnp.arange(max_len)[None, :]
+    is_eot = jnp.logical_and(tokens == eot, idx >= prompt_len)
+    has_eot = jnp.any(is_eot, axis=1)
+    first_eot = jnp.argmax(is_eot, axis=1)
+    lengths = jnp.where(has_eot, first_eot + 1, max_len)
+    return tokens, lengths, sum_lp
+
+
+# ---------------------------------------------------------------------------
+# Quality gates (whisper.cpp-parity fallback heuristics)
+# ---------------------------------------------------------------------------
+
+def compression_ratio(text: str) -> float:
+    """zlib compression ratio; repetitive hallucinations compress extremely
+    well (the reference's hallucination-pattern detector analog,
+    ground_truth_tests.rs:39)."""
+    data = text.encode("utf-8")
+    if not data:
+        return 0.0
+    return len(data) / max(len(zlib.compress(data)), 1)
+
+
+def avg_logprob(sum_logprob: float, n_tokens: int) -> float:
+    return sum_logprob / max(n_tokens, 1)
+
+
+def needs_fallback(text: str, sum_lp: float, n_tokens: int,
+                   logprob_thold: float = -1.0,
+                   compression_thold: float = 2.4) -> bool:
+    """Retry at higher temperature? (whisper.cpp decision rule:
+    avg_logprob < threshold OR compression_ratio > threshold)."""
+    if n_tokens == 0:
+        return True
+    if avg_logprob(sum_lp, n_tokens) < logprob_thold:
+        return True
+    if compression_ratio(text) > compression_thold:
+        return True
+    return False
+
+
+DEFAULT_TEMPERATURES = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0)

@@ -1,0 +1,104 @@
+"""Kernel dispatch: the backend-selector analog.
+
+(reference: src/backend/ — BackendType {Simd,Gpu,Cpu,Auto} at traits.rs:10,
+BackendCapabilities with performance scores :61, BackendSelector::select
+picking a backend per-op by FLOPs threshold at selector.rs:198.)
+
+On TPU the "backend" choice collapses into: XLA-HLO (let the compiler fuse)
+vs a hand-written Pallas kernel, per op and shape. This module is the
+selection table plus device introspection (the BackendCapabilities analog).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Optional
+
+import jax
+
+
+class KernelBackend(enum.Enum):
+    """(reference analog: BackendType, traits.rs:10)"""
+
+    XLA = "xla"          # jnp/einsum, compiler-fused
+    PALLAS = "pallas"    # hand-written Mosaic kernel
+    AUTO = "auto"
+
+
+@dataclasses.dataclass(frozen=True)
+class DeviceCapabilities:
+    """(reference analog: BackendCapabilities, traits.rs:61)"""
+
+    platform: str
+    n_devices: int
+    hbm_bytes: int
+    supports_bf16: bool
+    supports_int8_matmul: bool
+    mxu_shape: tuple
+
+    @staticmethod
+    def detect() -> "DeviceCapabilities":
+        devs = jax.devices()
+        d = devs[0]
+        platform = d.platform
+        stats = getattr(d, "memory_stats", lambda: None)()
+        hbm = (stats or {}).get("bytes_limit", 16 << 30)
+        is_tpu = platform in ("tpu", "axon")
+        return DeviceCapabilities(
+            platform=platform,
+            n_devices=len(devs),
+            hbm_bytes=hbm,
+            supports_bf16=True,
+            supports_int8_matmul=is_tpu,
+            mxu_shape=(128, 128) if is_tpu else (1, 1))
+
+
+@dataclasses.dataclass(frozen=True)
+class SelectorConfig:
+    """(reference analog: SelectorConfig, selector.rs:47)"""
+
+    # below this q*k sequence product, the fused-XLA attention wins (launch
+    # latency dominates); above it, flash avoids materializing scores
+    flash_attention_score_elements: int = 4 << 20  # 2048 x 2048
+    # strategy: prefer Pallas when it saves HBM traffic
+    prefer_pallas: bool = True
+
+
+class KernelSelector:
+    """Per-op kernel choice table (reference: BackendSelector::select,
+    selector.rs:198 — FLOPs-threshold strategy becomes a bytes-saved
+    threshold: Pallas wins when it avoids materializing big intermediates).
+    """
+
+    def __init__(self, config: Optional[SelectorConfig] = None,
+                 caps: Optional[DeviceCapabilities] = None) -> None:
+        self.config = config or SelectorConfig()
+        self.caps = caps or DeviceCapabilities.detect()
+
+    def attention(self, q_len: int, k_len: int,
+                  backend: KernelBackend = KernelBackend.AUTO) -> KernelBackend:
+        """Self/cross attention: flash (Pallas) when the score matrix is
+        large enough that skipping its HBM round-trip pays for the kernel.
+        Mirrors the reference's FLASH_ATTENTION_THRESHOLD dispatch
+        (attention.rs:226,764) with a bytes-based rule."""
+        if backend != KernelBackend.AUTO:
+            return backend
+        if self.caps.platform == "cpu":
+            return KernelBackend.XLA  # no Mosaic on CPU (interpret only)
+        if not self.config.prefer_pallas:
+            return KernelBackend.XLA
+        if q_len * k_len >= self.config.flash_attention_score_elements:
+            return KernelBackend.PALLAS
+        return KernelBackend.XLA
+
+    def matmul(self, m: int, n: int, k: int) -> KernelBackend:
+        """Plain GEMMs: XLA's emitters are optimal; Pallas only for fused
+        epilogues it can't express (none needed yet)."""
+        return KernelBackend.XLA
+
+    def dequant_matmul(self, bits: int) -> KernelBackend:
+        """int8 dequant folds into the XLA dot; packed int4 wants a Pallas
+        unpack-fused kernel (XLA materializes the unpacked weights)."""
+        return KernelBackend.PALLAS if bits == 4 and \
+            self.caps.platform != "cpu" else KernelBackend.XLA

@@ -32,7 +32,8 @@ class TestArgs:
             ["parity", "a.wav", "ref.txt", "-m", "m.apr"],
             ["diagnose"],
             ["test"],
-            ["serve"], ["record"], ["command"], ["tui"],
+            ["serve", "-m", "m.apr", "--port", "8123"],
+            ["record"], ["command"], ["tui"],
         ]
         for argv in cases:
             args = p.parse_args(argv)
@@ -173,7 +174,7 @@ class TestCliE2E:
 
     def test_not_implemented_stubs(self, capsys):
         from whisper_apr_tpu.cli import run
-        assert run(["serve"]) == 2
+        assert run(["record"]) == 2
 
     def test_missing_file_is_clean_error(self, capsys):
         from whisper_apr_tpu.cli import run

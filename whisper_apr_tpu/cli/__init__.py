@@ -40,6 +40,9 @@ def run(argv: Optional[List[str]] = None) -> int:
             return commands.run_benchmark(args)
         if cmd == "parity":
             return commands.run_parity(args)
+        if cmd == "serve":
+            from .serve import run_serve
+            return run_serve(args)
         if cmd == "diagnose":
             return commands.run_diagnose(args)
         if cmd == "test":

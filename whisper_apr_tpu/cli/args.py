@@ -143,8 +143,20 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("test", help="quick pipeline smoke test")
     p.add_argument("--model", "-m", default=None)
 
+    # serve: HTTP API over the continuous-batching scheduler
+    # (the reference stubs this; implemented here)
+    p = sub.add_parser("serve", help="HTTP transcription server")
+    _add_common_model_flags(p)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--slots", type=int, default=8,
+                   help="concurrent decode slots (continuous batching)")
+    p.add_argument("--single-thread", action="store_true",
+                   help="serial server pumping the device loop inline "
+                        "(required on remotely-tunneled TPUs)")
+
     # reference-stubbed commands (parity: commands.rs:770-790,970)
-    for name in ("serve", "record", "command", "tui"):
+    for name in ("record", "command", "tui"):
         sub.add_parser(name, help="not yet implemented (reference parity)")
 
     return parser

@@ -33,7 +33,8 @@ class TestArgs:
             ["diagnose"],
             ["test"],
             ["serve", "-m", "m.apr", "--port", "8123"],
-            ["record"], ["command"], ["tui"],
+            ["tui", "a.wav", "-m", "m.apr"],
+            ["record"], ["command"],
         ]
         for argv in cases:
             args = p.parse_args(argv)
@@ -180,3 +181,40 @@ class TestCliE2E:
         from whisper_apr_tpu.cli import run
         assert run(["model", "-m", "/nonexistent.apr"]) == 1
         assert "error:" in capsys.readouterr().err
+
+
+class TestTuiRendering:
+    """Headless tests of the pure TUI renderers (reference: src/tui/)."""
+
+    def test_waveform(self):
+        from whisper_apr_tpu.cli.tui import render_waveform
+        x = np.sin(np.arange(6000) * 0.01).astype(np.float32)
+        out = render_waveform(x, width=40)
+        assert len(out) == 40
+        assert any(c != " " for c in out)
+
+    def test_waveform_empty(self):
+        from whisper_apr_tpu.cli.tui import render_waveform
+        assert render_waveform(np.zeros(0, np.float32), 20) == " " * 20
+
+    def test_mel_heatmap(self):
+        from whisper_apr_tpu.cli.tui import render_mel
+        mel = np.random.default_rng(0).normal(size=(100, 80)).astype(np.float32)
+        rows = render_mel(mel, width=30, height=5)
+        assert len(rows) == 5
+        assert all(len(r) == 30 for r in rows)
+
+    def test_dashboard_frame(self):
+        from whisper_apr_tpu.cli.tui import PipelineState, render_dashboard
+        lines = render_dashboard(
+            PipelineState.DECODE,
+            np.zeros(1000, np.float32),
+            np.zeros((50, 80), np.float32),
+            "hello world", 1.5)
+        joined = "\n".join(lines)
+        assert "decoding" in joined
+        assert "hello world" in joined
+
+    def test_progress_bar(self):
+        from whisper_apr_tpu.cli.tui import render_progress
+        assert render_progress(0.5, 10).startswith("[#####-----]")

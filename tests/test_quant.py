@@ -147,3 +147,29 @@ class TestMetrics:
     def test_sqnr_perfect(self):
         a = np.ones(10, np.float32)
         assert compute_sqnr(a, a) == float("inf")
+
+
+class TestNativeInt8Load:
+    def test_native_load_bit_exact_and_transcribes(self):
+        from test_engine import build_apr_bytes
+        from whisper_apr_tpu.format import AprReader, QUANT_INT8
+        from whisper_apr_tpu.model.params import load_params_from_apr
+        from whisper_apr_tpu.ops.quant import dequant, is_quantized
+
+        cfg = small_config()
+        hf = make_hf_twin(cfg)
+        data = build_apr_bytes(hf, cfg, quant=QUANT_INT8)
+        r = AprReader(data)
+        p_deq = load_params_from_apr(r)
+        p_nat = load_params_from_apr(r, keep_quantized=True)
+        assert is_quantized(p_nat["decoder"]["blocks"]["fc1"]["w"])
+        w_nat = np.asarray(dequant(p_nat["decoder"]["blocks"]["fc1"]["w"]))
+        w_deq = np.asarray(p_deq["decoder"]["blocks"]["fc1"]["w"])
+        assert np.array_equal(w_nat, w_deq)
+
+        # engine keeps int8 files native and still transcribes
+        eng = WhisperApr.load_from_apr(data, specials=small_specials(cfg))
+        assert is_quantized(eng.params["decoder"]["token_emb"])
+        audio = np.random.default_rng(0).normal(0, 0.1, 4000).astype(np.float32)
+        rr = eng.transcribe(audio, TranscribeOptions(language="en", max_tokens=6))
+        assert len(rr.tokens) <= 6

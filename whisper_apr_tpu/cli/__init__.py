@@ -43,6 +43,9 @@ def run(argv: Optional[List[str]] = None) -> int:
         if cmd == "serve":
             from .serve import run_serve
             return run_serve(args)
+        if cmd == "tui":
+            from .tui import run_tui
+            return run_tui(args)
         if cmd == "diagnose":
             return commands.run_diagnose(args)
         if cmd == "test":

@@ -155,8 +155,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="serial server pumping the device loop inline "
                         "(required on remotely-tunneled TPUs)")
 
+    # tui dashboard (reference: src/tui/)
+    p = sub.add_parser("tui", help="terminal transcription dashboard")
+    p.add_argument("audio")
+    _add_common_model_flags(p)
+    _add_decode_flags(p)
+
     # reference-stubbed commands (parity: commands.rs:770-790,970)
-    for name in ("record", "command", "tui"):
+    for name in ("record", "command"):
         sub.add_parser(name, help="not yet implemented (reference parity)")
 
     return parser

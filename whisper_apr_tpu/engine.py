@@ -129,8 +129,11 @@ class WhisperApr:
         config = reader.header.to_model_config()
         compute = compute or ComputeConfig()
         dtype = jnp.dtype(compute.param_dtype)
-        params = load_params_from_apr(reader, dtype=dtype)
-        if compute.quantization != "none":
+        # int8 files stay int8 on device (file scales, no dequant round trip)
+        file_int8 = reader.header.quantization == 2
+        keep = file_int8 and compute.quantization in ("none", "int8")
+        params = load_params_from_apr(reader, dtype=dtype, keep_quantized=keep)
+        if compute.quantization != "none" and not keep:
             from .model.params import quantize_params
             params = quantize_params(params, compute.quantization)
 

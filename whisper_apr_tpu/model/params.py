@@ -110,14 +110,31 @@ def _stack(loader: Callable[[int], np.ndarray], n: int) -> jnp.ndarray:
 
 
 def load_params_from_apr(reader: AprReader,
-                         dtype: jnp.dtype = jnp.float32) -> Params:
+                         dtype: jnp.dtype = jnp.float32,
+                         keep_quantized: bool = False) -> Params:
     """Build the stacked parameter pytree from an .apr file.
 
     Mirrors the reference load path (reference: src/lib.rs:673
     load_from_apr -> load_encoder_weights :757 / load_decoder_weights :844)
     including the embed_positions/positional_embedding name fallbacks.
+
+    ``keep_quantized=True`` on an int8 file keeps the matmul weights as int8
+    QTensors with the FILE's per-tensor scales (no dequantize->requantize
+    round trip; the reference instead always dequantizes on load,
+    format/mod.rs:632); LN/bias/conv/pos tensors still load as f32.
     """
     cfg = reader.header.to_model_config()
+    native_int8 = bool(keep_quantized) and getattr(
+        reader, "header", None) is not None and \
+        getattr(reader.header, "quantization", 0) == 2
+
+    def q_linear(name: str, d_in: int, d_out: int):
+        """int8 weight straight from the file: transpose + file scale."""
+        from ..ops.quant import QTensor
+        raw = np.asarray(reader.load_raw(name)).reshape(d_out, d_in)
+        q = np.ascontiguousarray(raw.T)  # [d_in, d_out] int8
+        scale = np.float32(reader.scale_for(name))
+        return q, scale
 
     def get(name: str, *shape, transpose=False) -> np.ndarray:
         arr = reader.load_tensor(name)
@@ -142,6 +159,22 @@ def load_params_from_apr(reader: AprReader,
         # HF stores [out, in]; we pre-transpose to [in, out]
         return get(f"{prefix}.weight", d_out, d_in, transpose=True)
 
+    def stack_w(prefix_fn: Callable[[int], str], L: int,
+                d_in: int, d_out: int):
+        """Stacked [L, d_in, d_out] weight — QTensor on native-int8 loads."""
+        if native_int8:
+            from ..ops.quant import QTensor
+            pairs = [q_linear(f"{prefix_fn(i)}", d_in, d_out)
+                     for i in range(L)]
+            q = jnp.asarray(np.stack([p[0] for p in pairs]))
+            scale = jnp.asarray(
+                np.array([p[1] for p in pairs],
+                         np.float32).reshape(L, 1, 1))
+            return QTensor(q, scale)
+        # prefix_fn yields the FULL tensor name (incl. ".weight")
+        return j(np.stack([get(prefix_fn(i), d_out, d_in, transpose=True)
+                           for i in range(L)]))
+
     def linear_b(prefix: str, d_out: int, required=True):
         try:
             return reader.load_tensor(f"{prefix}.bias").reshape(d_out)
@@ -152,15 +185,15 @@ def load_params_from_apr(reader: AprReader,
 
     def attn(prefix_fn: Callable[[int], str], L: int, d: int):
         return {
-            "q_w": j(np.stack([linear_w(f"{prefix_fn(i)}.q_proj", d, d) for i in range(L)])),
+            "q_w": stack_w(lambda i: f"{prefix_fn(i)}.q_proj.weight", L, d, d),
             "q_b": j(np.stack([linear_b(f"{prefix_fn(i)}.q_proj", d) for i in range(L)])),
             # whisper k_proj has no bias; absent in HF checkpoints
-            "k_w": j(np.stack([linear_w(f"{prefix_fn(i)}.k_proj", d, d) for i in range(L)])),
+            "k_w": stack_w(lambda i: f"{prefix_fn(i)}.k_proj.weight", L, d, d),
             "k_b": j(np.stack([linear_b(f"{prefix_fn(i)}.k_proj", d, required=False)
                                for i in range(L)])),
-            "v_w": j(np.stack([linear_w(f"{prefix_fn(i)}.v_proj", d, d) for i in range(L)])),
+            "v_w": stack_w(lambda i: f"{prefix_fn(i)}.v_proj.weight", L, d, d),
             "v_b": j(np.stack([linear_b(f"{prefix_fn(i)}.v_proj", d) for i in range(L)])),
-            "o_w": j(np.stack([linear_w(f"{prefix_fn(i)}.out_proj", d, d) for i in range(L)])),
+            "o_w": stack_w(lambda i: f"{prefix_fn(i)}.out_proj.weight", L, d, d),
             "o_b": j(np.stack([linear_b(f"{prefix_fn(i)}.out_proj", d) for i in range(L)])),
         }
 
@@ -172,7 +205,7 @@ def load_params_from_apr(reader: AprReader,
 
     def fc(prefix_fn: Callable[[int], str], L: int, d_in: int, d_out: int):
         return {
-            "w": j(np.stack([linear_w(prefix_fn(i), d_in, d_out) for i in range(L)])),
+            "w": stack_w(lambda i: f"{prefix_fn(i)}.weight", L, d_in, d_out),
             "b": j(np.stack([linear_b(prefix_fn(i), d_out) for i in range(L)])),
         }
 
@@ -195,10 +228,21 @@ def load_params_from_apr(reader: AprReader,
             "ln_post": {"w": j(get("encoder.layer_norm.weight", d_a)),
                         "b": j(get("encoder.layer_norm.bias", d_a))},
         }
+        if native_int8:
+            from ..ops.quant import QTensor
+            te_name = ("decoder.embed_tokens.weight"
+                       if reader.find_tensor("decoder.embed_tokens.weight")
+                       else "decoder.token_embedding")
+            token_emb = QTensor(
+                jnp.asarray(np.asarray(reader.load_raw(te_name))
+                            .reshape(cfg.n_vocab, d_t)),
+                jnp.asarray(np.float32(reader.scale_for(te_name))))
+        else:
+            token_emb = j(get_or("decoder.embed_tokens.weight",
+                                 "decoder.token_embedding")
+                          .reshape(cfg.n_vocab, d_t))
         decoder = {
-            "token_emb": j(get_or("decoder.embed_tokens.weight",
-                                  "decoder.token_embedding")
-                           .reshape(cfg.n_vocab, d_t)),
+            "token_emb": token_emb,
             "pos_emb": j(get_or("decoder.embed_positions.weight",
                                 "decoder.positional_embedding")
                          .reshape(cfg.n_text_ctx, d_t)),

@@ -173,3 +173,34 @@ class TestNativeInt8Load:
         audio = np.random.default_rng(0).normal(0, 0.1, 4000).astype(np.float32)
         rr = eng.transcribe(audio, TranscribeOptions(language="en", max_tokens=6))
         assert len(rr.tokens) <= 6
+
+
+class TestInt4Kernel:
+    """Pallas fused int4 dequant-matmul (interpret mode)."""
+
+    def test_matches_dequant_reference(self):
+        import jax.numpy as jnp
+        from whisper_apr_tpu.ops.int4_matmul import int4_matmul, linear_int4
+        rng = np.random.default_rng(0)
+        for M, K, N in ((4, 64, 96), (130, 256, 250), (1, 384, 512)):
+            x = rng.normal(size=(M, K)).astype(np.float32)
+            w = rng.normal(size=(K, N)).astype(np.float32)
+            qt = quantize_int4(w, per_channel=True)
+            ref = x @ np.asarray(dequant(qt))
+            out = np.asarray(int4_matmul(
+                jnp.asarray(x), qt.q, qt.scale, interpret=True))[:, :N]
+            rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
+            assert rel < 1e-5, (M, K, N, rel)
+
+    def test_linear_wrapper_with_batch_and_bias(self):
+        import jax.numpy as jnp
+        from whisper_apr_tpu.ops.int4_matmul import linear_int4
+        rng = np.random.default_rng(1)
+        x = rng.normal(size=(2, 3, 64)).astype(np.float32)
+        w = rng.normal(size=(64, 100)).astype(np.float32)
+        b = rng.normal(size=(100,)).astype(np.float32)
+        qt = quantize_int4(w, per_channel=True)
+        ref = x @ np.asarray(dequant(qt)) + b
+        out = np.asarray(linear_int4(jnp.asarray(x), qt, jnp.asarray(b),
+                                     interpret=True))
+        assert np.abs(out - ref).max() / np.abs(ref).max() < 1e-5

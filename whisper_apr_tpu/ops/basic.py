@@ -59,6 +59,14 @@ def linear(x: jnp.ndarray, w, b: Optional[jnp.ndarray] = None,
     """
     from .quant import dequant, is_quantized
     if is_quantized(w):
+        from . import int4_matmul as i4
+        if w.int4 and i4.USE_PALLAS_INT4 and \
+                jax.default_backend() not in ("cpu",):
+            # fused Pallas dequant-matmul (opt-in): measured VPU-bound on
+            # v5e single-stream decode — re-unpacking weights each step
+            # costs more than int8's native HBM reads. Worth it only when
+            # HBM capacity (not time) is the constraint.
+            return i4.linear_int4(x, w, b)
         w = dequant(w, x.dtype)
     elif w.dtype != x.dtype:
         w = w.astype(x.dtype)

@@ -199,3 +199,21 @@ class TestPagedKVCache:
         for pos, (k, v) in enumerate(written):
             assert np.allclose(np.asarray(k_all[:, pos]), k)
             assert np.allclose(np.asarray(v_all[:, pos]), v)
+
+
+class TestMultiTokenTick:
+    def test_steps_per_tick_matches_single(self, engine):
+        """K-token ticks must produce the same completions as 1-token ticks."""
+        rng = np.random.default_rng(8)
+        audios = [rng.normal(0, 0.1, 4000 + 800 * i).astype(np.float32)
+                  for i in range(3)]
+        s1 = BatchScheduler(engine, n_slots=2, steps_per_tick=1)
+        s4 = BatchScheduler(engine, n_slots=2, steps_per_tick=4)
+        ids1 = [s1.submit(a, "en", max_tokens=9) for a in audios]
+        ids4 = [s4.submit(a, "en", max_tokens=9) for a in audios]
+        s1.run_until_drained()
+        s4.run_until_drained()
+        for a1, a4 in zip(ids1, ids4):
+            t1 = s1.result(a1).tokens
+            t4 = s4.result(a4).tokens
+            assert t1 == t4

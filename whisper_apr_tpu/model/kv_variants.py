@@ -105,6 +105,49 @@ def decode_step_multi(params: dict, token: jnp.ndarray, pos: jnp.ndarray,
     return logits, KVCache(new_k, new_v, cache.cross_k, cache.cross_v)
 
 
+def decode_steps_multi(params: dict, token: jnp.ndarray, pos: jnp.ndarray,
+                       suppress_bias: jnp.ndarray, cache: KVCache,
+                       config: ModelConfig, n_steps: int,
+                       compute_dtype: jnp.dtype = jnp.float32
+                       ) -> Tuple[jnp.ndarray, KVCache]:
+    """Advance every slot by ``n_steps`` greedy tokens in ONE dispatch.
+
+    Returns (tokens [B, n_steps], cache). Slots that hit EOT mid-tick keep
+    stepping (their post-EOT cache writes land at positions the attention
+    mask never reaches once the host trims pos back to the EOT index), so
+    the host can cut each slot's stream at its own EOT. Amortizes per-
+    dispatch overhead on remotely-tunneled devices (~25 ms/executable).
+    """
+    T_max = cache.self_k.shape[2]
+
+    def body(carry, _):
+        tok, p, c = carry
+        logits, c = decode_step_multi(params, tok, jnp.minimum(p, T_max - 1),
+                                      c, config, compute_dtype)
+        nxt = jnp.argmax(logits + suppress_bias[None, :], axis=-1
+                         ).astype(jnp.int32)
+        return (nxt, p + 1, c), nxt
+
+    (_, _, cache), toks = jax.lax.scan(
+        body, (token, pos, cache), None, length=n_steps)
+    return jnp.transpose(toks, (1, 0)), cache
+
+
+_decode_steps_multi_jit = None
+
+
+def decode_steps_multi_jit(params, token, pos, suppress_bias, cache, config,
+                           n_steps, compute_dtype=jnp.float32):
+    import functools
+    global _decode_steps_multi_jit
+    if _decode_steps_multi_jit is None:
+        _decode_steps_multi_jit = jax.jit(
+            decode_steps_multi,
+            static_argnames=("config", "n_steps", "compute_dtype"))
+    return _decode_steps_multi_jit(params, token, pos, suppress_bias, cache,
+                                   config, n_steps, compute_dtype)
+
+
 # ---------------------------------------------------------------------------
 # Sliding-window KV (reference: StreamingKVCache, decoder.rs:541)
 # ---------------------------------------------------------------------------

@@ -27,7 +27,7 @@ import numpy as np
 
 from ..config import ModelConfig
 from ..model.decoder import KVCache, init_cache, prefill
-from ..model.kv_variants import decode_step_multi
+from ..model.kv_variants import decode_step_multi, decode_steps_multi_jit
 
 
 @dataclasses.dataclass
@@ -57,10 +57,12 @@ class BatchScheduler:
     """
 
     def __init__(self, engine, n_slots: int = 8,
-                 max_len: Optional[int] = None) -> None:
+                 max_len: Optional[int] = None,
+                 steps_per_tick: int = 1) -> None:
         self.engine = engine
         self.config: ModelConfig = engine.config
         self.n_slots = n_slots
+        self.steps_per_tick = max(1, steps_per_tick)
         self.max_len = max_len or self.config.n_text_ctx
         self._queue: "queue.Queue[Request]" = queue.Queue()
         self._completions: Dict[int, Completion] = {}
@@ -177,21 +179,31 @@ class BatchScheduler:
         token = jnp.asarray(self._tokens[np.arange(self.n_slots),
                                          self._pos])
         pos = jnp.asarray(self._pos)
-        logits, self._cache = decode_step_multi(
-            self.engine.params, token, pos, self._cache, self.config,
+        K = self.steps_per_tick
+        # one fused dispatch advancing all slots by K tokens
+        toks, self._cache = decode_steps_multi_jit(
+            self.engine.params, token, pos, self._bias, self._cache,
+            self.config, n_steps=K,
             compute_dtype=self.engine._compute_dtype)
-        nxt = np.asarray(jnp.argmax(logits + self._bias[None, :], axis=-1))
+        toks = np.asarray(toks)  # [B, K]
 
+        eot = self.engine.specials.eot
         for slot in range(self.n_slots):
             if not self._active[slot]:
                 continue
             req = self._req[slot]
-            self._pos[slot] += 1
-            p = self._pos[slot]
-            self._tokens[slot, p] = nxt[slot]
             limit = min(len(req.prompt) + req.max_tokens, self.max_len)
-            if nxt[slot] == self.engine.specials.eot or p + 1 >= limit:
-                self._finish(slot)
+            for k in range(K):
+                self._pos[slot] += 1
+                p = self._pos[slot]
+                if p >= self.max_len:
+                    self._pos[slot] = self.max_len - 1
+                    self._finish(slot)
+                    break
+                self._tokens[slot, p] = toks[slot, k]
+                if toks[slot, k] == eot or p + 1 >= limit:
+                    self._finish(slot)
+                    break
         return int(self._active.sum())
 
     def run_until_drained(self, max_steps: int = 100_000) -> None:

@@ -123,3 +123,25 @@ class TestQuantizedLoad:
         audio = np.random.default_rng(2).normal(0, 0.1, 4000).astype(np.float32)
         r = eng.transcribe(audio, TranscribeOptions(language="en", max_tokens=8))
         assert isinstance(r.text, str)
+
+
+class TestLongAudio:
+    def test_long_audio_chunks_and_stitches(self, apr_bytes, cfg):
+        eng = WhisperApr.load_from_apr(apr_bytes, specials=small_specials(cfg))
+        window = 2 * cfg.n_audio_ctx * 160  # samples per window
+        rng = np.random.default_rng(5)
+        audio = rng.normal(0, 0.1, int(window * 2.5)).astype(np.float32)
+        opts = TranscribeOptions(language="en", max_tokens=8)
+        r = eng.transcribe_long(audio, opts, overlap_seconds=0.05)
+        assert isinstance(r.text, str)
+        # 2.5 windows -> 3 chunks -> up to 3 segments with increasing offsets
+        if len(r.segments) >= 2:
+            assert r.segments[1].start >= r.segments[0].start
+
+    def test_short_audio_passthrough(self, apr_bytes, cfg):
+        eng = WhisperApr.load_from_apr(apr_bytes, specials=small_specials(cfg))
+        audio = np.zeros(4000, np.float32)
+        opts = TranscribeOptions(language="en", max_tokens=6)
+        a = eng.transcribe_long(audio, opts)
+        b = eng.transcribe(audio, opts)
+        assert a.tokens == b.tokens

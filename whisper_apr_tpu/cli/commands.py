@@ -70,7 +70,7 @@ def run_transcribe(args, task: str = "transcribe") -> int:
     t_load = time.time()
     audio = _load_audio(args.audio)
     opts = _options_from_args(args, task)
-    result = eng.transcribe(audio, opts)
+    result = eng.transcribe_long(audio, opts)
     elapsed = time.time() - t_load
     out = format_result(result, args.output_format)
     if getattr(args, "output", None):

@@ -419,6 +419,40 @@ class WhisperApr:
                                    batch.results[0].language if batch.results else "en",
                                    segs, toks)
 
+    def transcribe_long(self, audio: np.ndarray,
+                        options: Optional[TranscribeOptions] = None,
+                        overlap_seconds: float = 1.0) -> TranscriptionResult:
+        """Transcribe audio of ANY length by 30 s chunking with overlap.
+
+        The reference caps transcribe at one 30 s window (src/lib.rs:407
+        truncates) and handles long audio via streaming/VAD; this runs the
+        fixed windows as ONE batched pipeline call and stitches segments
+        with window-offset timestamps (whisper.cpp-style long-file behavior).
+        """
+        from .audio.batch import split_into_chunks
+        options = options or TranscribeOptions()
+        audio = np.asarray(audio, dtype=np.float32)
+        window = 2 * self.config.n_audio_ctx * 160
+        if len(audio) <= window:
+            return self.transcribe(audio, options)
+        overlap = int(overlap_seconds * SAMPLE_RATE)
+        chunks = split_into_chunks(audio, chunk_samples=window,
+                                   overlap_samples=overlap)
+        batch = self.transcribe_batch(chunks, options)
+        step = (window - overlap) / SAMPLE_RATE
+        texts, segs, toks = [], [], []
+        for i, r in enumerate(batch.results):
+            if not r.text:
+                continue
+            texts.append(r.text)
+            toks.extend(r.tokens)
+            offset = i * step
+            for s in r.segments:
+                segs.append(Segment(s.start + offset, s.end + offset,
+                                    s.text, s.tokens))
+        lang = batch.results[0].language if batch.results else "en"
+        return TranscriptionResult(" ".join(texts), lang, segs, toks)
+
     # -- file helpers ----------------------------------------------------------
     def transcribe_file(self, path: str,
                         options: Optional[TranscribeOptions] = None
@@ -426,4 +460,4 @@ class WhisperApr:
         samples, sr = parse_wav(open(path, "rb").read())
         if sr != SAMPLE_RATE:
             samples = SincResampler(sr, SAMPLE_RATE).resample(samples)
-        return self.transcribe(samples, options)
+        return self.transcribe_long(samples, options)

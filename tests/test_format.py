@@ -161,3 +161,69 @@ class TestValidator:
         report = AprValidator(AprReader(bytes(data))).validate_all()
         crc_check = [c for c in report.checks if c.id == 5][0]
         assert not crc_check.passed
+
+
+class TestLz4:
+    """Pure-Python LZ4 (reference: src/format/compress.rs)."""
+
+    def test_roundtrip(self):
+        from whisper_apr_tpu.format.compress import (
+            compress_block, decompress_block)
+        rng = np.random.default_rng(0)
+        for data in (b"a", b"hello hello hello hello",
+                     bytes(rng.integers(0, 256, 5000).tolist()),
+                     b"xyz" * 40_000):
+            assert decompress_block(compress_block(data), len(data)) == data
+
+    def test_repetitive_compresses(self):
+        from whisper_apr_tpu.format.compress import compress_block
+        data = b"ab" * 10_000
+        assert len(compress_block(data)) < len(data) // 50
+
+    def test_corrupt_rejected(self):
+        from whisper_apr_tpu.format.compress import (
+            compress_block, decompress_block)
+        from whisper_apr_tpu.errors import FormatError
+        comp = bytearray(compress_block(b"hello world, hello world!"))
+        with pytest.raises(FormatError):
+            decompress_block(bytes(comp), 9999)  # wrong size
+
+    def test_block_framing(self):
+        from whisper_apr_tpu.format.compress import (
+            compress_blocks, decompress_blocks)
+        rng = np.random.default_rng(1)
+        blob = bytes(rng.integers(0, 16, 200_000).tolist())
+        assert decompress_blocks(compress_blocks(blob)) == blob
+
+
+class TestCompressedApr:
+    def test_compressed_roundtrip(self):
+        cfg = ModelConfig.tiny()
+        w = AprWriter.from_config(cfg)
+        w.header.compressed = True
+        rng = np.random.default_rng(2)
+        t1 = rng.normal(size=(16, 8)).astype(np.float32)
+        # a highly compressible tensor
+        t2 = np.zeros((64, 64), np.float32)
+        w.add_tensor("decoder.embed_tokens.weight", t1)
+        w.add_tensor("encoder.conv1.bias", t2)
+        v = Vocabulary.with_base_tokens()
+        w.set_vocabulary(v.to_bytes())
+        data = w.to_bytes()
+
+        r = AprReader(data)
+        assert r.header.compressed
+        assert r.verify_crc()
+        assert np.allclose(r.load_tensor("decoder.embed_tokens.weight"), t1)
+        assert (r.load_tensor("encoder.conv1.bias") == 0).all()
+        assert r.read_vocabulary_bytes() is not None
+
+    def test_compressed_smaller_for_sparse(self):
+        cfg = ModelConfig.tiny()
+        plain = AprWriter.from_config(cfg)
+        comp = AprWriter.from_config(cfg)
+        comp.header.compressed = True
+        z = np.zeros((256, 256), np.float32)
+        plain.add_tensor("encoder.conv1.weight", z)
+        comp.add_tensor("encoder.conv1.weight", z)
+        assert len(comp.to_bytes()) < len(plain.to_bytes()) // 10

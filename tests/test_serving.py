@@ -217,3 +217,30 @@ class TestMultiTokenTick:
             t1 = s1.result(a1).tokens
             t4 = s4.result(a4).tokens
             assert t1 == t4
+
+
+class TestSlidingWarmUp:
+    def test_warm_up_carries_context(self, setup, cfg):
+        """(reference: decoder.rs:739 warm_up)"""
+        params, enc = setup
+        rng = np.random.default_rng(9)
+        scfg = SlidingConfig(window_size=16, context_overlap=4)
+        a = SlidingKVCache(params, enc, cfg, scfg)
+        for i in range(6):
+            a.step(params, jnp.asarray(
+                rng.integers(0, cfg.n_vocab, size=2).astype(np.int32)))
+        b = SlidingKVCache(params, enc, cfg, scfg)
+        b.warm_up(a)
+        assert b.tokens_seen == 4
+        # the warmed slots hold the donor's last 4 tokens' K/V
+        donor_last = np.asarray(a.cache.self_k[:, :, [2, 3, 4, 5]])
+        warmed = np.asarray(b.cache.self_k[:, :, :4])
+        assert np.allclose(donor_last, warmed)
+
+    def test_warm_up_empty_donor_noop(self, setup, cfg):
+        params, enc = setup
+        scfg = SlidingConfig(window_size=8, context_overlap=4)
+        a = SlidingKVCache(params, enc, cfg, scfg)
+        b = SlidingKVCache(params, enc, cfg, scfg)
+        b.warm_up(a)
+        assert b.tokens_seen == 0

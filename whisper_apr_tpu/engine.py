@@ -435,7 +435,8 @@ class WhisperApr:
         window = 2 * self.config.n_audio_ctx * 160
         if len(audio) <= window:
             return self.transcribe(audio, options)
-        overlap = int(overlap_seconds * SAMPLE_RATE)
+        # overlap must stay well under the window or chunking degenerates
+        overlap = min(int(overlap_seconds * SAMPLE_RATE), window // 4)
         chunks = split_into_chunks(audio, chunk_samples=window,
                                    overlap_samples=overlap)
         batch = self.transcribe_batch(chunks, options)

@@ -274,6 +274,23 @@ class AprReader:
             self.tensors.append(desc)
             self._by_name[desc.name] = i
 
+        # compressed files carry `u32 comp_len + LZ4 blocks` in place of the
+        # raw tensor payload (reference ships the standalone decompressor at
+        # src/format/compress.rs; the framing is ours)
+        self._payload: Optional[bytes] = None
+        self._sections_after = None
+        if self.header.compressed and n_tensors > 0:
+            from .compress import decompress_blocks
+            start = self.tensor_data_offset
+            if start + 4 > len(data):
+                raise FormatError("truncated compressed payload header")
+            (comp_len,) = struct.unpack_from("<I", data, start)
+            end = start + 4 + comp_len
+            if end > len(data):
+                raise FormatError("truncated compressed payload")
+            self._payload = decompress_blocks(data[start + 4: end])
+            self._sections_after = end
+
     @staticmethod
     def from_file(path: str) -> "AprReader":
         with open(path, "rb") as f:
@@ -301,18 +318,21 @@ class AprReader:
         if idx is None:
             raise FormatError(f"tensor not found: {name}")
         desc = self.tensors[idx]
-        start = self.tensor_data_offset + desc.offset
+        if self._payload is not None:
+            blob, start = self._payload, desc.offset
+        else:
+            blob, start = self.data, self.tensor_data_offset + desc.offset
         count = desc.n_elements
         if self.header.quantization == QUANT_INT8:
             end = start + count
-            if end > len(self.data):
+            if end > len(blob):
                 raise FormatError("tensor data out of bounds")
-            arr = np.frombuffer(self.data, dtype=np.int8, count=count, offset=start)
+            arr = np.frombuffer(blob, dtype=np.int8, count=count, offset=start)
         else:
             end = start + count * 4
-            if end > len(self.data):
+            if end > len(blob):
                 raise FormatError("tensor data out of bounds")
-            arr = np.frombuffer(self.data, dtype="<f4", count=count, offset=start)
+            arr = np.frombuffer(blob, dtype="<f4", count=count, offset=start)
         dims = desc.dims
         return arr.reshape(dims) if dims else arr
 
@@ -332,6 +352,8 @@ class AprReader:
 
     # -- aux sections --------------------------------------------------------
     def _section_after_tensors(self) -> int:
+        if self._sections_after is not None:
+            return self._sections_after
         return self.tensor_data_offset + self.total_tensor_data_size()
 
     def read_vocabulary_bytes(self) -> Optional[bytes]:
@@ -440,7 +462,13 @@ class AprWriter:
         out += index
         if quant == QUANT_INT8:
             out += scales
-        out += payload
+        if self.header.compressed:
+            from .compress import compress_blocks
+            comp = compress_blocks(bytes(payload))
+            out += struct.pack("<I", len(comp))
+            out += comp
+        else:
+            out += payload
 
         if self._vocab_bytes is not None:
             out += struct.pack("<I", len(self._vocab_bytes))

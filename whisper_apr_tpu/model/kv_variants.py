@@ -219,6 +219,26 @@ class SlidingKVCache:
         self.tokens_seen += 1
         return logits
 
+    def warm_up(self, other: "SlidingKVCache") -> None:
+        """Seed this cache with the last ``context_overlap`` tokens of a
+        previous chunk's cache (reference: decoder.rs:739 warm_up — carries
+        K/V context across streaming chunks)."""
+        W = self.sliding.window_size
+        ov = min(self.sliding.context_overlap, other.tokens_seen, W)
+        if ov <= 0:
+            return
+        # copy the ring slots holding the donor's most recent `ov` tokens
+        # into our slots [0, ov)
+        src_positions = [(other.tokens_seen - ov + i) % W for i in range(ov)]
+        idx = jnp.asarray(np.asarray(src_positions, np.int32))
+        self.cache = KVCache(
+            self.cache.self_k.at[:, :, :ov].set(
+                other.cache.self_k[:, :, idx]),
+            self.cache.self_v.at[:, :, :ov].set(
+                other.cache.self_v[:, :, idx]),
+            self.cache.cross_k, self.cache.cross_v)
+        self.tokens_seen = ov
+
     def stats(self) -> SlidingCacheStats:
         return SlidingCacheStats(
             self.sliding.window_size, self.tokens_seen,

@@ -324,3 +324,47 @@ class TestGoldenTrace:
         b.dump("mel", mel + 0.5)
         results = a.compare(str(tmp_path / "b"))
         assert any(not c.passed for c in results)
+
+
+class TestCheckpoint:
+    def test_roundtrip_plain(self, tmp_path):
+        import jax
+        from whisper_apr_tpu.model.params import init_params
+        from whisper_apr_tpu.utils.checkpoint import load_params, save_params
+        from helpers import small_config
+        params = init_params(small_config(), 3)
+        path = str(tmp_path / "p.npz")
+        save_params(path, params)
+        back = load_params(path)
+        for a, b in zip(jax.tree_util.tree_leaves(params),
+                        jax.tree_util.tree_leaves(back)):
+            assert np.array_equal(np.asarray(a), np.asarray(b))
+
+    def test_roundtrip_quantized(self, tmp_path):
+        import jax
+        from whisper_apr_tpu.model.params import init_params, quantize_params
+        from whisper_apr_tpu.ops.quant import is_quantized
+        from whisper_apr_tpu.utils.checkpoint import load_params, save_params
+        from helpers import small_config
+        q8 = quantize_params(init_params(small_config(), 4), "int8")
+        path = str(tmp_path / "q.npz")
+        save_params(path, q8)
+        back = load_params(path)
+        assert is_quantized(back["decoder"]["token_emb"])
+        assert back["decoder"]["blocks"]["fc1"]["w"].q.dtype == np.int8
+        for a, b in zip(jax.tree_util.tree_leaves(q8),
+                        jax.tree_util.tree_leaves(back)):
+            assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestMmapRead:
+    def test_mmap_matches_plain(self, tmp_path):
+        from test_format import make_test_apr
+        from whisper_apr_tpu.format import AprReader
+        path = str(tmp_path / "m.apr")
+        open(path, "wb").write(make_test_apr(with_vocab=True))
+        a = AprReader.from_file(path)
+        b = AprReader.from_file(path, use_mmap=False)
+        assert a.verify_crc() and b.verify_crc()
+        assert np.array_equal(a.load_tensor("encoder.conv1.weight"),
+                              b.load_tensor("encoder.conv1.weight"))

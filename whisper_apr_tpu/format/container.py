@@ -292,7 +292,26 @@ class AprReader:
             self._sections_after = end
 
     @staticmethod
-    def from_file(path: str) -> "AprReader":
+    def from_file(path: str, use_mmap: bool = True) -> "AprReader":
+        """Open an .apr file, memory-mapped by default.
+
+        The reference plans zero-copy weight access with a simulated mmap
+        layer (reference: src/memory/mmap.rs); here it is a REAL OS mmap —
+        tensor loads are zero-copy numpy views over the page cache until the
+        device transfer (a 3 GB large-v3 file costs no host RAM up front).
+        """
+        if use_mmap:
+            import mmap as _mmap
+            f = open(path, "rb")
+            try:
+                mm = _mmap.mmap(f.fileno(), 0, access=_mmap.ACCESS_READ)
+            except (ValueError, OSError):
+                data = f.read()
+                f.close()
+                return AprReader(data)
+            reader = AprReader(mm)
+            reader._file = f  # keep alive with the mapping
+            return reader
         with open(path, "rb") as f:
             return AprReader(f.read())
 

@@ -34,7 +34,8 @@ class TestArgs:
             ["test"],
             ["serve", "-m", "m.apr", "--port", "8123"],
             ["tui", "a.wav", "-m", "m.apr"],
-            ["record"], ["command"],
+            ["record", "-m", "m.apr", "--sample-format", "s16le"],
+            ["command", "a.wav", "cmds.txt", "-m", "m.apr"],
         ]
         for argv in cases:
             args = p.parse_args(argv)
@@ -173,9 +174,15 @@ class TestCliE2E:
         out = capsys.readouterr().out
         assert "[OK] jax backend" in out
 
-    def test_not_implemented_stubs(self, capsys):
+    def test_record_without_stdin_pipe(self, model_path, capsys, monkeypatch):
+        import io, sys
         from whisper_apr_tpu.cli import run
-        assert run(["record"]) == 2
+        # no pipe on stdin -> usage error (exit 2)
+        class Tty(io.StringIO):
+            def isatty(self):
+                return True
+        monkeypatch.setattr(sys, "stdin", Tty())
+        assert run(["record", "-m", model_path]) == 2
 
     def test_missing_file_is_clean_error(self, capsys):
         from whisper_apr_tpu.cli import run

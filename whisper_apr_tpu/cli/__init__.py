@@ -46,6 +46,12 @@ def run(argv: Optional[List[str]] = None) -> int:
         if cmd == "tui":
             from .tui import run_tui
             return run_tui(args)
+        if cmd == "record":
+            from .record import run_record
+            return run_record(args)
+        if cmd == "command":
+            from .record import run_command
+            return run_command(args)
         if cmd == "diagnose":
             return commands.run_diagnose(args)
         if cmd == "test":

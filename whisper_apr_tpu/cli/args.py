@@ -161,9 +161,27 @@ def build_parser() -> argparse.ArgumentParser:
     _add_common_model_flags(p)
     _add_decode_flags(p)
 
-    # reference-stubbed commands (parity: commands.rs:770-790,970)
-    for name in ("record", "command"):
-        sub.add_parser(name, help="not yet implemented (reference parity)")
+    # record: live transcription of raw audio from stdin
+    # (the reference stubs this; implemented here)
+    p = sub.add_parser("record", help="transcribe raw audio from stdin")
+    _add_common_model_flags(p)
+    p.add_argument("--language", "-l", default=None)
+    p.add_argument("--rate", type=int, default=16_000,
+                   help="stdin sample rate")
+    p.add_argument("--sample-format", choices=("f32le", "s16le"),
+                   default="f32le")
+    p.add_argument("--chunk-seconds", type=float, default=1.0)
+    p.add_argument("--seconds", type=float, default=None,
+                   help="stop after this much audio")
+
+    # command: voice-command matching (the reference stubs this)
+    p = sub.add_parser("command", help="match an utterance against a command list")
+    p.add_argument("audio")
+    p.add_argument("commands", help="text file, one command per line")
+    _add_common_model_flags(p)
+    _add_decode_flags(p)
+    p.add_argument("--threshold", type=float, default=0.5,
+                   help="max WER to accept a match")
 
     return parser
 

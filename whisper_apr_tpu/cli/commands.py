@@ -274,7 +274,7 @@ def run_stream(args) -> int:
     return 0
 
 
-NOT_IMPLEMENTED = ("record", "command")
+NOT_IMPLEMENTED = ()  # every reference subcommand is implemented
 
 
 def run_not_implemented(name: str) -> int:

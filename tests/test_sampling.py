@@ -126,3 +126,32 @@ class TestEngineSampling:
             audio, TranscribeOptions(language="en", max_tokens=8),
             temperatures=(0.0, 0.5))
         assert r is not None
+
+
+class TestBestOf:
+    def test_best_of_runs_and_improves_or_matches(self, cfg, setup):
+        hf, _, _ = setup
+        eng = WhisperApr.from_hf_model(hf, cfg, specials=small_specials(cfg))
+        audio = np.random.default_rng(2).normal(0, 0.1, 4000).astype(np.float32)
+        base = TranscribeOptions(language="en", strategy="sampling",
+                                 temperature=0.9, max_tokens=10, seed=1)
+        import dataclasses
+        r1 = eng.transcribe(audio, base)
+        r4 = eng.transcribe(audio, dataclasses.replace(base, best_of=4))
+        assert len(r4.tokens) <= 10
+        # deterministic under the same seed
+        r4b = eng.transcribe(audio, dataclasses.replace(base, best_of=4))
+        assert r4.tokens == r4b.tokens
+
+    def test_best_of_batch_consistent(self, cfg, setup):
+        hf, _, _ = setup
+        eng = WhisperApr.from_hf_model(hf, cfg, specials=small_specials(cfg))
+        rng = np.random.default_rng(3)
+        audios = [rng.normal(0, 0.1, 4000).astype(np.float32) for _ in range(2)]
+        opts = TranscribeOptions(language="en", strategy="sampling",
+                                 temperature=0.7, max_tokens=8, seed=2,
+                                 best_of=3)
+        batch = eng.transcribe_batch(audios, opts)
+        assert len(batch.results) == 2
+        for r in batch.results:
+            assert all(t < cfg.n_vocab for t in r.tokens)

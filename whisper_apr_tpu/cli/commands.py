@@ -58,6 +58,7 @@ def _options_from_args(args, task: str) -> TranscribeOptions:
         task=task,
         strategy=strategy,
         beam_size=getattr(args, "beam_size", 5) or 5,
+        best_of=getattr(args, "best_of", 1) or 1,
         temperature=getattr(args, "temperature", 0.0) or 0.0,
         max_tokens=getattr(args, "max_tokens", None),
         timestamps=not getattr(args, "no_timestamps", True),

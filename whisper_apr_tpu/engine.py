@@ -51,6 +51,7 @@ class TranscribeOptions:
     task: str = "transcribe"  # or "translate"
     strategy: str = "greedy"  # or "beam"
     beam_size: int = 5
+    best_of: int = 1  # N sampled candidates at temperature>0 (whisper.cpp)
     patience: float = 1.0
     temperature: float = 0.0
     max_tokens: Optional[int] = None
@@ -302,12 +303,39 @@ class WhisperApr:
                 for a in audios])
             enc = self.encode(mels)
             key = jax.random.PRNGKey(options.seed)
-            tokens, lengths, _ = sample_generate(
-                self.params, enc, prompt, bias, self.specials.eot, key,
-                self.config, max_len=max_tokens, prompt_len=len(prompt_list),
-                temperature=options.temperature,
-                top_k=options.top_k, top_p=options.top_p,
-                compute_dtype=self._compute_dtype, fidelity=self._fidelity)
+            n_best = max(1, options.best_of)
+            if n_best > 1:
+                # whisper.cpp best_of: N independent samples per item as a
+                # flattened batch, winner by length-normalized logprob
+                B = enc.shape[0]
+                enc_rep = jnp.repeat(enc, n_best, axis=0)
+                prompt_rep = jnp.repeat(prompt, n_best, axis=0)
+                toks, lens, lps = sample_generate(
+                    self.params, enc_rep, prompt_rep, bias,
+                    self.specials.eot, key, self.config,
+                    max_len=max_tokens, prompt_len=len(prompt_list),
+                    temperature=options.temperature,
+                    top_k=options.top_k, top_p=options.top_p,
+                    compute_dtype=self._compute_dtype,
+                    fidelity=self._fidelity)
+                toks = toks.reshape(B, n_best, -1)
+                lens = lens.reshape(B, n_best)
+                gen_len = jnp.maximum(
+                    lens - len(prompt_list), 1).astype(jnp.float32)
+                avg_lp = lps.reshape(B, n_best) / gen_len
+                best = jnp.argmax(avg_lp, axis=1)
+                tokens = jnp.take_along_axis(
+                    toks, best[:, None, None], axis=1)[:, 0]
+                lengths = jnp.take_along_axis(lens, best[:, None], axis=1)[:, 0]
+            else:
+                tokens, lengths, _ = sample_generate(
+                    self.params, enc, prompt, bias, self.specials.eot, key,
+                    self.config, max_len=max_tokens,
+                    prompt_len=len(prompt_list),
+                    temperature=options.temperature,
+                    top_k=options.top_k, top_p=options.top_p,
+                    compute_dtype=self._compute_dtype,
+                    fidelity=self._fidelity)
         elif options.strategy == "beam":
             from .inference.beam import beam_generate
             mels = jnp.stack([
@@ -326,11 +354,16 @@ class WhisperApr:
             fb = self.mel_filters
             n_samples = 2 * self.config.n_audio_ctx * 160
             batch = jnp.asarray(pad_audio_batch(audios, n_samples))
+            ts_base = (self.specials.timestamp_base
+                       if options.timestamps
+                       and self.specials.timestamp_base < self.config.n_vocab
+                       else -1)
             tokens, lengths = fused_transcribe_step(
                 self.params, batch, fb._window, fb._basis, fb._filters_t,
                 prompt, bias, self.specials.eot, self.config,
                 max_len=max_tokens, prompt_len=len(prompt_list),
-                compute_dtype=self._compute_dtype, fidelity=self._fidelity)
+                compute_dtype=self._compute_dtype, fidelity=self._fidelity,
+                timestamp_base=ts_base)
 
         tokens_np = np.asarray(tokens)
         lengths_np = np.asarray(lengths)

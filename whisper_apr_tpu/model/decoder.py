@@ -272,7 +272,8 @@ def greedy_generate_body(params: dict, enc_out: jnp.ndarray, prompt: jnp.ndarray
                          config: ModelConfig, max_len: int = 448,
                          prompt_len: int = 4,
                          compute_dtype: jnp.dtype = jnp.float32,
-                         fidelity: bool = False
+                         fidelity: bool = False,
+                         timestamp_base: int = -1
                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Greedy decode, fully on device (reference semantics:
     src/inference/greedy.rs:119-143 — argmax until EOT, EOT appended, total
@@ -293,29 +294,54 @@ def greedy_generate_body(params: dict, enc_out: jnp.ndarray, prompt: jnp.ndarray
     tokens = jnp.full((B, max_len), eot, dtype=jnp.int32)
     tokens = jax.lax.dynamic_update_slice(tokens, prompt.astype(jnp.int32), (0, 0))
 
-    first = jnp.argmax(logits + suppress_bias[None, :], axis=-1).astype(jnp.int32)
+    use_ts = timestamp_base >= 0
+    if use_ts:
+        from ..inference import timestamp_rules as tsr
+        ts_state = tsr.init_state(B)
+        first_logits = tsr.apply_rules(
+            logits + suppress_bias[None, :], ts_state, timestamp_base, eot,
+            is_first=jnp.ones(B, bool))
+    else:
+        ts_state = None
+        first_logits = logits + suppress_bias[None, :]
+
+    first = jnp.argmax(first_logits, axis=-1).astype(jnp.int32)
     tokens = tokens.at[:, prompt_len].set(first)
     done0 = first == eot
+    if use_ts:
+        ts_state = tsr.update_state(ts_state, first, timestamp_base)
 
     def cond(state):
-        pos, _, done, _ = state
+        pos = state[0]
+        done = state[2]
         return jnp.logical_and(pos + 1 < max_len, ~jnp.all(done))
 
     def body(state):
-        pos, tokens, done, cache = state
+        if use_ts:
+            pos, tokens, done, cache, ts = state
+        else:
+            pos, tokens, done, cache = state
         tok = jax.lax.dynamic_slice_in_dim(tokens, pos, 1, axis=1)[:, 0]
         logits, cache = decode_step(params, tok, pos, cache, config,
                                     compute_dtype, precision)
-        nxt = jnp.argmax(logits + suppress_bias[None, :], axis=-1).astype(jnp.int32)
+        biased = logits + suppress_bias[None, :]
+        if use_ts:
+            biased = tsr.apply_rules(biased, ts, timestamp_base, eot,
+                                     is_first=jnp.zeros(B, bool))
+        nxt = jnp.argmax(biased, axis=-1).astype(jnp.int32)
         nxt = jnp.where(done, jnp.int32(eot), nxt)
         tokens = jax.lax.dynamic_update_slice(
             tokens, nxt[:, None], (0, pos + 1))
         done = jnp.logical_or(done, nxt == eot)
+        if use_ts:
+            return pos + 1, tokens, done, cache, tsr.update_state(
+                ts, nxt, timestamp_base)
         return pos + 1, tokens, done, cache
 
     pos0 = jnp.int32(prompt_len)
-    _, tokens, done, _ = jax.lax.while_loop(
-        cond, body, (pos0, tokens, done0, cache))
+    init = (pos0, tokens, done0, cache, ts_state) if use_ts else         (pos0, tokens, done0, cache)
+    out_state = jax.lax.while_loop(cond, body, init)
+    tokens, done = out_state[1], out_state[2]
 
     # length = index of first EOT after the prompt, + 1 (EOT included,
     # reference: greedy.rs:133-137), or max_len if none was produced
@@ -332,4 +358,4 @@ def greedy_generate_body(params: dict, enc_out: jnp.ndarray, prompt: jnp.ndarray
 greedy_generate = functools.partial(
     jax.jit,
     static_argnames=("config", "max_len", "prompt_len", "compute_dtype",
-                     "fidelity"))(greedy_generate_body)
+                     "fidelity", "timestamp_base"))(greedy_generate_body)

@@ -31,7 +31,7 @@ _HIGHEST = jax.lax.Precision.HIGHEST
 @functools.partial(
     jax.jit,
     static_argnames=("config", "max_len", "prompt_len", "compute_dtype",
-                     "fidelity"))
+                     "fidelity", "timestamp_base"))
 def fused_transcribe_step(params: dict, audio: jnp.ndarray,
                           window: jnp.ndarray, basis: jnp.ndarray,
                           filters_t: jnp.ndarray, prompt: jnp.ndarray,
@@ -39,7 +39,8 @@ def fused_transcribe_step(params: dict, audio: jnp.ndarray,
                           config: ModelConfig, max_len: int,
                           prompt_len: int,
                           compute_dtype: jnp.dtype = jnp.float32,
-                          fidelity: bool = False
+                          fidelity: bool = False,
+                          timestamp_base: int = -1
                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """audio [B, n_samples] (pre-padded to a full window) -> (tokens, lengths).
 
@@ -65,7 +66,8 @@ def fused_transcribe_step(params: dict, audio: jnp.ndarray,
     return greedy_generate_body(
         params, enc, prompt, suppress_bias, eot, config,
         max_len=max_len, prompt_len=prompt_len,
-        compute_dtype=compute_dtype, fidelity=fidelity)
+        compute_dtype=compute_dtype, fidelity=fidelity,
+        timestamp_base=timestamp_base)
 
 
 def pad_audio_batch(audios, n_samples: int) -> np.ndarray:

@@ -50,11 +50,24 @@ class TestRuleMasks:
         assert (picks >= TS_BASE).all()
         assert (picks <= TS_BASE + MAX_INITIAL_TIMESTAMP_STEPS).all()
 
-    def test_lone_timestamp_forces_ts_or_eot(self):
+    def test_opening_timestamp_forces_text(self):
+        # right after <|t0|> (seq len 1) the next token must be TEXT
         rng = np.random.default_rng(1)
         logits = jnp.asarray(rng.normal(size=(1, 1000)).astype(np.float32))
         state = update_state(init_state(1), jnp.asarray([TS_BASE + 3]), TS_BASE)
         out = np.asarray(apply_rules(logits, state, TS_BASE, eot=999,
+                                     is_first=jnp.zeros(1, bool)))
+        assert out.argmax(-1)[0] < TS_BASE
+
+    def test_closing_timestamp_forces_ts_or_eot(self):
+        # "text <|t1|>" -> next must be a timestamp or EOT
+        rng = np.random.default_rng(1)
+        logits = jnp.asarray(rng.normal(size=(1, 1000)).astype(np.float32))
+        s = init_state(1)
+        s = update_state(s, jnp.asarray([TS_BASE + 1]), TS_BASE)  # opening
+        s = update_state(s, jnp.asarray([7]), TS_BASE)            # text
+        s = update_state(s, jnp.asarray([TS_BASE + 4]), TS_BASE)  # closing
+        out = np.asarray(apply_rules(logits, s, TS_BASE, eot=999,
                                      is_first=jnp.zeros(1, bool)))
         pick = out.argmax(-1)[0]
         assert pick >= TS_BASE or pick == 999
@@ -63,8 +76,10 @@ class TestRuleMasks:
         rng = np.random.default_rng(2)
         logits = jnp.asarray(rng.normal(size=(1, 1000)).astype(np.float32))
         s = init_state(1)
-        s = update_state(s, jnp.asarray([TS_BASE + 3]), TS_BASE)
-        s = update_state(s, jnp.asarray([TS_BASE + 3]), TS_BASE)
+        s = update_state(s, jnp.asarray([TS_BASE + 1]), TS_BASE)  # opening
+        s = update_state(s, jnp.asarray([7]), TS_BASE)            # text
+        s = update_state(s, jnp.asarray([TS_BASE + 3]), TS_BASE)  # close
+        s = update_state(s, jnp.asarray([TS_BASE + 3]), TS_BASE)  # open
         out = np.asarray(apply_rules(logits, s, TS_BASE, eot=999,
                                      is_first=jnp.zeros(1, bool)))
         assert out.argmax(-1)[0] < TS_BASE
@@ -116,7 +131,8 @@ class TestGreedyWithTimestamps:
         audio = np.random.default_rng(4).normal(0, 0.1, 6000).astype(np.float32)
         r = eng.transcribe(audio, TranscribeOptions(
             language="en", max_tokens=16, timestamps=True))
-        gen = r.tokens[3:]
+        plen = len(eng.get_initial_tokens("en", "transcribe", timestamps=True))
+        gen = r.tokens[plen:]
         if gen and gen[0] != sp.eot:
             assert gen[0] >= TS_BASE
         for s in r.segments:

@@ -377,7 +377,8 @@ class WhisperApr:
                 segments = extract_segments(
                     gen, self.tokenizer,
                     timestamp_base=self.specials.timestamp_base,
-                    eot=self.specials.eot)
+                    eot=self.specials.eot,
+                    default_end=len(audios[i]) / SAMPLE_RATE)
             else:
                 segments = [Segment(0.0, len(audios[i]) / SAMPLE_RATE,
                                     text, gen)] if text.strip() else []

@@ -32,13 +32,15 @@ class TimestampState(NamedTuple):
     last_was_ts: jnp.ndarray      # [B] bool — previous token was a timestamp
     penult_was_ts: jnp.ndarray    # [B] bool — the one before was too
     max_ts: jnp.ndarray           # [B] int32 — highest timestamp id emitted
+    n_sampled: jnp.ndarray        # [B] int32 — tokens sampled so far
 
 
 def init_state(batch: int) -> TimestampState:
     return TimestampState(
         last_was_ts=jnp.zeros(batch, bool),
         penult_was_ts=jnp.zeros(batch, bool),
-        max_ts=jnp.zeros(batch, jnp.int32))
+        max_ts=jnp.zeros(batch, jnp.int32),
+        n_sampled=jnp.zeros(batch, jnp.int32))
 
 
 def apply_rules(logits: jnp.ndarray, state: TimestampState,
@@ -59,12 +61,16 @@ def apply_rules(logits: jnp.ndarray, state: TimestampState,
                             | (ids[None, :] > cap), NEG, 0.0)
     mask = mask + jnp.where(is_first[:, None], first_block, 0.0)
 
-    # rule 2a: lone timestamp -> next must be timestamp or EOT (no text)
-    lone = jnp.logical_and(state.last_was_ts, ~state.penult_was_ts)
+    # OpenAI convention: with fewer than 2 sampled tokens the penultimate
+    # counts as a timestamp, so the opening <|t0|> is followed by TEXT
+    penult_eff = jnp.logical_or(state.penult_was_ts, state.n_sampled < 2)
+    # rule 2a: segment-closing lone timestamp (text <|t1|>) -> next must be
+    # a timestamp or EOT (forces the <|t1|><|t2|> boundary pair)
+    lone = jnp.logical_and(state.last_was_ts, ~penult_eff)
     mask = mask + jnp.where(
         lone[:, None] & is_text[None, :], NEG, 0.0)
-    # rule 2b: after a pair -> next must be text (no timestamp)
-    pair = jnp.logical_and(state.last_was_ts, state.penult_was_ts)
+    # rule 2b: after a boundary pair (or the opening timestamp) -> text
+    pair = jnp.logical_and(state.last_was_ts, penult_eff)
     mask = mask + jnp.where(
         pair[:, None] & is_ts[None, :], NEG, 0.0)
 
@@ -93,4 +99,5 @@ def update_state(state: TimestampState, token: jnp.ndarray,
         penult_was_ts=state.last_was_ts,
         max_ts=jnp.where(tok_is_ts,
                          jnp.maximum(state.max_ts, token.astype(jnp.int32)),
-                         state.max_ts))
+                         state.max_ts),
+        n_sampled=state.n_sampled + 1)

@@ -40,7 +40,8 @@ def token_time(token: int, timestamp_base: int = st.TIMESTAMP_BASE) -> float:
 
 def extract_segments(tokens: Sequence[int], tokenizer,
                      timestamp_base: int = st.TIMESTAMP_BASE,
-                     eot: int = st.EOT) -> List[Segment]:
+                     eot: int = st.EOT,
+                     default_end: float = 0.0) -> List[Segment]:
     """Split a decoded token stream into timestamped segments.
 
     Pattern: <|t_start|> text... <|t_end|> [<|t_start'|> ...]. Tokens outside
@@ -74,7 +75,10 @@ def extract_segments(tokens: Sequence[int], tokenizer,
             cur_tokens.append(t)
 
     if cur_tokens:
+        # decode ended before the closing timestamp: close at the clip end
         text = tokenizer.decode_with_options(cur_tokens, skip_special=True)
         if text.strip():
-            segments.append(Segment(start_time, 0.0, text, cur_tokens))
+            segments.append(Segment(start_time,
+                                    max(default_end, start_time),
+                                    text, cur_tokens))
     return segments

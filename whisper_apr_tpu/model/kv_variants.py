@@ -141,9 +141,13 @@ def decode_steps_multi_jit(params, token, pos, suppress_bias, cache, config,
     import functools
     global _decode_steps_multi_jit
     if _decode_steps_multi_jit is None:
+        # donate the cache: XLA reuses its HBM for the updated cache instead
+        # of copying [L, B, T_max, D] every tick (the buffer-pool reuse the
+        # reference gets from its warmup allocator, pool.rs)
         _decode_steps_multi_jit = jax.jit(
             decode_steps_multi,
-            static_argnames=("config", "n_steps", "compute_dtype"))
+            static_argnames=("config", "n_steps", "compute_dtype"),
+            donate_argnums=(4,))
     return _decode_steps_multi_jit(params, token, pos, suppress_bias, cache,
                                    config, n_steps, compute_dtype)
 

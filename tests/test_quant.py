@@ -204,3 +204,46 @@ class TestInt4Kernel:
         out = np.asarray(linear_int4(jnp.asarray(x), qt, jnp.asarray(b),
                                      interpret=True))
         assert np.abs(out - ref).max() / np.abs(ref).max() < 1e-5
+
+
+class TestInt8Kernel:
+    """Pallas fused int8 dequant-matmul (interpret mode)."""
+
+    def test_matches_dequant_reference(self):
+        import jax.numpy as jnp
+        from whisper_apr_tpu.ops.int8_matmul import int8_matmul, linear_int8
+        rng = np.random.default_rng(0)
+        for M, K, N in ((4, 64, 96), (130, 256, 250), (1, 384, 512)):
+            x = rng.normal(size=(M, K)).astype(np.float32)
+            w = rng.normal(size=(K, N)).astype(np.float32)
+            qt = quantize_int8(w, per_channel=True)
+            ref = x @ np.asarray(dequant(qt))
+            out = np.asarray(int8_matmul(
+                jnp.asarray(x), qt.q, qt.scale, interpret=True))
+            rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
+            assert rel < 1e-5, (M, K, N, rel)
+
+    def test_per_tensor_scale(self):
+        import jax.numpy as jnp
+        from whisper_apr_tpu.ops.int8_matmul import int8_matmul
+        rng = np.random.default_rng(1)
+        x = rng.normal(size=(8, 64)).astype(np.float32)
+        w = rng.normal(size=(64, 100)).astype(np.float32)
+        qt = quantize_int8(w, per_channel=False)
+        ref = x @ np.asarray(dequant(qt))
+        out = np.asarray(int8_matmul(jnp.asarray(x), qt.q, qt.scale,
+                                     interpret=True))
+        assert np.abs(out - ref).max() / np.abs(ref).max() < 1e-5
+
+    def test_linear_wrapper(self):
+        import jax.numpy as jnp
+        from whisper_apr_tpu.ops.int8_matmul import linear_int8
+        rng = np.random.default_rng(2)
+        x = rng.normal(size=(2, 3, 64)).astype(np.float32)
+        w = rng.normal(size=(64, 100)).astype(np.float32)
+        b = rng.normal(size=(100,)).astype(np.float32)
+        qt = quantize_int8(w, per_channel=True)
+        ref = x @ np.asarray(dequant(qt)) + b
+        out = np.asarray(linear_int8(jnp.asarray(x), qt, jnp.asarray(b),
+                                     interpret=True))
+        assert np.abs(out - ref).max() / np.abs(ref).max() < 1e-5

@@ -60,6 +60,13 @@ def linear(x: jnp.ndarray, w, b: Optional[jnp.ndarray] = None,
     from .quant import dequant, is_quantized
     if is_quantized(w):
         from . import int4_matmul as i4
+        from . import int8_matmul as i8
+        if (not w.int4) and i8.USE_PALLAS_INT8 and \
+                jax.default_backend() not in ("cpu",):
+            # fused Pallas int8 dequant-matmul: the convert happens in VMEM
+            # so HBM traffic stays at the int8 bytes (XLA materializes a
+            # converted weight buffer instead)
+            return i8.linear_int8(x, w, b)
         if w.int4 and i4.USE_PALLAS_INT4 and \
                 jax.default_backend() not in ("cpu",):
             # fused Pallas dequant-matmul (opt-in): measured VPU-bound on

@@ -244,3 +244,29 @@ class TestSlidingWarmUp:
         b = SlidingKVCache(params, enc, cfg, scfg)
         b.warm_up(a)
         assert b.tokens_seen == 0
+
+
+class TestPagedDecode:
+    def test_generate_paged_matches_dense_greedy(self, setup, cfg):
+        """Paged greedy must equal the dense on-device greedy
+        (reference: decoder.rs:2068 generate_paged)."""
+        from whisper_apr_tpu.model.decoder import greedy_generate
+        from whisper_apr_tpu.model.kv_variants import (
+            PAGE_SIZE, PagedKVCache, generate_paged)
+        params, enc = setup
+        eot = cfg.n_vocab - 1
+        prompt = [5, 6, 7]
+        bias = jnp.zeros(cfg.n_vocab, jnp.float32)
+        dense, dense_len = greedy_generate(
+            params, enc[:1], jnp.asarray(np.asarray(prompt, np.int32)[None]),
+            bias, eot=eot, config=cfg, max_len=12, prompt_len=3,
+            fidelity=True)
+        dense_seq = np.asarray(dense)[0, : int(np.asarray(dense_len)[0])]
+
+        paged = PagedKVCache(cfg, n_pages=8)
+        toks = generate_paged(params, enc[:1], prompt, paged, seq_id=0,
+                              eot=eot, config=cfg, max_tokens=12,
+                              suppress_bias=bias)
+        assert toks == dense_seq.tolist()
+        # pages were released
+        assert paged.free_pages == 8

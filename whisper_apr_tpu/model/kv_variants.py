@@ -384,6 +384,24 @@ class PagedKVCache:
         self.k_pool = self.k_pool.at[:, page, off].set(layer_k)
         self.v_pool = self.v_pool.at[:, page, off].set(layer_v)
 
+    def gather_layer(self, seq_id: int, layer: int,
+                     upto: Optional[int] = None
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """One layer's K/V [n, D] for a sequence (first ``upto`` tokens)."""
+        pages = self._tables.get(seq_id)
+        if pages is None:
+            raise InferenceError(f"unknown sequence {seq_id}")
+        n = self._lengths[seq_id] if upto is None else min(
+            upto, self._lengths[seq_id])
+        if n == 0:
+            D = self.k_pool.shape[-1]
+            z = jnp.zeros((0, D), self.k_pool.dtype)
+            return z, z
+        idx = jnp.asarray(pages, dtype=jnp.int32)
+        k = self.k_pool[layer, idx].reshape(-1, self.k_pool.shape[-1])[:n]
+        v = self.v_pool[layer, idx].reshape(-1, self.v_pool.shape[-1])[:n]
+        return k, v
+
     def gather(self, seq_id: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Materialize a sequence's K/V [L, len, D] from its pages."""
         pages = self._tables.get(seq_id)
@@ -396,3 +414,110 @@ class PagedKVCache:
         v = self.v_pool[:, idx].reshape(self.v_pool.shape[0], -1,
                                         self.v_pool.shape[-1])[:, :n]
         return k, v
+
+
+# ---------------------------------------------------------------------------
+# Paged decoding (reference: decoder.rs:1930 forward_one_paged /
+# :2068 generate_paged)
+# ---------------------------------------------------------------------------
+
+def paged_decode_step(params: dict, token: int, pos: int,
+                      paged: "PagedKVCache", seq_id: int,
+                      cross_k: jnp.ndarray, cross_v: jnp.ndarray,
+                      config: ModelConfig,
+                      compute_dtype: jnp.dtype = jnp.float32) -> jnp.ndarray:
+    """One decode step over the PAGED pool for a single sequence.
+
+    Per layer: project K/V for the new token, write them into the sequence's
+    pages, and attend over the gathered page contents. Python layer loop
+    (like the reference's per-layer forward_one_paged) — the correctness
+    companion to the dense fused path, sharing the page-table layout a
+    future Pallas paged-attention kernel will consume.
+    """
+    from .traced import _layer_slice
+    from .decoder import project_to_vocab
+
+    dec = params["decoder"]
+    from ..ops.quant import is_quantized
+    emb = dec["token_emb"]
+    if is_quantized(emb):
+        scale = emb.scale.astype(compute_dtype)
+        while scale.ndim > 1:
+            scale = scale[0]
+        tok = emb.q[token].astype(compute_dtype) * scale
+    else:
+        tok = emb[token].astype(compute_dtype)
+    x = (tok + dec["pos_emb"][pos].astype(compute_dtype))[None, None, :]
+
+    paged.extend(seq_id, 1)
+    n_heads = config.n_text_head
+    k_all, v_all = [], []
+
+    blocks = dec["blocks"]
+    for li in range(config.n_text_layer):
+        blk = _layer_slice(blocks, li)
+        h = layer_norm(x, blk["ln1"]["w"], blk["ln1"]["b"])
+        sa = blk["self_attn"]
+        q = _attn_proj(h, sa, "q")
+        k_new = _attn_proj(h, sa, "k")[0, 0]
+        v_new = _attn_proj(h, sa, "v")[0, 0]
+        k_all.append(k_new)
+        v_all.append(v_new)
+        # write this layer lazily after the loop (one pool update)
+        # attention needs K/V up to and including this token:
+        k_hist, v_hist = paged.gather_layer(seq_id, li, upto=pos)
+        k_seq = jnp.concatenate([k_hist, k_new[None]], axis=0)[None]
+        v_seq = jnp.concatenate([v_hist, v_new[None]], axis=0)[None]
+        attn = mha(q, k_seq.astype(compute_dtype),
+                   v_seq.astype(compute_dtype), n_heads)
+        x = x + linear(attn, sa["o_w"], sa["o_b"])
+
+        h = layer_norm(x, blk["ln2"]["w"], blk["ln2"]["b"])
+        ca = blk["cross_attn"]
+        q = _attn_proj(h, ca, "q")
+        attn = mha(q, cross_k[li][None], cross_v[li][None], n_heads)
+        x = x + linear(attn, ca["o_w"], ca["o_b"])
+
+        h = layer_norm(x, blk["ln3"]["w"], blk["ln3"]["b"])
+        h = linear(gelu(linear(h, blk["fc1"]["w"], blk["fc1"]["b"])),
+                   blk["fc2"]["w"], blk["fc2"]["b"])
+        x = x + h
+
+    paged.write_token(seq_id, jnp.stack(k_all), jnp.stack(v_all), pos)
+    x = layer_norm(x, dec["ln_post"]["w"], dec["ln_post"]["b"])
+    return project_to_vocab(params, x[:, 0, :])
+
+
+def generate_paged(params: dict, enc_out: jnp.ndarray, prompt,
+                   paged: "PagedKVCache", seq_id: int, eot: int,
+                   config: ModelConfig, max_tokens: int = 448,
+                   suppress_bias=None,
+                   compute_dtype: jnp.dtype = jnp.float32):
+    """Greedy decode for one sequence over the paged pool
+    (reference: decoder.rs:2068 generate_paged)."""
+    from .decoder import precompute_cross_kv
+    cross_k, cross_v = precompute_cross_kv(
+        params, enc_out.astype(compute_dtype))
+    cross_k, cross_v = cross_k[:, 0], cross_v[:, 0]
+
+    paged.alloc(seq_id, n_tokens=0)
+    tokens = [int(t) for t in prompt]
+    try:
+        for pos, t in enumerate(tokens):
+            logits = paged_decode_step(params, t, pos, paged, seq_id,
+                                       cross_k, cross_v, config,
+                                       compute_dtype)
+        while len(tokens) < max_tokens:
+            biased = logits[0]
+            if suppress_bias is not None:
+                biased = biased + suppress_bias
+            nxt = int(jnp.argmax(biased))
+            tokens.append(nxt)
+            if nxt == eot:
+                break
+            logits = paged_decode_step(params, nxt, len(tokens) - 1, paged,
+                                       seq_id, cross_k, cross_v, config,
+                                       compute_dtype)
+    finally:
+        paged.free(seq_id)
+    return tokens

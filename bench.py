@@ -62,7 +62,7 @@ def main() -> None:
     batch = jnp.asarray(pad_audio_batch([audio], 480_000))
 
     def pipeline():
-        tokens, lengths = fused_transcribe_step(
+        tokens, lengths, _, _ = fused_transcribe_step(
             params, batch, fb._window, fb._basis, fb._filters_t,
             prompt, bias, 50257, cfg, max_len=max_len, prompt_len=prompt_len,
             compute_dtype=compute_dtype)

@@ -31,10 +31,10 @@ def test_beam1_equals_greedy(cfg, setup):
     eot = cfg.n_vocab - 1
     prompt = jnp.asarray(np.full((2, 3), 5, np.int32))
     bias = jnp.zeros(cfg.n_vocab, dtype=jnp.float32)
-    g_tokens, g_len = greedy_generate(
+    g_tokens, g_len, _, _ = greedy_generate(
         params, enc, prompt, bias, eot=eot, config=cfg, max_len=16,
         prompt_len=3, fidelity=True)
-    b_tokens, b_len = beam_generate(
+    b_tokens, b_len, _, _ = beam_generate(
         params, enc, prompt, bias, eot=eot, config=cfg, beam_size=1,
         max_len=16, prompt_len=3, fidelity=True)
     assert np.array_equal(np.asarray(g_tokens), np.asarray(b_tokens))
@@ -60,10 +60,10 @@ def test_beam_score_at_least_greedy(cfg, setup):
             lp += row[tokens[i + 1]]
         return lp
 
-    g_tokens, g_len = greedy_generate(
+    g_tokens, g_len, _, _ = greedy_generate(
         params, enc, prompt, bias, eot=eot, config=cfg, max_len=12,
         prompt_len=3, fidelity=True)
-    b_tokens, b_len = beam_generate(
+    b_tokens, b_len, _, _ = beam_generate(
         params, enc, prompt, bias, eot=eot, config=cfg, beam_size=4,
         max_len=12, prompt_len=3, fidelity=True)
     g = np.asarray(g_tokens)[0]
@@ -78,7 +78,7 @@ def test_nbest_ordering(cfg, setup):
     eot = cfg.n_vocab - 1
     prompt = jnp.asarray(np.full((1, 3), 5, np.int32))
     bias = jnp.zeros(cfg.n_vocab, dtype=jnp.float32)
-    tokens, lengths = beam_generate(
+    tokens, lengths, _, _ = beam_generate(
         params, enc[:1], prompt, bias, eot=eot, config=cfg, beam_size=4,
         max_len=12, prompt_len=3, fidelity=True, return_nbest=True)
     assert tokens.shape == (1, 4, 12)
@@ -95,7 +95,7 @@ def test_forced_eot_completes_all(cfg, setup):
     bias[eot] = 0.0
     bias[7] = 0.0  # leave one ordinary token available
     prompt = jnp.asarray(np.full((2, 3), 5, np.int32))
-    tokens, lengths = beam_generate(
+    tokens, lengths, _, _ = beam_generate(
         params, enc, prompt, jnp.asarray(bias), eot=eot, config=cfg,
         beam_size=3, max_len=10, prompt_len=3)
     # every sequence terminates with EOT well before max_len

@@ -55,7 +55,7 @@ class TestDecoderFuzz:
         enc = encode_jit(params, jnp.asarray(mel), cfg)
         prompt = jnp.asarray(np.full((1, 3), 5, np.int32))
         bias = jnp.zeros(cfg.n_vocab, jnp.float32)
-        tokens, lengths = greedy_generate(
+        tokens, lengths, _, _ = greedy_generate(
             params, enc, prompt, bias, eot=cfg.n_vocab - 1, config=cfg,
             max_len=16, prompt_len=3)
         assert (np.asarray(lengths) <= 16).all()

@@ -101,7 +101,7 @@ class TestHfParity:
                 done |= nxt == eot
 
         bias = jnp.zeros(cfg.n_vocab, dtype=jnp.float32)
-        ours, lengths = greedy_generate(
+        ours, lengths, _, _ = greedy_generate(
             params, enc_out, jnp.asarray(prompt.astype(np.int32)), bias,
             eot=eot, config=cfg, max_len=max_len, prompt_len=3, fidelity=True)
         ours = np.asarray(ours)
@@ -149,7 +149,7 @@ class TestGreedySemantics:
         bias = np.full(cfg.n_vocab, np.finfo(np.float32).min, np.float32)
         bias[eot] = 0.0
         prompt = jnp.asarray(np.full((2, 3), 5, np.int32))
-        tokens, lengths = greedy_generate(
+        tokens, lengths, _, _ = greedy_generate(
             params, enc_out, prompt, jnp.asarray(bias), eot=eot, config=cfg,
             max_len=16, prompt_len=3)
         tokens = np.asarray(tokens)
@@ -164,7 +164,7 @@ class TestGreedySemantics:
         bias = np.zeros(cfg.n_vocab, np.float32)
         bias[eot] = np.finfo(np.float32).min
         prompt = jnp.asarray(np.full((2, 3), 5, np.int32))
-        tokens, lengths = greedy_generate(
+        tokens, lengths, _, _ = greedy_generate(
             params, enc_out, prompt, jnp.asarray(bias), eot=eot, config=cfg,
             max_len=12, prompt_len=3)
         assert (np.asarray(lengths) == 12).all()

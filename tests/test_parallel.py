@@ -93,7 +93,7 @@ class TestMesh:
         bias = jnp.zeros(cfg.n_vocab, jnp.float32)
 
         enc = encode(params, jnp.asarray(mel), cfg)
-        ref, ref_len = greedy_generate(params, enc, prompt, bias, eot=eot,
+        ref, ref_len, _, _ = greedy_generate(params, enc, prompt, bias, eot=eot,
                                        config=cfg, max_len=12, prompt_len=3)
 
         mesh = make_mesh(8, tp=2)
@@ -101,7 +101,7 @@ class TestMesh:
         smel = shard_batch(jnp.asarray(mel), mesh)
         with mesh:
             enc_s = encode(sp, smel, cfg)
-            out, out_len = greedy_generate(
+            out, out_len, _, _ = greedy_generate(
                 sp, enc_s, shard_batch(prompt, mesh),
                 replicate(bias, mesh), eot=eot, config=cfg,
                 max_len=12, prompt_len=3)

@@ -36,10 +36,10 @@ class TestSampleGenerate:
         eot = cfg.n_vocab - 1
         prompt = jnp.asarray(np.full((2, 3), 5, np.int32))
         bias = jnp.zeros(cfg.n_vocab, jnp.float32)
-        g, gl = greedy_generate(params, enc, prompt, bias, eot=eot,
+        g, gl, _, _ = greedy_generate(params, enc, prompt, bias, eot=eot,
                                 config=cfg, max_len=14, prompt_len=3,
                                 fidelity=True)
-        s, sl, lp = sample_generate(
+        s, sl, lp, _ = sample_generate(
             params, enc, prompt, bias, eot, jax.random.PRNGKey(0),
             config=cfg, max_len=14, prompt_len=3, temperature=0.0,
             fidelity=True)
@@ -53,13 +53,13 @@ class TestSampleGenerate:
         eot = cfg.n_vocab - 1
         prompt = jnp.asarray(np.full((2, 3), 5, np.int32))
         bias = jnp.zeros(cfg.n_vocab, jnp.float32)
-        a, _, _ = sample_generate(params, enc, prompt, bias, eot,
+        a, _, _, _ = sample_generate(params, enc, prompt, bias, eot,
                                   jax.random.PRNGKey(7), config=cfg,
                                   max_len=12, prompt_len=3, temperature=0.8)
-        b, _, _ = sample_generate(params, enc, prompt, bias, eot,
+        b, _, _, _ = sample_generate(params, enc, prompt, bias, eot,
                                   jax.random.PRNGKey(7), config=cfg,
                                   max_len=12, prompt_len=3, temperature=0.8)
-        c, _, _ = sample_generate(params, enc, prompt, bias, eot,
+        c, _, _, _ = sample_generate(params, enc, prompt, bias, eot,
                                   jax.random.PRNGKey(8), config=cfg,
                                   max_len=12, prompt_len=3, temperature=0.8)
         assert np.array_equal(np.asarray(a), np.asarray(b))
@@ -71,11 +71,11 @@ class TestSampleGenerate:
         prompt = jnp.asarray(np.full((1, 3), 5, np.int32))
         bias = jnp.zeros(cfg.n_vocab, jnp.float32)
         # top_k=1 at any temperature == greedy
-        s, _, _ = sample_generate(params, enc[:1], prompt, bias, eot,
+        s, _, _, _ = sample_generate(params, enc[:1], prompt, bias, eot,
                                   jax.random.PRNGKey(3), config=cfg,
                                   max_len=12, prompt_len=3, temperature=1.0,
                                   top_k=1, fidelity=True)
-        g, _ = greedy_generate(params, enc[:1], prompt, bias, eot=eot,
+        g, _, _, _ = greedy_generate(params, enc[:1], prompt, bias, eot=eot,
                                config=cfg, max_len=12, prompt_len=3,
                                fidelity=True)
         assert np.array_equal(np.asarray(s), np.asarray(g))
@@ -85,7 +85,7 @@ class TestSampleGenerate:
         eot = cfg.n_vocab - 1
         prompt = jnp.asarray(np.full((1, 3), 5, np.int32))
         bias = jnp.zeros(cfg.n_vocab, jnp.float32)
-        s, lengths, _ = sample_generate(
+        s, lengths, _, _ = sample_generate(
             params, enc[:1], prompt, bias, eot, jax.random.PRNGKey(1),
             config=cfg, max_len=12, prompt_len=3, temperature=0.9, top_p=0.9)
         assert (np.asarray(s) < cfg.n_vocab).all()
@@ -99,9 +99,27 @@ class TestQualityGates:
         assert compression_ratio(loop) > 2.4
 
     def test_needs_fallback(self):
-        assert needs_fallback("re" * 200, -10.0, 100)  # repetitive
-        assert needs_fallback("fine text", -500.0, 10)  # bad logprob
-        assert not needs_fallback("fine text here", -5.0, 10)
+        assert needs_fallback("re" * 200, -0.1, 100)  # repetitive
+        assert needs_fallback("fine text", -50.0, 10)  # bad avg logprob
+        assert not needs_fallback("fine text here", -0.5, 10)
+
+    def test_needs_fallback_entropy_gate(self):
+        # 32+ tokens of a 2-token loop: entropy ~ln 2 < 2.4 -> repetitive
+        loop_tokens = [5, 9] * 20
+        assert needs_fallback("some ok text", -0.5, 40,
+                              entropy_thold=2.4, tokens=loop_tokens)
+        varied = list(range(40))
+        assert not needs_fallback("some ok text", -0.5, 40,
+                                  entropy_thold=2.4, tokens=varied)
+
+    def test_silence_never_retries(self):
+        # high no-speech prob accepts the low-logprob result as-is
+        assert not needs_fallback("", -5.0, 1, no_speech_prob=0.9,
+                                  no_speech_thold=0.6)
+        from whisper_apr_tpu.inference.sampling import is_silence
+        assert is_silence(0.9, -5.0)
+        assert not is_silence(0.9, -0.2)   # confident text: keep it
+        assert not is_silence(0.1, -5.0)   # low ns prob: not silence
 
     def test_empty_text(self):
         assert compression_ratio("") == 0.0
@@ -155,3 +173,84 @@ class TestBestOf:
         assert len(batch.results) == 2
         for r in batch.results:
             assert all(t < cfg.n_vocab for t in r.tokens)
+
+
+class TestFallbackGates:
+    """whisper.cpp gate behavior at the engine level (deterministic via a
+    stubbed transcribe; the decode-metric plumbing is covered separately)."""
+
+    def _engine_with_scripted_results(self, cfg, setup, script):
+        hf, _, _ = setup
+        eng = WhisperApr.from_hf_model(hf, cfg, specials=small_specials(cfg))
+        calls = []
+
+        def fake_transcribe(audio, opts):
+            res = script[min(len(calls), len(script) - 1)]
+            calls.append(opts.temperature)
+            import dataclasses as dc
+            return dc.replace(res, temperature=opts.temperature)
+
+        eng.transcribe = fake_transcribe
+        return eng, calls
+
+    def test_silence_yields_empty_output(self, cfg, setup):
+        from whisper_apr_tpu.engine import TranscriptionResult
+        silent = TranscriptionResult(
+            text="thank you", language="en", segments=[], tokens=[1, 2, 3, 4, 5],
+            avg_logprob=-3.0, no_speech_prob=0.95)
+        eng, calls = self._engine_with_scripted_results(cfg, setup, [silent])
+        r = eng.transcribe_with_fallback(np.zeros(4000, np.float32))
+        # silence: no retry (one call) AND the hallucinated text is dropped
+        assert calls == [0.0]
+        assert r.text == ""
+        assert r.tokens == []
+        assert r.no_speech_prob == pytest.approx(0.95)
+
+    def test_low_logprob_retries_at_higher_temperature(self, cfg, setup):
+        from whisper_apr_tpu.engine import TranscriptionResult
+        bad = TranscriptionResult(
+            text="garbled", language="en", segments=[], tokens=[1, 2, 3, 4, 5],
+            avg_logprob=-4.0, no_speech_prob=0.05)
+        good = TranscriptionResult(
+            text="clean text", language="en", segments=[], tokens=[1, 2, 3, 4, 5],
+            avg_logprob=-0.2, no_speech_prob=0.05)
+        eng, calls = self._engine_with_scripted_results(cfg, setup, [bad, good])
+        r = eng.transcribe_with_fallback(np.zeros(4000, np.float32))
+        assert calls == [0.0, 0.2]  # retried exactly once
+        assert r.text == "clean text"
+        assert r.temperature == pytest.approx(0.2)
+
+    def test_compression_ratio_retries(self, cfg, setup):
+        from whisper_apr_tpu.engine import TranscriptionResult
+        loop = TranscriptionResult(
+            text="re" * 200, language="en", segments=[], tokens=[1, 2, 3, 4],
+            avg_logprob=-0.1, no_speech_prob=0.0)
+        ok = TranscriptionResult(
+            text="normal words", language="en", segments=[], tokens=[1, 2, 3, 4],
+            avg_logprob=-0.1, no_speech_prob=0.0)
+        eng, calls = self._engine_with_scripted_results(cfg, setup, [loop, ok])
+        r = eng.transcribe_with_fallback(np.zeros(4000, np.float32))
+        assert len(calls) == 2
+        assert r.text == "normal words"
+
+
+class TestDecodeMetricsPlumbing:
+    def test_metrics_populated_by_real_decode(self, cfg, setup):
+        hf, _, _ = setup
+        eng = WhisperApr.from_hf_model(hf, cfg, specials=small_specials(cfg))
+        audio = np.random.default_rng(3).normal(0, 0.1, 4000).astype(np.float32)
+        r = eng.transcribe(audio, TranscribeOptions(language="en", max_tokens=8))
+        # avg logprob of chosen tokens is a real log-probability
+        assert r.avg_logprob <= 0.0
+        assert np.isfinite(r.avg_logprob)
+        assert 0.0 <= r.no_speech_prob <= 1.0
+        assert r.compression_ratio >= 0.0
+
+    def test_metrics_populated_by_beam(self, cfg, setup):
+        hf, _, _ = setup
+        eng = WhisperApr.from_hf_model(hf, cfg, specials=small_specials(cfg))
+        audio = np.random.default_rng(4).normal(0, 0.1, 4000).astype(np.float32)
+        r = eng.transcribe(audio, TranscribeOptions(
+            language="en", strategy="beam", beam_size=2, max_tokens=8))
+        assert r.avg_logprob <= 0.0
+        assert 0.0 <= r.no_speech_prob <= 1.0

@@ -257,7 +257,7 @@ class TestPagedDecode:
         eot = cfg.n_vocab - 1
         prompt = [5, 6, 7]
         bias = jnp.zeros(cfg.n_vocab, jnp.float32)
-        dense, dense_len = greedy_generate(
+        dense, dense_len, _, _ = greedy_generate(
             params, enc[:1], jnp.asarray(np.asarray(prompt, np.int32)[None]),
             bias, eot=eot, config=cfg, max_len=12, prompt_len=3,
             fidelity=True)

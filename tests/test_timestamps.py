@@ -106,7 +106,7 @@ class TestGreedyWithTimestamps:
         params, enc = setup
         prompt = jnp.asarray(np.full((2, 3), 5, np.int32))
         bias = jnp.zeros(cfg.n_vocab, jnp.float32)
-        tokens, lengths = greedy_generate(
+        tokens, lengths, _, _ = greedy_generate(
             params, enc, prompt, bias, eot=cfg.n_vocab - 1, config=cfg,
             max_len=20, prompt_len=3, fidelity=True, timestamp_base=TS_BASE)
         tokens = np.asarray(tokens)

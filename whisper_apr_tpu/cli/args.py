@@ -54,7 +54,12 @@ def _add_decode_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--no-speech-thold", type=float, default=0.6,
                    help="whisper.cpp parity")
     p.add_argument("--threads", "-t", type=int, default=0,
-                   help="host threads (0 = auto)")
+                   help="host audio-loading threads (0 = auto)")
+    p.add_argument("--patience", type=float, default=1.0,
+                   help="beam-search patience factor (whisper.cpp parity)")
+    p.add_argument("--no-fallback", action="store_true",
+                   help="disable whisper.cpp temperature fallback "
+                        "(single decode, no quality-gated retries)")
     p.add_argument("--flash-attn", action="store_true",
                    help="use the Pallas flash-attention kernel")
 
@@ -88,7 +93,8 @@ def build_parser() -> argparse.ArgumentParser:
     _add_common_model_flags(p)
     _add_decode_flags(p)
     _add_output_flags(p)
-    p.add_argument("--processors", type=int, default=1, help="parity flag")
+    p.add_argument("--processors", type=int, default=0,
+                   help="max files per batched pipeline call (0 = all at once)")
 
     # stream (file-driven)
     p = sub.add_parser("stream", help="streaming transcription from a file")

@@ -59,9 +59,13 @@ def _options_from_args(args, task: str) -> TranscribeOptions:
         strategy=strategy,
         beam_size=getattr(args, "beam_size", 5) or 5,
         best_of=getattr(args, "best_of", 1) or 1,
+        patience=getattr(args, "patience", 1.0) or 1.0,
         temperature=getattr(args, "temperature", 0.0) or 0.0,
         max_tokens=getattr(args, "max_tokens", None),
         timestamps=not getattr(args, "no_timestamps", True),
+        logprob_thold=getattr(args, "logprob_thold", -1.0),
+        entropy_thold=getattr(args, "entropy_thold", 2.4),
+        no_speech_thold=getattr(args, "no_speech_thold", 0.6),
     )
 
 
@@ -71,7 +75,11 @@ def run_transcribe(args, task: str = "transcribe") -> int:
     t_load = time.time()
     audio = _load_audio(args.audio)
     opts = _options_from_args(args, task)
-    result = eng.transcribe_long(audio, opts)
+    # whisper.cpp default: temperature fallback with quality gates on
+    use_fallback = (not getattr(args, "no_fallback", False)
+                    and opts.strategy == "greedy"
+                    and opts.temperature == 0.0)
+    result = eng.transcribe_long(audio, opts, fallback=use_fallback)
     elapsed = time.time() - t_load
     out = format_result(result, args.output_format)
     if getattr(args, "output", None):
@@ -101,9 +109,25 @@ def run_batch(args) -> int:
         print("no input files", file=sys.stderr)
         return 1
     eng = _load_engine(args)
-    audios = [_load_audio(f) for f in files]
+    # --threads: parallel host-side WAV load/resample (the TPU analog of the
+    # reference's rayon file pool); --processors: files per pipeline call
+    n_threads = getattr(args, "threads", 0) or min(8, len(files))
+    if n_threads > 1 and len(files) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=n_threads) as pool:
+            audios = list(pool.map(_load_audio, files))
+    else:
+        audios = [_load_audio(f) for f in files]
     opts = _options_from_args(args, "transcribe")
-    batch = eng.transcribe_batch(audios, opts)
+    group = getattr(args, "processors", 0) or len(files)
+    results = []
+    total = 0.0
+    for i in range(0, len(audios), max(group, 1)):
+        part = eng.transcribe_batch(audios[i: i + group], opts)
+        results.extend(part.results)
+        total += part.total_duration_secs
+    from ..engine import BatchTranscriptionResult
+    batch = BatchTranscriptionResult(results, total)
     for path, result in zip(files, batch.results):
         base = os.path.splitext(path)[0]
         ext = "txt" if args.output_format == "txt" else args.output_format.split("-")[0]

@@ -60,9 +60,13 @@ class TranscribeOptions:
     top_k: Optional[int] = None
     top_p: Optional[float] = None
     seed: int = 0
-    # temperature-fallback quality gates (whisper.cpp parity)
+    # temperature-fallback quality gates (whisper.cpp parity:
+    # --logprob-thold / --entropy-thold / --no-speech-thold,
+    # reference: src/cli/args.rs:160-410)
     logprob_thold: float = -1.0
     compression_ratio_thold: float = 2.4
+    entropy_thold: float = 2.4
+    no_speech_thold: float = 0.6
 
 
 @dataclasses.dataclass
@@ -74,6 +78,11 @@ class TranscriptionResult:
     segments: List[Segment]
     tokens: List[int] = dataclasses.field(default_factory=list)
     words: List = dataclasses.field(default_factory=list)  # WordTimestamp
+    # whisper.cpp quality-gate signals
+    avg_logprob: float = 0.0
+    no_speech_prob: float = 0.0
+    compression_ratio: float = 0.0
+    temperature: float = 0.0
 
 
 @dataclasses.dataclass
@@ -235,17 +244,47 @@ class WhisperApr:
         """Transcribe one clip (reference: src/lib.rs:364)."""
         return self.transcribe_batch([audio], options).results[0]
 
+    def _needs_retry(self, result: TranscriptionResult,
+                     options: TranscribeOptions) -> bool:
+        from .inference.sampling import needs_fallback
+        prompt_n = len(self.get_initial_tokens(
+            result.language or "en", options.task, options.timestamps))
+        gen = max(len(result.tokens) - prompt_n, 1)  # generated incl. EOT
+        return needs_fallback(
+            result.text, result.avg_logprob, gen,
+            logprob_thold=options.logprob_thold,
+            compression_thold=options.compression_ratio_thold,
+            entropy_thold=options.entropy_thold,
+            tokens=result.tokens,
+            no_speech_prob=result.no_speech_prob,
+            no_speech_thold=options.no_speech_thold)
+
+    def _skip_if_silence(self, result: TranscriptionResult,
+                         options: TranscribeOptions) -> TranscriptionResult:
+        from .inference.sampling import is_silence
+        if is_silence(result.no_speech_prob, result.avg_logprob,
+                      no_speech_thold=options.no_speech_thold,
+                      logprob_thold=options.logprob_thold):
+            # segment skipped as silence (OpenAI should_skip rule)
+            return dataclasses.replace(
+                result, text="", segments=[], tokens=[], words=[])
+        return result
+
     def transcribe_with_fallback(self, audio: np.ndarray,
                                  options: Optional[TranscribeOptions] = None,
                                  temperatures: Sequence[float] = (
                                      0.0, 0.2, 0.4, 0.6, 0.8, 1.0)
                                  ) -> TranscriptionResult:
         """whisper.cpp-style temperature fallback: retry at increasing
-        temperature until the quality gates pass (avg logprob and
-        compression-ratio thresholds; reference flags at src/cli/args.rs
-        --logprob-thold/--entropy-thold)."""
-        from .inference.sampling import (
-            compression_ratio, needs_fallback, sample_generate)
+        temperature until the quality gates pass (avg logprob, compression
+        ratio, token entropy; reference flags at src/cli/args.rs
+        --logprob-thold/--entropy-thold/--no-speech-thold).
+
+        Silence handling (OpenAI decode_with_fallback + transcribe loop):
+        high no-speech probability never retries, and if additionally the
+        average logprob is below the threshold the segment is skipped —
+        the result comes back with empty text.
+        """
         options = options or TranscribeOptions()
         result = None
         for t in temperatures:
@@ -253,13 +292,40 @@ class WhisperApr:
                 options, temperature=t,
                 strategy="greedy" if t == 0.0 else "sampling")
             result = self.transcribe(audio, opts)
-            gen = len(result.tokens)
-            if not needs_fallback(
-                    result.text, 0.0 if t == 0 else 0.0, max(gen, 1),
-                    logprob_thold=-1e9,  # logprob gate needs sampling path
-                    compression_thold=options.compression_ratio_thold):
-                return result
-        return result
+            if not self._needs_retry(result, options):
+                break
+        return self._skip_if_silence(result, options) if result else result
+
+    def transcribe_batch_with_fallback(
+            self, audios: Sequence[np.ndarray],
+            options: Optional[TranscribeOptions] = None,
+            temperatures: Sequence[float] = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0)
+            ) -> BatchTranscriptionResult:
+        """Batched temperature fallback: the whole batch decodes at t=0 in
+        one pipeline call; only gate-failing items re-decode at each higher
+        temperature (whisper.cpp's per-segment fallback, batched)."""
+        t0 = time.time()
+        options = options or TranscribeOptions()
+        first = dataclasses.replace(
+            options, temperature=temperatures[0],
+            strategy="greedy" if temperatures[0] == 0.0 else "sampling")
+        results = list(self.transcribe_batch(audios, first).results)
+        pending = [i for i, r in enumerate(results)
+                   if self._needs_retry(r, options)]
+        for t in temperatures[1:]:
+            if not pending:
+                break
+            opts = dataclasses.replace(options, temperature=t,
+                                       strategy="sampling")
+            retry = self.transcribe_batch([audios[i] for i in pending], opts)
+            still = []
+            for i, r in zip(pending, retry.results):
+                results[i] = r
+                if self._needs_retry(r, options):
+                    still.append(i)
+            pending = still
+        results = [self._skip_if_silence(r, options) for r in results]
+        return BatchTranscriptionResult(results, time.time() - t0)
 
     def transcribe_batch(self, audios: Sequence[np.ndarray],
                          options: Optional[TranscribeOptions] = None
@@ -288,8 +354,10 @@ class WhisperApr:
 
         suppressor = WhisperTokenSuppressor(
             suppress_timestamps=not (options.timestamps or options.word_timestamps),
-            n_vocab=self.config.n_vocab)
+            n_vocab=self.config.n_vocab, tokens=self.specials)
         bias = jnp.asarray(suppressor.bias())
+        ns_id = (self.specials.no_speech
+                 if self.specials.no_speech < self.config.n_vocab else -1)
 
         max_tokens = options.max_tokens or self.config.n_text_ctx
         max_tokens = min(max_tokens, self.config.n_text_ctx)
@@ -310,32 +378,38 @@ class WhisperApr:
                 B = enc.shape[0]
                 enc_rep = jnp.repeat(enc, n_best, axis=0)
                 prompt_rep = jnp.repeat(prompt, n_best, axis=0)
-                toks, lens, lps = sample_generate(
+                res = sample_generate(
                     self.params, enc_rep, prompt_rep, bias,
                     self.specials.eot, key, self.config,
                     max_len=max_tokens, prompt_len=len(prompt_list),
                     temperature=options.temperature,
                     top_k=options.top_k, top_p=options.top_p,
                     compute_dtype=self._compute_dtype,
-                    fidelity=self._fidelity)
-                toks = toks.reshape(B, n_best, -1)
-                lens = lens.reshape(B, n_best)
+                    fidelity=self._fidelity, no_speech=ns_id)
+                toks = res.tokens.reshape(B, n_best, -1)
+                lens = res.lengths.reshape(B, n_best)
                 gen_len = jnp.maximum(
                     lens - len(prompt_list), 1).astype(jnp.float32)
-                avg_lp = lps.reshape(B, n_best) / gen_len
+                avg_lp = res.sum_logprob.reshape(B, n_best) / gen_len
                 best = jnp.argmax(avg_lp, axis=1)
                 tokens = jnp.take_along_axis(
                     toks, best[:, None, None], axis=1)[:, 0]
                 lengths = jnp.take_along_axis(lens, best[:, None], axis=1)[:, 0]
+                sum_lp = jnp.take_along_axis(
+                    res.sum_logprob.reshape(B, n_best), best[:, None],
+                    axis=1)[:, 0]
+                ns_prob = res.no_speech_prob.reshape(B, n_best)[:, 0]
             else:
-                tokens, lengths, _ = sample_generate(
+                res = sample_generate(
                     self.params, enc, prompt, bias, self.specials.eot, key,
                     self.config, max_len=max_tokens,
                     prompt_len=len(prompt_list),
                     temperature=options.temperature,
                     top_k=options.top_k, top_p=options.top_p,
                     compute_dtype=self._compute_dtype,
-                    fidelity=self._fidelity)
+                    fidelity=self._fidelity, no_speech=ns_id)
+                tokens, lengths = res.tokens, res.lengths
+                sum_lp, ns_prob = res.sum_logprob, res.no_speech_prob
         elif options.strategy == "beam":
             from .inference.beam import beam_generate
             mels = jnp.stack([
@@ -343,11 +417,14 @@ class WhisperApr:
                     a, n_frames=2 * self.config.n_audio_ctx)
                 for a in audios])
             enc = self.encode(mels)
-            tokens, lengths = beam_generate(
+            res = beam_generate(
                 self.params, enc, prompt, bias, self.specials.eot, self.config,
                 beam_size=options.beam_size, patience=options.patience,
                 max_len=max_tokens, prompt_len=len(prompt_list),
-                compute_dtype=self._compute_dtype, fidelity=self._fidelity)
+                compute_dtype=self._compute_dtype, fidelity=self._fidelity,
+                no_speech=ns_id)
+            tokens, lengths = res.tokens, res.lengths
+            sum_lp, ns_prob = res.sum_logprob, res.no_speech_prob
         else:
             # hot path: mel+encode+greedy fused into ONE executable
             from .pipeline import fused_transcribe_step, pad_audio_batch
@@ -358,16 +435,21 @@ class WhisperApr:
                        if options.timestamps
                        and self.specials.timestamp_base < self.config.n_vocab
                        else -1)
-            tokens, lengths = fused_transcribe_step(
+            res = fused_transcribe_step(
                 self.params, batch, fb._window, fb._basis, fb._filters_t,
                 prompt, bias, self.specials.eot, self.config,
                 max_len=max_tokens, prompt_len=len(prompt_list),
                 compute_dtype=self._compute_dtype, fidelity=self._fidelity,
-                timestamp_base=ts_base)
+                timestamp_base=ts_base, no_speech=ns_id)
+            tokens, lengths = res.tokens, res.lengths
+            sum_lp, ns_prob = res.sum_logprob, res.no_speech_prob
 
         tokens_np = np.asarray(tokens)
         lengths_np = np.asarray(lengths)
+        sum_lp_np = np.asarray(sum_lp, dtype=np.float64)
+        ns_prob_np = np.asarray(ns_prob, dtype=np.float64)
 
+        from .inference.sampling import compression_ratio
         results = []
         for i in range(len(audios)):
             toks = tokens_np[i, : lengths_np[i]].tolist()
@@ -383,7 +465,11 @@ class WhisperApr:
                 segments = [Segment(0.0, len(audios[i]) / SAMPLE_RATE,
                                     text, gen)] if text.strip() else []
             results.append(TranscriptionResult(
-                text=text.strip(), language=lang, segments=segments, tokens=toks))
+                text=text.strip(), language=lang, segments=segments, tokens=toks,
+                avg_logprob=float(sum_lp_np[i] / max(len(gen), 1)),
+                no_speech_prob=float(ns_prob_np[i]),
+                compression_ratio=compression_ratio(text.strip()),
+                temperature=options.temperature))
 
         if options.word_timestamps:
             self._attach_word_timestamps(results, audios)
@@ -455,7 +541,8 @@ class WhisperApr:
 
     def transcribe_long(self, audio: np.ndarray,
                         options: Optional[TranscribeOptions] = None,
-                        overlap_seconds: float = 1.0) -> TranscriptionResult:
+                        overlap_seconds: float = 1.0,
+                        fallback: bool = False) -> TranscriptionResult:
         """Transcribe audio of ANY length by 30 s chunking with overlap.
 
         The reference caps transcribe at one 30 s window (src/lib.rs:407
@@ -468,12 +555,14 @@ class WhisperApr:
         audio = np.asarray(audio, dtype=np.float32)
         window = 2 * self.config.n_audio_ctx * 160
         if len(audio) <= window:
-            return self.transcribe(audio, options)
+            return (self.transcribe_with_fallback(audio, options) if fallback
+                    else self.transcribe(audio, options))
         # overlap must stay well under the window or chunking degenerates
         overlap = min(int(overlap_seconds * SAMPLE_RATE), window // 4)
         chunks = split_into_chunks(audio, chunk_samples=window,
                                    overlap_samples=overlap)
-        batch = self.transcribe_batch(chunks, options)
+        batch = (self.transcribe_batch_with_fallback(chunks, options)
+                 if fallback else self.transcribe_batch(chunks, options))
         step = (window - overlap) / SAMPLE_RATE
         texts, segs, toks = [], [], []
         for i, r in enumerate(batch.results):

@@ -29,7 +29,8 @@ import jax
 import jax.numpy as jnp
 
 from ..config import ModelConfig
-from ..model.decoder import KVCache, decode_step, init_cache, prefill
+from ..model.decoder import (DecodeResult, KVCache, _no_speech_prob,
+                             decode_step, init_cache, prefill)
 
 _HIGHEST = jax.lax.Precision.HIGHEST
 NEG = jnp.float32(-1e30)
@@ -43,7 +44,7 @@ def _flatten_beams(x: jnp.ndarray) -> jnp.ndarray:
     jax.jit,
     static_argnames=("config", "beam_size", "max_len", "prompt_len",
                      "compute_dtype", "fidelity", "length_penalty",
-                     "return_nbest"))
+                     "return_nbest", "no_speech"))
 def beam_generate(params: dict, enc_out: jnp.ndarray, prompt: jnp.ndarray,
                   suppress_bias: jnp.ndarray, eot: int, config: ModelConfig,
                   beam_size: int = 5, patience: float = 1.0,
@@ -51,10 +52,16 @@ def beam_generate(params: dict, enc_out: jnp.ndarray, prompt: jnp.ndarray,
                   length_penalty: float = 1.0,
                   compute_dtype: jnp.dtype = jnp.float32,
                   fidelity: bool = False,
-                  return_nbest: bool = False
-                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Batched beam search. Returns (tokens [B, max_len], lengths [B]) for
-    the best hypothesis per batch item (or [B, K, ...] with return_nbest).
+                  return_nbest: bool = False,
+                  no_speech: int = -1) -> DecodeResult:
+    """Batched beam search. Returns a DecodeResult for the best hypothesis
+    per batch item (sum_logprob = the winning beam's raw cumulative score),
+    or per-beam [B, K, ...] arrays sorted by normalized score with
+    return_nbest (the on-device analog of decode_nbest, beam.rs:300).
+
+    Patience early-stop (beam.rs:278 should_stop_early): a batch item stops
+    when its best COMPLETED normalized score exceeds its worst ACTIVE
+    candidate's normalized score times ``patience``.
     """
     precision = _HIGHEST if fidelity else None
     B = enc_out.shape[0]
@@ -69,8 +76,12 @@ def beam_generate(params: dict, enc_out: jnp.ndarray, prompt: jnp.ndarray,
 
     prompt_rep = _flatten_beams(
         jnp.broadcast_to(prompt[:, None], (B, K, prompt_len))).astype(jnp.int32)
-    logits, cache = prefill(params, prompt_rep, enc_rep, cache, config,
-                            compute_dtype, precision)
+    logits_all, cache = prefill(params, prompt_rep, enc_rep, cache, config,
+                                compute_dtype, precision, all_logits=True)
+    # no-speech prob from beam 0 of each item (all beams identical here)
+    ns_prob = _no_speech_prob(
+        logits_all.reshape(B, K, prompt_len, V)[:, 0], no_speech)
+    logits = logits_all[:, -1, :]
 
     logp = jax.nn.log_softmax(logits.astype(jnp.float32) + suppress_bias[None, :])
     logp = logp.reshape(B, K, V)
@@ -87,13 +98,16 @@ def beam_generate(params: dict, enc_out: jnp.ndarray, prompt: jnp.ndarray,
     tokens = tokens.at[:, :, prompt_len].set(first_tokens)
     scores = top_scores  # [B, K]
     done = first_tokens == eot
+    # total hypothesis length (prompt + generated incl. EOT) at finish time;
+    # 0 = still active (resolved to the loop-exit length afterwards)
+    fin_len = jnp.where(done, jnp.int32(prompt_len + 1), 0)
 
     def cond(state):
-        pos, _, done, _, _ = state
+        pos, _, done, _, _, _ = state
         return jnp.logical_and(pos + 1 < max_len, ~jnp.all(done))
 
     def body(state):
-        pos, tokens, done, scores, cache = state
+        pos, tokens, done, scores, fin_len, cache = state
         tok = jax.lax.dynamic_slice(
             tokens, (0, 0, pos), (B, K, 1))[:, :, 0]  # [B, K]
         logits, cache = decode_step(
@@ -113,7 +127,8 @@ def beam_generate(params: dict, enc_out: jnp.ndarray, prompt: jnp.ndarray,
 
         # reorder beam-major state by src_beam
         tokens = jnp.take_along_axis(tokens, src_beam[:, :, None], axis=1)
-        done = jnp.take_along_axis(done, src_beam, axis=1)
+        was_done = jnp.take_along_axis(done, src_beam, axis=1)
+        fin_len = jnp.take_along_axis(fin_len, src_beam, axis=1)
 
         # reorder KV caches: [L, B*K, T, D] -> [L, B, K, T, D] gather
         def reorder(c):
@@ -128,19 +143,32 @@ def beam_generate(params: dict, enc_out: jnp.ndarray, prompt: jnp.ndarray,
 
         tokens = jax.lax.dynamic_update_slice(
             tokens, new_tok[:, :, None], (0, 0, pos + 1))
-        done = jnp.logical_or(done, new_tok == eot)
-        return pos + 1, tokens, done, new_scores, cache
+        done = jnp.logical_or(was_done, new_tok == eot)
+        fin_len = jnp.where((~was_done) & done, pos + 2, fin_len)
+
+        # patience early-stop (beam.rs:278): per item, stop when the best
+        # COMPLETED normalized score beats the worst ACTIVE candidate's
+        # normalized score * patience. Forced-stopped actives keep their
+        # current length, like the reference folding incomplete hypotheses
+        # into the completed pool.
+        lens_f = jnp.where(done, fin_len,
+                           pos + 2).astype(jnp.float32)
+        norm = new_scores / jnp.power(lens_f, length_penalty)
+        best_completed = jnp.max(jnp.where(done, norm, NEG), axis=1)
+        worst_active = jnp.min(jnp.where(done, -NEG, norm), axis=1)
+        stop = (jnp.any(done, axis=1) & jnp.any(~done, axis=1)
+                & (best_completed > worst_active * patience))
+        newly_stopped = stop[:, None] & ~done
+        fin_len = jnp.where(newly_stopped, pos + 2, fin_len)
+        done = done | stop[:, None]
+        return pos + 1, tokens, done, new_scores, fin_len, cache
 
     pos0 = jnp.int32(prompt_len)
-    _, tokens, done, scores, _ = jax.lax.while_loop(
-        cond, body, (pos0, tokens, done, scores, cache))
+    pos, tokens, done, scores, fin_len, _ = jax.lax.while_loop(
+        cond, body, (pos0, tokens, done, scores, fin_len, cache))
 
-    # lengths: first EOT at/after prompt_len, +1 (EOT counted, greedy parity)
-    idx = jnp.arange(max_len)[None, None, :]
-    is_eot = jnp.logical_and(tokens == eot, idx >= prompt_len)
-    has_eot = jnp.any(is_eot, axis=2)
-    first_eot = jnp.argmax(is_eot, axis=2)
-    lengths = jnp.where(has_eot, first_eot + 1, max_len)  # [B, K]
+    # active beams at loop exit: current total length (no EOT emitted)
+    lengths = jnp.where(fin_len > 0, fin_len, pos + 1)  # [B, K]
 
     # reference normalized score: score / len^length_penalty (beam.rs:45)
     norm = scores / jnp.power(lengths.astype(jnp.float32), length_penalty)
@@ -148,8 +176,10 @@ def beam_generate(params: dict, enc_out: jnp.ndarray, prompt: jnp.ndarray,
         order = jnp.argsort(-norm, axis=1)
         tokens = jnp.take_along_axis(tokens, order[:, :, None], axis=1)
         lengths = jnp.take_along_axis(lengths, order, axis=1)
-        return tokens, lengths
+        scores = jnp.take_along_axis(scores, order, axis=1)
+        return DecodeResult(tokens, lengths, scores, ns_prob)
     best = jnp.argmax(norm, axis=1)  # [B]
     tokens = jnp.take_along_axis(tokens, best[:, None, None], axis=1)[:, 0]
     lengths = jnp.take_along_axis(lengths, best[:, None], axis=1)[:, 0]
-    return tokens, lengths
+    scores = jnp.take_along_axis(scores, best[:, None], axis=1)[:, 0]
+    return DecodeResult(tokens, lengths, scores, ns_prob)

@@ -23,22 +23,31 @@ NEG_INF = float(np.finfo(np.float32).min)
 
 
 class WhisperTokenSuppressor:
-    """Builds the suppression bias (reference: processors.rs:40)."""
+    """Builds the suppression bias (reference: processors.rs:40).
+
+    Variant-aware: the id set derives from a ``SpecialTokens`` table so
+    English-only models (n_vocab=51864, every special id shifted by -1)
+    suppress the right slots. Default derives from ``n_vocab``.
+    """
 
     def __init__(self, suppress_timestamps: bool = True,
                  n_vocab: int = 51_865,
-                 extra_tokens: Optional[Iterable[int]] = None) -> None:
+                 extra_tokens: Optional[Iterable[int]] = None,
+                 tokens: Optional[st.SpecialTokens] = None) -> None:
+        tok = tokens if tokens is not None else st.SpecialTokens.for_vocab_size(n_vocab)
         ids: List[int] = [
-            st.SOT, st.NO_SPEECH, st.TRANSLATE, st.TRANSCRIBE,
-            st.PREV, st.SPEAKER_TURN, st.NO_TIMESTAMPS,
+            tok.sot, tok.no_speech, tok.translate, tok.transcribe,
+            tok.prev, tok.speaker_turn, tok.no_timestamps,
         ]
-        # all language tokens 50259..50357 (reference: processors.rs:74-77)
-        ids.extend(range(st.LANG_BASE, st.TRANSLATE))
+        # all language tokens (reference: processors.rs:74-77)
+        ids.extend(range(tok.lang_base, tok.translate))
         if extra_tokens:
             ids.extend(extra_tokens)
+        self.tokens = tok
         self.suppress_ids = ids
         self.suppress_timestamps = suppress_timestamps
         self.n_vocab = n_vocab
+        self._timestamp_base = tok.timestamp_base
 
     def add_suppression(self, token: int) -> None:
         if token not in self.suppress_ids:
@@ -51,7 +60,7 @@ class WhisperTokenSuppressor:
             if 0 <= t < self.n_vocab:
                 b[t] = NEG_INF
         if self.suppress_timestamps:
-            b[st.TIMESTAMP_BASE: self.n_vocab] = NEG_INF
+            b[self._timestamp_base: self.n_vocab] = NEG_INF
         return b
 
     def apply(self, logits: np.ndarray) -> np.ndarray:
@@ -61,13 +70,14 @@ class WhisperTokenSuppressor:
         for t in self.suppress_ids:
             if 0 <= t < n:
                 out[..., t] = -np.inf
-        if self.suppress_timestamps and st.TIMESTAMP_BASE < self.n_vocab:
-            out[..., st.TIMESTAMP_BASE: self.n_vocab] = -np.inf
+        if self.suppress_timestamps and self._timestamp_base < self.n_vocab:
+            out[..., self._timestamp_base: self.n_vocab] = -np.inf
         return out
 
 
 def suppression_bias(n_vocab: int, suppress_timestamps: bool = True,
-                     extra_tokens: Optional[Sequence[int]] = None) -> np.ndarray:
+                     extra_tokens: Optional[Sequence[int]] = None,
+                     tokens: Optional[st.SpecialTokens] = None) -> np.ndarray:
     """One-shot builder."""
     return WhisperTokenSuppressor(
-        suppress_timestamps, n_vocab, extra_tokens).bias()
+        suppress_timestamps, n_vocab, extra_tokens, tokens=tokens).bias()

@@ -22,7 +22,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import ModelConfig
-from ..model.decoder import KVCache, decode_step, init_cache, prefill
+from ..model.decoder import (DecodeResult, KVCache, _no_speech_prob,
+                             decode_step, init_cache, prefill)
 
 _HIGHEST = jax.lax.Precision.HIGHEST
 
@@ -55,26 +56,29 @@ def _pick(logits: jnp.ndarray, key, temperature: float,
 @functools.partial(
     jax.jit,
     static_argnames=("config", "max_len", "prompt_len", "temperature",
-                     "top_k", "top_p", "compute_dtype", "fidelity"))
+                     "top_k", "top_p", "compute_dtype", "fidelity",
+                     "no_speech"))
 def sample_generate(params: dict, enc_out: jnp.ndarray, prompt: jnp.ndarray,
                     suppress_bias: jnp.ndarray, eot: int, key,
                     config: ModelConfig, max_len: int = 448,
                     prompt_len: int = 4, temperature: float = 1.0,
                     top_k: Optional[int] = None, top_p: Optional[float] = None,
                     compute_dtype: jnp.dtype = jnp.float32,
-                    fidelity: bool = False
-                    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+                    fidelity: bool = False,
+                    no_speech: int = -1) -> DecodeResult:
     """Sampled decode, fully on device.
 
-    Returns (tokens [B, max_len], lengths [B], sum_logprob [B]) — the
-    log-prob sum covers generated tokens only, for fallback quality gates.
+    Returns a DecodeResult; sum_logprob covers generated tokens (incl. EOT)
+    and no_speech_prob is read at the SOT position for the silence gate.
     """
     precision = _HIGHEST if fidelity else None
     B = enc_out.shape[0]
     cache = init_cache(params, enc_out, config, max_len, precision,
                        compute_dtype)
-    logits, cache = prefill(params, prompt, enc_out, cache, config,
-                            compute_dtype, precision)
+    logits_all, cache = prefill(params, prompt, enc_out, cache, config,
+                                compute_dtype, precision, all_logits=True)
+    ns_prob = _no_speech_prob(logits_all, no_speech)
+    logits = logits_all[:, -1, :]
 
     tokens = jnp.full((B, max_len), eot, dtype=jnp.int32)
     tokens = jax.lax.dynamic_update_slice(tokens, prompt.astype(jnp.int32),
@@ -114,7 +118,7 @@ def sample_generate(params: dict, enc_out: jnp.ndarray, prompt: jnp.ndarray,
     has_eot = jnp.any(is_eot, axis=1)
     first_eot = jnp.argmax(is_eot, axis=1)
     lengths = jnp.where(has_eot, first_eot + 1, max_len)
-    return tokens, lengths, sum_lp
+    return DecodeResult(tokens, lengths, sum_lp, ns_prob)
 
 
 # ---------------------------------------------------------------------------
@@ -135,18 +139,55 @@ def avg_logprob(sum_logprob: float, n_tokens: int) -> float:
     return sum_logprob / max(n_tokens, 1)
 
 
-def needs_fallback(text: str, sum_lp: float, n_tokens: int,
+def token_entropy(tokens, window: int = 32) -> float:
+    """Shannon entropy of the token histogram over the last ``window``
+    generated tokens (whisper.cpp's --entropy-thold signal: repetition
+    loops collapse the distribution, driving entropy toward 0)."""
+    tokens = list(tokens)[-window:]
+    if not tokens:
+        return 0.0
+    counts = {}
+    for t in tokens:
+        counts[t] = counts.get(t, 0) + 1
+    n = len(tokens)
+    return -sum((c / n) * np.log(c / n) for c in counts.values())
+
+
+def needs_fallback(text: str, avg_lp: float, n_tokens: int,
                    logprob_thold: float = -1.0,
-                   compression_thold: float = 2.4) -> bool:
-    """Retry at higher temperature? (whisper.cpp decision rule:
-    avg_logprob < threshold OR compression_ratio > threshold)."""
+                   compression_thold: float = 2.4,
+                   entropy_thold: Optional[float] = None,
+                   tokens=None,
+                   no_speech_prob: float = 0.0,
+                   no_speech_thold: Optional[float] = None) -> bool:
+    """Retry at higher temperature? (whisper.cpp decision rule).
+
+    Fails on: compression_ratio > threshold (repetitive text),
+    avg_logprob < threshold (low confidence), or token entropy below the
+    entropy threshold (repetition loop, whisper.cpp --entropy-thold).
+    SILENCE never retries: if no_speech_prob exceeds its threshold the
+    low-logprob result is accepted as-is (OpenAI decode_with_fallback).
+    """
+    if no_speech_thold is not None and no_speech_prob > no_speech_thold:
+        return False
     if n_tokens == 0:
-        return True
-    if avg_logprob(sum_lp, n_tokens) < logprob_thold:
         return True
     if compression_ratio(text) > compression_thold:
         return True
+    if avg_lp < logprob_thold:
+        return True
+    if (entropy_thold is not None and tokens is not None
+            and len(tokens) >= 32
+            and token_entropy(tokens) < entropy_thold):
+        return True
     return False
+
+
+def is_silence(no_speech_prob: float, avg_lp: float,
+               no_speech_thold: float = 0.6,
+               logprob_thold: float = -1.0) -> bool:
+    """OpenAI's segment-skip rule: no-speech mass high AND confidence low."""
+    return no_speech_prob > no_speech_thold and avg_lp < logprob_thold
 
 
 DEFAULT_TEMPERATURES = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0)

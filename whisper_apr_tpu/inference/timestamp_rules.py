@@ -74,19 +74,28 @@ def apply_rules(logits: jnp.ndarray, state: TimestampState,
     mask = mask + jnp.where(
         pair[:, None] & is_ts[None, :], NEG, 0.0)
 
-    # rule 3: monotonic — suppress timestamps below the max emitted
-    below = ids[None, :] < state.max_ts[:, None]
+    # rule 3: monotonic + nonzero-length segments (OpenAI's
+    # ``timestamps[-1] + 1`` branch): immediately after a lone closing
+    # timestamp the pair partner may REPEAT it (mask ids < last); everywhere
+    # else the next timestamp must strictly increase (mask ids <= last).
+    # max_ts == 0 means no timestamp sampled yet -> no constraint.
+    has_ts = state.max_ts > 0
+    min_allowed = state.max_ts + jnp.where(lone, 0, 1).astype(jnp.int32)
+    below = ids[None, :] < jnp.where(has_ts, min_allowed, 0)[:, None]
     mask = mask + jnp.where(below & is_ts[None, :], NEG, 0.0)
 
     masked = logits + mask
 
-    # rule 4: if P(any timestamp) > max P(text), force a timestamp
+    # rule 4: if P(any timestamp) > max P(any non-timestamp incl. EOT),
+    # force a timestamp by masking ALL ids below timestamp_base (OpenAI:
+    # ``logits[k, : timestamp_begin] = -inf``).
+    below_ts = ids < timestamp_base                          # [V], incl. EOT
     logp = jax.nn.log_softmax(masked, axis=-1)
     ts_lse = jax.nn.logsumexp(
         jnp.where(is_ts[None, :], logp, NEG), axis=-1)       # [B]
-    text_max = jnp.max(jnp.where(is_text[None, :], logp, NEG), axis=-1)
+    text_max = jnp.max(jnp.where(below_ts[None, :], logp, NEG), axis=-1)
     force_ts = ts_lse > text_max
-    mask4 = jnp.where(force_ts[:, None] & is_text[None, :], NEG, 0.0)
+    mask4 = jnp.where(force_ts[:, None] & below_ts[None, :], NEG, 0.0)
     return masked + mask4
 
 

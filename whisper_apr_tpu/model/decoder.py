@@ -221,9 +221,12 @@ def decoder_forward(params: dict, tokens: jnp.ndarray, enc_out: jnp.ndarray,
 def prefill(params: dict, tokens: jnp.ndarray, enc_out: jnp.ndarray,
             cache: KVCache, config: ModelConfig,
             compute_dtype: jnp.dtype = jnp.float32,
-            precision=None) -> Tuple[jnp.ndarray, KVCache]:
+            precision=None, all_logits: bool = False
+            ) -> Tuple[jnp.ndarray, KVCache]:
     """Process the whole prompt in one forward, filling the self-KV cache
-    for positions ``[0, T)``. Returns (last-position logits [B, V], cache).
+    for positions ``[0, T)``. Returns (last-position logits [B, V], cache);
+    with ``all_logits`` the logits cover every prompt position [B, T, V]
+    (needed for the no-speech probability, read at the SOT position).
     """
     B, T = tokens.shape
     x = embed(params, tokens, 0, compute_dtype)
@@ -259,7 +262,8 @@ def prefill(params: dict, tokens: jnp.ndarray, enc_out: jnp.ndarray,
                   cache.cross_k, cache.cross_v))
     x = layer_norm(x, params["decoder"]["ln_post"]["w"],
                    params["decoder"]["ln_post"]["b"])
-    logits = project_to_vocab(params, x[:, -1, :], precision)
+    logits = project_to_vocab(params, x if all_logits else x[:, -1, :],
+                              precision)
     return logits, KVCache(new_k, new_v, cache.cross_k, cache.cross_v)
 
 
@@ -267,29 +271,63 @@ def prefill(params: dict, tokens: jnp.ndarray, enc_out: jnp.ndarray,
 # On-device greedy generation
 # ---------------------------------------------------------------------------
 
+class DecodeResult(NamedTuple):
+    """Decode output + the whisper.cpp quality-gate signals.
+
+    sum_logprob covers generated tokens (EOT included, prompt excluded) so
+    ``avg_logprob = sum_logprob / (lengths - prompt_len)`` matches OpenAI's
+    ``sum_logprobs / (len(tokens) + 1)``. no_speech_prob is the softmax mass
+    on the NO_SPEECH token at the SOT position (OpenAI ``probs_at_sot``);
+    zeros when no ``no_speech`` id was supplied.
+    """
+
+    tokens: jnp.ndarray        # [B, max_len] int32, EOT padded
+    lengths: jnp.ndarray       # [B] int32, prompt + generated incl. EOT
+    sum_logprob: jnp.ndarray   # [B] f32
+    no_speech_prob: jnp.ndarray  # [B] f32
+
+
+def _no_speech_prob(logits_all: jnp.ndarray, no_speech: int) -> jnp.ndarray:
+    """P(NO_SPEECH) at the SOT position from raw (unsuppressed) prompt
+    logits [B, T, V]; the suppressor would have -inf'd the token."""
+    if no_speech < 0:
+        return jnp.zeros(logits_all.shape[0], jnp.float32)
+    probs = jax.nn.softmax(logits_all[:, 0, :].astype(jnp.float32), axis=-1)
+    return probs[:, no_speech]
+
+
+def _chosen_logprob(biased_logits: jnp.ndarray, token: jnp.ndarray) -> jnp.ndarray:
+    """Log-prob of the chosen token under the distribution decoded from."""
+    logp = jax.nn.log_softmax(biased_logits.astype(jnp.float32), axis=-1)
+    return jnp.take_along_axis(logp, token[:, None].astype(jnp.int32),
+                               axis=1)[:, 0]
+
 def greedy_generate_body(params: dict, enc_out: jnp.ndarray, prompt: jnp.ndarray,
                          suppress_bias: jnp.ndarray, eot: int,
                          config: ModelConfig, max_len: int = 448,
                          prompt_len: int = 4,
                          compute_dtype: jnp.dtype = jnp.float32,
                          fidelity: bool = False,
-                         timestamp_base: int = -1
-                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                         timestamp_base: int = -1,
+                         no_speech: int = -1) -> DecodeResult:
     """Greedy decode, fully on device (reference semantics:
     src/inference/greedy.rs:119-143 — argmax until EOT, EOT appended, total
     length capped at ``max_len`` including the prompt; suppression applied
     to every step's logits, processors.rs:129).
 
     prompt: [B, prompt_len] int32; suppress_bias: [V] f32 (0 or -inf added
-    to logits). Returns (tokens [B, max_len] padded with EOT, lengths [B]).
+    to logits). ``no_speech`` (the NO_SPEECH token id, or -1 to skip) turns
+    on the no-speech probability read at the SOT position.
     """
     precision = _HIGHEST if fidelity else None
     B = enc_out.shape[0]
     cache = init_cache(params, enc_out, config, max_len,
                        precision, compute_dtype)
 
-    logits, cache = prefill(params, prompt, enc_out, cache, config,
-                            compute_dtype, precision)
+    logits_all, cache = prefill(params, prompt, enc_out, cache, config,
+                                compute_dtype, precision, all_logits=True)
+    ns_prob = _no_speech_prob(logits_all, no_speech)
+    logits = logits_all[:, -1, :]
 
     tokens = jnp.full((B, max_len), eot, dtype=jnp.int32)
     tokens = jax.lax.dynamic_update_slice(tokens, prompt.astype(jnp.int32), (0, 0))
@@ -308,6 +346,7 @@ def greedy_generate_body(params: dict, enc_out: jnp.ndarray, prompt: jnp.ndarray
     first = jnp.argmax(first_logits, axis=-1).astype(jnp.int32)
     tokens = tokens.at[:, prompt_len].set(first)
     done0 = first == eot
+    sum_lp0 = _chosen_logprob(first_logits, first)
     if use_ts:
         ts_state = tsr.update_state(ts_state, first, timestamp_base)
 
@@ -318,9 +357,9 @@ def greedy_generate_body(params: dict, enc_out: jnp.ndarray, prompt: jnp.ndarray
 
     def body(state):
         if use_ts:
-            pos, tokens, done, cache, ts = state
+            pos, tokens, done, sum_lp, cache, ts = state
         else:
-            pos, tokens, done, cache = state
+            pos, tokens, done, sum_lp, cache = state
         tok = jax.lax.dynamic_slice_in_dim(tokens, pos, 1, axis=1)[:, 0]
         logits, cache = decode_step(params, tok, pos, cache, config,
                                     compute_dtype, precision)
@@ -330,18 +369,20 @@ def greedy_generate_body(params: dict, enc_out: jnp.ndarray, prompt: jnp.ndarray
                                      is_first=jnp.zeros(B, bool))
         nxt = jnp.argmax(biased, axis=-1).astype(jnp.int32)
         nxt = jnp.where(done, jnp.int32(eot), nxt)
+        sum_lp = sum_lp + jnp.where(done, 0.0, _chosen_logprob(biased, nxt))
         tokens = jax.lax.dynamic_update_slice(
             tokens, nxt[:, None], (0, pos + 1))
         done = jnp.logical_or(done, nxt == eot)
         if use_ts:
-            return pos + 1, tokens, done, cache, tsr.update_state(
+            return pos + 1, tokens, done, sum_lp, cache, tsr.update_state(
                 ts, nxt, timestamp_base)
-        return pos + 1, tokens, done, cache
+        return pos + 1, tokens, done, sum_lp, cache
 
     pos0 = jnp.int32(prompt_len)
-    init = (pos0, tokens, done0, cache, ts_state) if use_ts else         (pos0, tokens, done0, cache)
+    init = ((pos0, tokens, done0, sum_lp0, cache, ts_state) if use_ts
+            else (pos0, tokens, done0, sum_lp0, cache))
     out_state = jax.lax.while_loop(cond, body, init)
-    tokens, done = out_state[1], out_state[2]
+    tokens, sum_lp = out_state[1], out_state[3]
 
     # length = index of first EOT after the prompt, + 1 (EOT included,
     # reference: greedy.rs:133-137), or max_len if none was produced
@@ -352,10 +393,10 @@ def greedy_generate_body(params: dict, enc_out: jnp.ndarray, prompt: jnp.ndarray
     has_eot = jnp.any(is_eot, axis=1)
     first_eot = jnp.argmax(is_eot, axis=1)
     lengths = jnp.where(has_eot, first_eot + 1, max_len)
-    return tokens, lengths
+    return DecodeResult(tokens, lengths, sum_lp, ns_prob)
 
 
 greedy_generate = functools.partial(
     jax.jit,
     static_argnames=("config", "max_len", "prompt_len", "compute_dtype",
-                     "fidelity", "timestamp_base"))(greedy_generate_body)
+                     "fidelity", "timestamp_base", "no_speech"))(greedy_generate_body)

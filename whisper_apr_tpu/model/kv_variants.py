@@ -22,6 +22,7 @@ TPU formulation: every variant keeps FIXED-shape arrays; "sliding" and
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -249,9 +250,10 @@ class SlidingKVCache:
             max(0, self.tokens_seen - self.sliding.window_size))
 
 
+@functools.partial(jax.jit, static_argnums=(5, 6, 7))
 def _sliding_step(params, token, slot, t, cache, config, window,
                   compute_dtype):
-    """One ring-buffer decode step (kept separate for jit caching)."""
+    """One jitted ring-buffer decode step (config/window/dtype static)."""
     dec = params["decoder"]
     from ..ops.quant import is_quantized
     emb = dec["token_emb"]

@@ -31,7 +31,7 @@ _HIGHEST = jax.lax.Precision.HIGHEST
 @functools.partial(
     jax.jit,
     static_argnames=("config", "max_len", "prompt_len", "compute_dtype",
-                     "fidelity", "timestamp_base"))
+                     "fidelity", "timestamp_base", "no_speech"))
 def fused_transcribe_step(params: dict, audio: jnp.ndarray,
                           window: jnp.ndarray, basis: jnp.ndarray,
                           filters_t: jnp.ndarray, prompt: jnp.ndarray,
@@ -40,9 +40,9 @@ def fused_transcribe_step(params: dict, audio: jnp.ndarray,
                           prompt_len: int,
                           compute_dtype: jnp.dtype = jnp.float32,
                           fidelity: bool = False,
-                          timestamp_base: int = -1
-                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """audio [B, n_samples] (pre-padded to a full window) -> (tokens, lengths).
+                          timestamp_base: int = -1,
+                          no_speech: int = -1):
+    """audio [B, n_samples] (pre-padded to a full window) -> DecodeResult.
 
     One XLA program: batched log-mel (vmapped, per-item normalization as in
     the reference), frame padding to 2*n_audio_ctx with -1.0, encoder, and
@@ -67,7 +67,7 @@ def fused_transcribe_step(params: dict, audio: jnp.ndarray,
         params, enc, prompt, suppress_bias, eot, config,
         max_len=max_len, prompt_len=prompt_len,
         compute_dtype=compute_dtype, fidelity=fidelity,
-        timestamp_base=timestamp_base)
+        timestamp_base=timestamp_base, no_speech=no_speech)
 
 
 def pad_audio_batch(audios, n_samples: int) -> np.ndarray:

@@ -261,7 +261,12 @@ class BpeTokenizer:
         return out
 
     def decode_with_options(self, tokens: Sequence[int], skip_special: bool = True) -> str:
-        """Decode, optionally dropping ids >= EOT (reference: mod.rs:180-205)."""
+        """Decode, optionally dropping ids >= EOT (reference: mod.rs:180-205).
+
+        Variant-aware: the EOT threshold derives from the vocab size, so
+        English-only models (EOT=50256) drop ``<|endoftext|>`` too.
+        """
         if skip_special:
-            tokens = [t for t in tokens if t < st.EOT]
+            eot = st.SpecialTokens.for_vocab_size(len(self.vocab)).eot
+            tokens = [t for t in tokens if t < eot]
         return self.decode(tokens)

@@ -114,6 +114,9 @@ class SpecialTokens:
     timestamp_base: int
     is_multilingual: bool
     translate: int = TRANSLATE
+    speaker_turn: int = SPEAKER_TURN
+    prev: int = PREV
+    no_speech: int = NO_SPEECH
 
     @staticmethod
     def for_vocab_size(n_vocab: int) -> "SpecialTokens":
@@ -127,14 +130,18 @@ class SpecialTokens:
             eot=EOT_MULTILINGUAL, sot=SOT_MULTILINGUAL,
             lang_base=LANG_BASE_MULTILINGUAL, transcribe=TRANSCRIBE_MULTILINGUAL,
             no_timestamps=NO_TIMESTAMPS_MULTILINGUAL, timestamp_base=50_364,
-            is_multilingual=True, translate=TRANSLATE)
+            is_multilingual=True, translate=TRANSLATE,
+            speaker_turn=SPEAKER_TURN, prev=PREV, no_speech=NO_SPEECH)
 
     @staticmethod
     def english_only() -> "SpecialTokens":
+        # English-only (*.en) models shift every special id down by 1
+        # relative to multilingual (reference: src/tokenizer/vocab.rs:135-144).
         return SpecialTokens(
             eot=EOT_ENGLISH, sot=SOT_ENGLISH, lang_base=50_258,
             transcribe=50_358, no_timestamps=50_362, timestamp_base=50_363,
-            is_multilingual=False, translate=50_358)
+            is_multilingual=False, translate=50_357,
+            speaker_turn=50_359, prev=50_360, no_speech=50_361)
 
     def initial_tokens(self) -> tuple:
         """[SOT, lang_en, transcribe, no_timestamps] (reference: vocab.rs:152)."""

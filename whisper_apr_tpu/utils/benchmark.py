@@ -132,7 +132,7 @@ def run_pipeline_benchmark(model_path: Optional[str] = None,
         return out
 
     def stage_decode(enc):
-        tokens, _ = greedy_generate(
+        tokens, _, _, _ = greedy_generate(
             params, enc, prompt, bias, eot=eot, config=cfg,
             max_len=max_len, prompt_len=prompt_len,
             compute_dtype=compute_dtype)

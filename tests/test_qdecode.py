@@ -1,0 +1,107 @@
+"""Quantized decode fast path: Pallas qmatvec kernel vs the XLA path.
+
+The kernel runs in interpret mode on the CPU backend; on TPU the engine
+enables it automatically for int8 params (see engine._qdecode).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from whisper_apr_tpu.config import ModelConfig
+from whisper_apr_tpu.model import qdecode
+from whisper_apr_tpu.model.decoder import (
+    decode_step, greedy_generate, init_cache, prefill)
+from whisper_apr_tpu.model.params import init_params, quantize_params
+from whisper_apr_tpu.ops.qmatvec import qmatvec, qmatvec_stacked
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    # lane-aligned dims so the kernel path is representative
+    return ModelConfig(
+        model_type="tiny", n_vocab=700, n_audio_ctx=32, n_audio_state=128,
+        n_audio_head=4, n_audio_layer=2, n_text_ctx=24, n_text_state=128,
+        n_text_head=4, n_text_layer=3, n_mels=80)
+
+
+@pytest.fixture(scope="module")
+def qsetup(cfg):
+    params = quantize_params(init_params(cfg, seed=3), "int8")
+    qd = qdecode.prepare_qdecode(params, cfg)
+    rng = np.random.default_rng(0)
+    enc = jnp.asarray(rng.normal(0, 0.5, (2, cfg.n_audio_ctx,
+                                          cfg.n_text_state)).astype(np.float32))
+    return params, qd, enc
+
+
+class TestQmatvecKernel:
+    def test_matches_dequant_matmul(self):
+        rng = np.random.default_rng(1)
+        L, K, N = 3, 256, 384
+        wq = rng.integers(-127, 128, (L, K, N), dtype=np.int8)
+        s = (rng.random((L, 1, N)) * 0.02 + 1e-3).astype(np.float32)
+        x = rng.normal(size=(2, K)).astype(np.float32)
+        for l in range(L):
+            got = np.asarray(qmatvec_stacked(
+                jnp.asarray(x), jnp.asarray(wq), jnp.asarray(s), l,
+                interpret=True))
+            want = x @ (wq[l].astype(np.float32) * s[l])
+            np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+    def test_out_dtype_and_per_tensor_scale(self):
+        rng = np.random.default_rng(2)
+        K, N = 128, 256
+        wq = rng.integers(-127, 128, (K, N), dtype=np.int8)
+        x = rng.normal(size=(1, K)).astype(np.float32)
+        got = np.asarray(qmatvec(jnp.asarray(x), jnp.asarray(wq),
+                                 jnp.float32(0.01), interpret=True))
+        want = x @ (wq.astype(np.float32) * 0.01)
+        assert got.dtype == np.float32
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+class TestDecodeStepQ:
+    def test_supports(self, cfg, qsetup):
+        params, qd, _ = qsetup
+        assert qd is not None
+        assert qdecode.supports_qdecode(params, cfg)
+        # f32 params do not qualify
+        assert not qdecode.supports_qdecode(init_params(cfg, seed=0), cfg)
+
+    def test_step_matches_xla_path(self, cfg, qsetup):
+        params, qd, enc = qsetup
+        cache_a = init_cache(params, enc, cfg, max_len=8)
+        cache_b = init_cache(params, enc, cfg, max_len=8)
+        prompt = jnp.asarray(np.full((2, 2), 5, np.int32))
+        _, cache_a = prefill(params, prompt, enc, cache_a, cfg)
+        _, cache_b = prefill(params, prompt, enc, cache_b, cfg)
+        tok = jnp.asarray(np.array([7, 11], np.int32))
+        la, cache_a = decode_step(params, tok, jnp.int32(2), cache_a, cfg)
+        lb, cache_b = qdecode.decode_step_q(
+            params, qd, tok, jnp.int32(2), cache_b, cfg,
+            compute_dtype=jnp.float32, interpret=True)
+        assert lb.shape == (2, cfg.n_vocab)
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(cache_a.self_k),
+                                   np.asarray(cache_b.self_k),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_greedy_token_exact(self, cfg, qsetup):
+        params, qd, enc = qsetup
+        prompt = jnp.asarray(np.full((2, 2), 5, np.int32))
+        bias = jnp.zeros(cfg.n_vocab, jnp.float32)
+        eot = cfg.n_vocab - 1
+        qdecode.INTERPRET = True
+        try:
+            fast = greedy_generate(
+                params, enc, prompt, bias, eot=eot, config=cfg,
+                max_len=12, prompt_len=2, qd=qd)
+        finally:
+            qdecode.INTERPRET = False
+        ref = greedy_generate(params, enc, prompt, bias, eot=eot,
+                              config=cfg, max_len=12, prompt_len=2)
+        assert np.array_equal(np.asarray(fast.tokens), np.asarray(ref.tokens))
+        assert np.array_equal(np.asarray(fast.lengths), np.asarray(ref.lengths))

@@ -228,3 +228,73 @@ class TestStreamingProcessor:
         assert chunk is not None
         # 1 s of speech at 16k ~ 16000 samples (chunked at 8000)
         assert 4_000 <= len(chunk) <= 20_000
+
+
+@pytest.fixture(scope="module")
+def engine():
+    from helpers import make_hf_twin, small_config, small_specials
+    from whisper_apr_tpu import WhisperApr
+    cfg = small_config()
+    return WhisperApr.from_hf_model(make_hf_twin(cfg), cfg,
+                                    specials=small_specials(cfg))
+
+
+class TestOverlapDedup:
+    def test_token_dedup(self):
+        from whisper_apr_tpu.inference.streaming import dedup_overlap_tokens
+        prev = [1, 2, 3, 4, 5]
+        assert dedup_overlap_tokens(prev, [4, 5, 6, 7]) == [6, 7]
+        assert dedup_overlap_tokens(prev, [9, 9]) == [9, 9]
+        assert dedup_overlap_tokens([], [1, 2]) == [1, 2]
+        # longest match wins
+        assert dedup_overlap_tokens([7, 8, 7, 8], [7, 8, 7, 8, 1],
+                                    max_overlap=4) == [1]
+
+    def test_word_dedup(self):
+        from whisper_apr_tpu.inference.streaming import dedup_overlap_words
+        assert dedup_overlap_words("the cat sat on", "on the mat") == "the mat"
+        assert dedup_overlap_words("hello world.", "World is big") == "is big"
+        assert dedup_overlap_words("abc", "def ghi") == "def ghi"
+        assert dedup_overlap_words("", "x y") == "x y"
+
+    def test_transcriber_dedups_chunks(self, engine):
+        """Synthetic: force the engine to return overlapping text chunks and
+        check the stitched transcript has no duplicated words."""
+        from whisper_apr_tpu.inference.streaming import StreamingTranscriber
+        st = StreamingTranscriber(engine)
+        outs = ["the quick brown fox", "brown fox jumps over", "jumps over the dog"]
+        calls = []
+
+        class FakeResult:
+            def __init__(self, text):
+                self.text = text
+                self.tokens = []
+
+        def fake_transcribe(chunk, opts):
+            calls.append(len(chunk))
+            return FakeResult(outs[min(len(calls) - 1, len(outs) - 1)])
+
+        st.engine = type("E", (), {"transcribe": staticmethod(fake_transcribe)})()
+        for text in outs:
+            st._transcript.append(st._dedup(text)) if st._dedup(text) else None
+        assert st.transcript == "the quick brown fox jumps over the dog"
+
+    def test_transcribe_long_dedups(self, engine):
+        import dataclasses
+        import numpy as np
+        from whisper_apr_tpu.engine import (BatchTranscriptionResult,
+                                            TranscriptionResult)
+        overlapping = BatchTranscriptionResult([
+            TranscriptionResult("the birds fly south", "en", [], [1, 2]),
+            TranscriptionResult("fly south in winter", "en", [], [3, 4]),
+        ], 0.0)
+        engine2 = engine
+        orig = engine2.transcribe_batch
+        engine2.transcribe_batch = lambda *a, **k: overlapping
+        try:
+            window = 2 * engine2.config.n_audio_ctx * 160
+            audio = np.zeros(window + 16_000, np.float32)
+            r = engine2.transcribe_long(audio)
+        finally:
+            engine2.transcribe_batch = orig
+        assert r.text == "the birds fly south in winter"

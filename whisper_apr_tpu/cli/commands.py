@@ -66,6 +66,7 @@ def _options_from_args(args, task: str) -> TranscribeOptions:
         logprob_thold=getattr(args, "logprob_thold", -1.0),
         entropy_thold=getattr(args, "entropy_thold", 2.4),
         no_speech_thold=getattr(args, "no_speech_thold", 0.6),
+        hotwords=getattr(args, "hotword", None),
     )
 
 
@@ -78,7 +79,8 @@ def run_transcribe(args, task: str = "transcribe") -> int:
     # whisper.cpp default: temperature fallback with quality gates on
     use_fallback = (not getattr(args, "no_fallback", False)
                     and opts.strategy == "greedy"
-                    and opts.temperature == 0.0)
+                    and opts.temperature == 0.0
+                    and not opts.hotwords)
     result = eng.transcribe_long(audio, opts, fallback=use_fallback)
     elapsed = time.time() - t_load
     out = format_result(result, args.output_format)

@@ -43,6 +43,14 @@ from .tokenizer import BpeTokenizer, SpecialTokens, Vocabulary
 from .tokenizer import special_tokens as st
 
 
+def _is_float(s: str) -> bool:
+    try:
+        float(s)
+        return True
+    except ValueError:
+        return False
+
+
 @dataclasses.dataclass
 class TranscribeOptions:
     """(reference: src/lib.rs:170 TranscribeOptions)"""
@@ -67,6 +75,9 @@ class TranscribeOptions:
     compression_ratio_thold: float = 2.4
     entropy_thold: float = 2.4
     no_speech_thold: float = 0.6
+    # hotword boosting (reference: src/vocabulary/mod.rs:86): phrases with
+    # optional per-phrase boost; drives the host-stepped boosted decode
+    hotwords: Optional[List] = None  # [(phrase, boost)] or ["phrase:boost"]
 
 
 @dataclasses.dataclass
@@ -178,6 +189,22 @@ class WhisperApr:
     @property
     def _compute_dtype(self):
         return jnp.dtype(self.compute.compute_dtype)
+
+    @property
+    def _qdecode(self):
+        """Pallas quantized-matvec decode fast path (lazy, TPU-only).
+
+        Prepared once per engine; aliases the int8 param buffers plus one
+        transposed vocab projection. None when the params are not int8 or
+        the backend is CPU (tests exercise the kernel in interpret mode).
+        """
+        if not hasattr(self, "_qdecode_cache"):
+            qd = None
+            if jax.default_backend() not in ("cpu",):
+                from .model.qdecode import prepare_qdecode
+                qd = prepare_qdecode(self.params, self.config)
+            self._qdecode_cache = qd
+        return self._qdecode_cache
 
     @property
     def _fidelity(self) -> bool:
@@ -362,6 +389,10 @@ class WhisperApr:
         max_tokens = options.max_tokens or self.config.n_text_ctx
         max_tokens = min(max_tokens, self.config.n_text_ctx)
 
+        if options.hotwords:
+            return self._transcribe_hotwords(
+                audios, options, lang, prompt_list, bias, max_tokens, t0)
+
         if options.strategy == "sampling" or (
                 options.strategy == "greedy" and options.temperature > 0):
             from .inference.sampling import sample_generate
@@ -440,7 +471,7 @@ class WhisperApr:
                 prompt, bias, self.specials.eot, self.config,
                 max_len=max_tokens, prompt_len=len(prompt_list),
                 compute_dtype=self._compute_dtype, fidelity=self._fidelity,
-                timestamp_base=ts_base, no_speech=ns_id)
+                timestamp_base=ts_base, no_speech=ns_id, qd=self._qdecode)
             tokens, lengths = res.tokens, res.lengths
             sum_lp, ns_prob = res.sum_logprob, res.no_speech_prob
 
@@ -474,6 +505,89 @@ class WhisperApr:
         if options.word_timestamps:
             self._attach_word_timestamps(results, audios)
 
+        return BatchTranscriptionResult(results, time.time() - t0)
+
+    @staticmethod
+    def parse_hotwords(items) -> List:
+        """["phrase", "phrase:3.5", ("phrase", 4.0)] -> [(phrase, boost)]."""
+        out = []
+        for it in items or ():
+            if isinstance(it, (tuple, list)):
+                out.append((str(it[0]), float(it[1])))
+            else:
+                text, sep, boost = str(it).rpartition(":")
+                if sep and _is_float(boost):
+                    out.append((text, float(boost)))
+                else:
+                    out.append((str(it), 5.0))
+        return out
+
+    def _transcribe_hotwords(self, audios, options, lang, prompt_list,
+                             bias, max_tokens, t0) -> BatchTranscriptionResult:
+        """Host-stepped greedy decode with trie prefix boosts
+        (reference: src/vocabulary/mod.rs:86 VocabularyCustomizer::apply,
+        trie.rs:324 apply_prefix_boost).
+
+        Context-dependent boosts need the generated prefix each step, so
+        this path steps the decoder one token at a time with the logits
+        fetched to host — correct everywhere, fastest on directly-attached
+        TPUs (the fused on-device loop cannot see the trie).
+        """
+        from .model.decoder import decode_step, init_cache, prefill
+        from .vocabulary import HotwordBooster
+
+        booster = HotwordBooster(self.tokenizer)
+        for phrase, boost in self.parse_hotwords(options.hotwords):
+            booster.add_hotword(phrase, boost)
+
+        mels = jnp.stack([
+            self.mel_filters.compute_30s_device(
+                a, n_frames=2 * self.config.n_audio_ctx) for a in audios])
+        enc = self.encode(mels)
+        B = enc.shape[0]
+        cache = init_cache(self.params, enc, self.config, max_tokens,
+                           compute_dtype=self._compute_dtype)
+        prompt = jnp.asarray(np.tile(np.asarray(prompt_list, np.int32),
+                                     (B, 1)))
+        logits, cache = prefill(self.params, prompt, enc, cache, self.config,
+                                compute_dtype=self._compute_dtype)
+        bias_np = np.asarray(bias)
+        eot = self.specials.eot
+        seqs = [list(prompt_list) for _ in range(B)]
+        done = [False] * B
+        pos = len(prompt_list)
+        logits_np = np.asarray(logits, dtype=np.float32)
+        while pos < max_tokens and not all(done):
+            nxt = []
+            for i in range(B):
+                row = logits_np[i] + bias_np
+                ctx = seqs[i][len(prompt_list):]
+                row = booster.apply(row, ctx)
+                tok = int(np.argmax(row)) if not done[i] else eot
+                nxt.append(tok)
+                if not done[i]:
+                    seqs[i].append(tok)
+                    if tok == eot:
+                        done[i] = True
+            if all(done) or pos + 1 >= max_tokens:
+                break
+            logits, cache = decode_step(
+                self.params, jnp.asarray(np.asarray(nxt, np.int32)),
+                jnp.int32(pos), cache, self.config,
+                compute_dtype=self._compute_dtype)
+            logits_np = np.asarray(logits, dtype=np.float32)
+            pos += 1
+
+        results = []
+        for i in range(B):
+            toks = seqs[i]
+            gen = toks[len(prompt_list):]
+            text = self.tokenizer.decode_with_options(gen, skip_special=True)
+            segments = ([Segment(0.0, len(audios[i]) / SAMPLE_RATE, text, gen)]
+                        if text.strip() else [])
+            results.append(TranscriptionResult(
+                text=text.strip(), language=lang, segments=segments,
+                tokens=toks, temperature=options.temperature))
         return BatchTranscriptionResult(results, time.time() - t0)
 
     def _attach_word_timestamps(self, results, audios) -> None:
@@ -564,11 +678,18 @@ class WhisperApr:
         batch = (self.transcribe_batch_with_fallback(chunks, options)
                  if fallback else self.transcribe_batch(chunks, options))
         step = (window - overlap) / SAMPLE_RATE
+        from .inference.streaming import dedup_overlap_words
         texts, segs, toks = [], [], []
         for i, r in enumerate(batch.results):
             if not r.text:
                 continue
-            texts.append(r.text)
+            # chunk-boundary dedup: the audio overlap re-decodes boundary
+            # words (reference overlap_tokens continuity, streaming.rs:63)
+            text = (dedup_overlap_words(texts[-1], r.text) if texts
+                    else r.text)
+            if not text:
+                continue
+            texts.append(text)
             toks.extend(r.tokens)
             offset = i * step
             for s in r.segments:

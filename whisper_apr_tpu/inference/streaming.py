@@ -19,6 +19,41 @@ MAX_TOKENS_PER_CHUNK = 224  # reference: src/inference/streaming.rs:41
 OVERLAP_TOKENS = 10         # reference: src/inference/streaming.rs:63
 
 
+def dedup_overlap_tokens(prev: List[int], new: List[int],
+                         max_overlap: int = OVERLAP_TOKENS) -> List[int]:
+    """Drop ``new``'s leading tokens that duplicate ``prev``'s tail.
+
+    Chunk boundaries overlap in AUDIO (context carry-over), so the same
+    words can be decoded twice; the longest suffix==prefix match within
+    ``max_overlap`` tokens is removed (reference declares overlap_tokens=10
+    for this continuity window, streaming.rs:63).
+    """
+    lim = min(max_overlap, len(prev), len(new))
+    for k in range(lim, 0, -1):
+        if prev[-k:] == new[:k]:
+            return new[k:]
+    return new
+
+
+def _norm_word(w: str) -> str:
+    return w.strip(".,!?;:\"'").lower()
+
+
+def dedup_overlap_words(prev_text: str, new_text: str,
+                        max_overlap: int = OVERLAP_TOKENS) -> str:
+    """Word-level twin of ``dedup_overlap_tokens`` (robust to tokenizer
+    misalignment across chunk boundaries): drops ``new_text``'s leading
+    words that repeat ``prev_text``'s trailing words."""
+    prev_w = prev_text.split()
+    new_w = new_text.split()
+    lim = min(max_overlap, len(prev_w), len(new_w))
+    for k in range(lim, 0, -1):
+        if ([_norm_word(w) for w in prev_w[-k:]]
+                == [_norm_word(w) for w in new_w[:k]]):
+            return " ".join(new_w[k:])
+    return new_text
+
+
 @dataclasses.dataclass
 class StreamingResult:
     """One emitted piece of transcript."""
@@ -54,9 +89,10 @@ class StreamingTranscriber:
                 chunk = self.processor.get_chunk()
                 if chunk is not None and len(chunk) >= 400:
                     r = self.engine.transcribe(chunk, self._opts)
-                    if r.text:
-                        self._transcript.append(r.text)
-                        out.append(StreamingResult("chunk", r.text, ev.time))
+                    text = self._dedup(r.text)
+                    if text:
+                        self._transcript.append(text)
+                        out.append(StreamingResult("chunk", text, ev.time))
         if self.emit_partials and self.processor.has_partial():
             partial = self.processor.get_partial()
             if partial is not None and len(partial) >= 400:
@@ -65,13 +101,22 @@ class StreamingTranscriber:
                     out.append(StreamingResult("partial", r.text))
         return out
 
+    def _dedup(self, text: str) -> str:
+        """Merge a new chunk against the transcript tail: audio overlap can
+        re-decode boundary words (reference overlap_tokens=10 continuity
+        window, streaming.rs:63)."""
+        if not text or not self._transcript:
+            return text
+        return dedup_overlap_words(self._transcript[-1], text)
+
     def finalize(self) -> str:
         """Flush and return the full transcript (reference: streaming.rs:276)."""
         chunk = self.processor.flush()
         if chunk is not None and len(chunk) >= 400:
             r = self.engine.transcribe(chunk, self._opts)
-            if r.text:
-                self._transcript.append(r.text)
+            text = self._dedup(r.text)
+            if text:
+                self._transcript.append(text)
         return " ".join(self._transcript)
 
     @property

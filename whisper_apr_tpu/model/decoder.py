@@ -309,7 +309,8 @@ def greedy_generate_body(params: dict, enc_out: jnp.ndarray, prompt: jnp.ndarray
                          compute_dtype: jnp.dtype = jnp.float32,
                          fidelity: bool = False,
                          timestamp_base: int = -1,
-                         no_speech: int = -1) -> DecodeResult:
+                         no_speech: int = -1,
+                         qd: Optional[dict] = None) -> DecodeResult:
     """Greedy decode, fully on device (reference semantics:
     src/inference/greedy.rs:119-143 — argmax until EOT, EOT appended, total
     length capped at ``max_len`` including the prompt; suppression applied
@@ -317,12 +318,25 @@ def greedy_generate_body(params: dict, enc_out: jnp.ndarray, prompt: jnp.ndarray
 
     prompt: [B, prompt_len] int32; suppress_bias: [V] f32 (0 or -inf added
     to logits). ``no_speech`` (the NO_SPEECH token id, or -1 to skip) turns
-    on the no-speech probability read at the SOT position.
+    on the no-speech probability read at the SOT position. ``qd`` (from
+    ``qdecode.prepare_qdecode``) switches the per-token step to the Pallas
+    quantized-matvec fast path; prefill stays on XLA (GEMM-shaped).
     """
     precision = _HIGHEST if fidelity else None
     B = enc_out.shape[0]
     cache = init_cache(params, enc_out, config, max_len,
                        precision, compute_dtype)
+
+    if qd is None:
+        step_fn = functools.partial(decode_step, params,
+                                    config=config,
+                                    compute_dtype=compute_dtype,
+                                    precision=precision)
+    else:
+        from .qdecode import decode_step_q
+        step_fn = functools.partial(decode_step_q, params, qd,
+                                    config=config,
+                                    compute_dtype=compute_dtype)
 
     logits_all, cache = prefill(params, prompt, enc_out, cache, config,
                                 compute_dtype, precision, all_logits=True)
@@ -361,8 +375,7 @@ def greedy_generate_body(params: dict, enc_out: jnp.ndarray, prompt: jnp.ndarray
         else:
             pos, tokens, done, sum_lp, cache = state
         tok = jax.lax.dynamic_slice_in_dim(tokens, pos, 1, axis=1)[:, 0]
-        logits, cache = decode_step(params, tok, pos, cache, config,
-                                    compute_dtype, precision)
+        logits, cache = step_fn(token=tok, pos=pos, cache=cache)
         biased = logits + suppress_bias[None, :]
         if use_ts:
             biased = tsr.apply_rules(biased, ts, timestamp_base, eot,

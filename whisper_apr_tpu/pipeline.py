@@ -41,7 +41,8 @@ def fused_transcribe_step(params: dict, audio: jnp.ndarray,
                           compute_dtype: jnp.dtype = jnp.float32,
                           fidelity: bool = False,
                           timestamp_base: int = -1,
-                          no_speech: int = -1):
+                          no_speech: int = -1,
+                          qd=None):
     """audio [B, n_samples] (pre-padded to a full window) -> DecodeResult.
 
     One XLA program: batched log-mel (vmapped, per-item normalization as in
@@ -67,7 +68,7 @@ def fused_transcribe_step(params: dict, audio: jnp.ndarray,
         params, enc, prompt, suppress_bias, eot, config,
         max_len=max_len, prompt_len=prompt_len,
         compute_dtype=compute_dtype, fidelity=fidelity,
-        timestamp_base=timestamp_base, no_speech=no_speech)
+        timestamp_base=timestamp_base, no_speech=no_speech, qd=qd)
 
 
 def pad_audio_batch(audios, n_samples: int) -> np.ndarray:

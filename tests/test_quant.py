@@ -247,3 +247,64 @@ class TestInt8Kernel:
         out = np.asarray(linear_int8(jnp.asarray(x), qt, jnp.asarray(b),
                                      interpret=True))
         assert np.abs(out - ref).max() / np.abs(ref).max() < 1e-5
+
+
+class TestQ4Block:
+    """Group-scale int4 (Q4_K-class; reference: quantized.rs:355)."""
+
+    def test_roundtrip_and_sqnr_beats_per_channel(self):
+        from whisper_apr_tpu.ops.quant import (compute_sqnr, dequant,
+                                               quantize_int4,
+                                               quantize_q4_block)
+        rng = np.random.default_rng(0)
+        # outlier-heavy rows: block scales isolate the damage
+        w = rng.normal(0, 0.02, (256, 128)).astype(np.float32)
+        w[::37] *= 25.0
+        qb = quantize_q4_block(w, group=32)
+        assert qb.group == 32
+        assert qb.scale.shape == (256 // 32, 128)
+        deq_b = np.asarray(dequant(qb))
+        deq_c = np.asarray(dequant(quantize_int4(w, per_channel=True)))
+        sq_b = compute_sqnr(w, deq_b)
+        sq_c = compute_sqnr(w, deq_c)
+        assert deq_b.shape == w.shape
+        assert sq_b > sq_c + 3.0  # block scales materially beat per-channel
+        assert sq_b > 15.0
+
+    def test_stacked_scan_slicing(self):
+        import jax
+        from whisper_apr_tpu.ops.quant import dequant, quantize_q4_block
+        rng = np.random.default_rng(1)
+        w = rng.normal(0, 0.05, (3, 64, 32)).astype(np.float32)
+        qt = quantize_q4_block(w, group=32)
+        assert qt.q.shape[0] == 3 and qt.scale.shape == (3, 2, 32)
+
+        def body(_, layer_qt):
+            return None, dequant(layer_qt)
+
+        _, deq = jax.lax.scan(body, None, qt)
+        np.testing.assert_allclose(np.asarray(deq), np.asarray(dequant(qt)),
+                                   rtol=1e-6)
+
+    def test_quantize_params_q4_mode(self):
+        from whisper_apr_tpu.config import ModelConfig
+        from whisper_apr_tpu.model.params import init_params, quantize_params
+        cfg = ModelConfig(
+            model_type="tiny", n_vocab=400, n_audio_ctx=16, n_audio_state=64,
+            n_audio_head=2, n_audio_layer=2, n_text_ctx=12, n_text_state=64,
+            n_text_head=2, n_text_layer=2, n_mels=80)
+        params = quantize_params(init_params(cfg, seed=0), "q4")
+        w = params["decoder"]["blocks"]["fc1"]["w"]
+        assert w.int4 and w.group == 32
+
+    def test_q4_engine_decode_runs(self):
+        from helpers import make_hf_twin, small_config, small_specials
+        from whisper_apr_tpu import TranscribeOptions, WhisperApr
+        from whisper_apr_tpu.config import ComputeConfig
+        cfg = small_config()
+        eng = WhisperApr.from_hf_model(
+            make_hf_twin(cfg), cfg, specials=small_specials(cfg),
+            compute=ComputeConfig(quantization="q4"))
+        audio = np.random.default_rng(2).normal(0, 0.1, 4000).astype(np.float32)
+        r = eng.transcribe(audio, TranscribeOptions(language="en", max_tokens=6))
+        assert len(r.tokens) <= 6 + 4

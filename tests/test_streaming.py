@@ -298,3 +298,48 @@ class TestOverlapDedup:
         finally:
             engine2.transcribe_batch = orig
         assert r.text == "the birds fly south in winter"
+
+
+class TestPartialReady:
+    def test_partial_ready_event_and_state(self):
+        from whisper_apr_tpu.audio.streaming import (ProcessorState,
+                                                     StreamingConfig,
+                                                     StreamingProcessor)
+        cfg = StreamingConfig.with_sample_rate(16_000)
+        p = StreamingProcessor(cfg)
+        p.set_partial_threshold(0.5)  # trip quickly
+        rng = np.random.default_rng(0)
+        t = np.arange(16_000) / 16_000.0
+        speech = (0.5 * np.sin(2 * np.pi * 220 * t)
+                  + 0.05 * rng.normal(size=len(t))).astype(np.float32)
+        p.push_audio(speech)
+        events = p.process()
+        kinds = [e.kind for e in events]
+        assert "partial_ready" in kinds
+        assert p.state == ProcessorState.PARTIAL_RESULT_READY
+        assert p.has_partial()
+        # the partial event fires once per chunk
+        p.push_audio(speech)
+        kinds2 = [e.kind for e in p.process()]
+        assert "partial_ready" not in kinds2
+
+    def test_partial_resets_after_chunk(self):
+        from whisper_apr_tpu.audio.streaming import (StreamingConfig,
+                                                     StreamingProcessor)
+        import dataclasses
+        cfg = dataclasses.replace(
+            StreamingConfig.custom_latency(
+                chunk_duration=1.0, chunk_overlap=0.1,
+                min_speech_duration_ms=100, buffer_duration=30.0),
+            input_sample_rate=16_000)
+        p = StreamingProcessor(cfg)
+        p.set_partial_threshold(0.3)
+        rng = np.random.default_rng(1)
+        t = np.arange(32_000) / 16_000.0
+        speech = (0.5 * np.sin(2 * np.pi * 220 * t)
+                  + 0.05 * rng.normal(size=len(t))).astype(np.float32)
+        p.push_audio(speech)
+        events = p.process()
+        kinds = [e.kind for e in events]
+        assert kinds.count("partial_ready") >= 1
+        assert "chunk_ready" in kinds

@@ -130,6 +130,12 @@ class StreamingProcessor:
         self._time = 0.0
         self._in_speech = False
         self._frame_in = int(self.config.input_sample_rate * self.FRAME_MS / 1000)
+        # first-partial threshold (reference: streaming.rs:390
+        # DEFAULT_PARTIAL_THRESHOLD_SECS = 3.0); set_partial_threshold
+        # overrides
+        self._partial_threshold = int(
+            3.0 * self.config.output_sample_rate)
+        self._partial_emitted = False
 
     # -- input -----------------------------------------------------------------
     def push_audio(self, samples: np.ndarray) -> int:
@@ -170,10 +176,19 @@ class StreamingProcessor:
             self._in_speech = False
             self._emit("speech_ended", "")
 
-        if self.state == ProcessorState.ACCUMULATING_SPEECH:
+        if self.state in (ProcessorState.ACCUMULATING_SPEECH,
+                          ProcessorState.PARTIAL_RESULT_READY):
             if self._in_speech or self.config.latency_mode != LatencyMode.STANDARD:
                 self._chunk.append(frame16k)
                 self._chunk_samples += len(frame16k)
+            # first partial ready: enough audio for an interim transcription
+            # (reference: streaming.rs:760-769 PartialReady + :801 state)
+            if (not self._partial_emitted
+                    and self.state == ProcessorState.ACCUMULATING_SPEECH
+                    and self._chunk_samples >= self._partial_threshold):
+                self._partial_emitted = True
+                self.state = ProcessorState.PARTIAL_RESULT_READY
+                self._emit("partial_ready", f"{self._chunk_samples} samples")
             target = int(self.config.chunk_duration * self.config.output_sample_rate)
             min_speech = int(self.config.min_speech_duration_ms
                              * self.config.output_sample_rate / 1000)
@@ -184,10 +199,16 @@ class StreamingProcessor:
                 # end-of-utterance flush in standard mode
                 self._finalize_chunk()
 
+    def set_partial_threshold(self, seconds: float) -> None:
+        """(reference: streaming.rs:607)"""
+        self._partial_threshold = int(
+            seconds * self.config.output_sample_rate)
+
     def _finalize_chunk(self) -> None:
         chunk = np.concatenate(self._chunk) if self._chunk else np.zeros(0, np.float32)
         self._chunk = []
         self._chunk_samples = 0
+        self._partial_emitted = False
         # carry overlap tail into the next chunk (reference: streaming.rs:849)
         overlap_n = int(self.config.chunk_overlap * self.config.output_sample_rate)
         if overlap_n > 0 and len(chunk) > overlap_n:
@@ -214,7 +235,8 @@ class StreamingProcessor:
 
     def has_partial(self) -> bool:
         """(reference: streaming.rs:575)"""
-        return (self.state == ProcessorState.ACCUMULATING_SPEECH
+        return (self.state in (ProcessorState.ACCUMULATING_SPEECH,
+                               ProcessorState.PARTIAL_RESULT_READY)
                 and self._chunk_samples > 0)
 
     def get_partial(self) -> Optional[np.ndarray]:
@@ -254,6 +276,7 @@ class StreamingProcessor:
         self._chunk = []
         self._chunk_samples = 0
         self._ready_chunks = []
+        self._partial_emitted = False
         self.state = ProcessorState.WAITING_FOR_SPEECH
 
     def set_overlap_buffer(self, audio: np.ndarray) -> None:

@@ -62,6 +62,8 @@ def _add_decode_flags(p: argparse.ArgumentParser) -> None:
                         "(single decode, no quality-gated retries)")
     p.add_argument("--flash-attn", action="store_true",
                    help="use the Pallas flash-attention kernel")
+    p.add_argument("--n-best", type=int, default=0, metavar="N",
+                   help="with --beam-size>1: print the N best hypotheses")
     p.add_argument("--hotword", action="append", default=None,
                    metavar="PHRASE[:BOOST]",
                    help="boost a phrase during decoding (repeatable)")

@@ -47,7 +47,8 @@ def _load_engine(args) -> WhisperApr:
     compute = ComputeConfig(
         compute_dtype="float32" if getattr(args, "fp32", False) else "bfloat16",
         param_dtype="float32" if getattr(args, "fp32", False) else "bfloat16",
-        use_flash_attention=getattr(args, "flash_attn", False))
+        use_flash_attention=True if getattr(args, "flash_attn", False)
+        else None)
     return WhisperApr.load_from_apr(args.model, compute=compute)
 
 
@@ -76,6 +77,12 @@ def run_transcribe(args, task: str = "transcribe") -> int:
     t_load = time.time()
     audio = _load_audio(args.audio)
     opts = _options_from_args(args, task)
+    n_best = getattr(args, "n_best", 0)
+    if n_best and opts.strategy == "beam":
+        # N-best hypotheses (reference: beam.rs:300 decode_nbest)
+        for rank, r in enumerate(eng.transcribe_nbest(audio, opts, n_best), 1):
+            print(f"[{rank}] (avg_logprob {r.avg_logprob:+.3f}) {r.text}")
+        return 0
     # whisper.cpp default: temperature fallback with quality gates on
     use_fallback = (not getattr(args, "no_fallback", False)
                     and opts.strategy == "greedy"

@@ -12,7 +12,7 @@ from typing import List
 from ..engine import TranscriptionResult
 from ..timestamps import Segment
 
-FORMATS = ("txt", "srt", "vtt", "json", "json-full", "csv", "md", "lrc")
+FORMATS = ("txt", "srt", "vtt", "json", "json-full", "csv", "md", "lrc", "wts")
 
 
 def _fmt_ts_srt(seconds: float) -> str:
@@ -98,6 +98,22 @@ def format_md(result: TranscriptionResult) -> str:
     return "\n".join(lines) + "\n"
 
 
+def format_wts(result: TranscriptionResult) -> str:
+    """Karaoke script with timestamps (whisper.cpp -owts; reference:
+    src/cli/output.rs:322 format_wts). Word-level times when available,
+    segment-level otherwise."""
+    out = []
+    if result.words:
+        for w in result.words:
+            out.append(f"{_fmt_ts_vtt(w.start)} --> {_fmt_ts_vtt(w.end)}"
+                       f" | {w.word.strip()}")
+    else:
+        for seg in result.segments:
+            out.append(f"{_fmt_ts_vtt(seg.start)} --> {_fmt_ts_vtt(seg.end)}"
+                       f" | {seg.text.strip()}")
+    return "\n".join(out) + ("\n" if out else "")
+
+
 def format_lrc(result: TranscriptionResult) -> str:
     out = []
     for seg in _segments_or_whole(result):
@@ -109,6 +125,7 @@ _FORMATTERS = {
     "txt": format_txt,
     "srt": format_srt,
     "vtt": format_vtt,
+    "wts": format_wts,
     "json": format_json,
     "json-full": format_json_full,
     "csv": format_csv,

@@ -199,8 +199,10 @@ class ComputeConfig:
     compute_dtype: str = "float32"
     # dtype parameters are stored in on device
     param_dtype: str = "float32"
-    # use Pallas flash-attention kernel for encoder self-attention
-    use_flash_attention: bool = False
+    # Pallas flash-attention for encoder self-attention:
+    # True = force, False = never, None = KernelSelector decides by shape
+    # and platform (reference analog: BackendSelector, selector.rs:198)
+    use_flash_attention: "bool | None" = None
     # runtime weight quantization: "none" | "int8" | "int4"
     quantization: str = "none"
 

@@ -191,6 +191,22 @@ class WhisperApr:
         return jnp.dtype(self.compute.compute_dtype)
 
     @property
+    def _use_flash(self) -> bool:
+        """Resolved flash-attention choice: explicit option wins; otherwise
+        the KernelSelector decides from encoder shape and platform
+        (reference analog: BackendSelector::select, selector.rs:198)."""
+        if not hasattr(self, "_use_flash_cache"):
+            opt = self.compute.use_flash_attention
+            if opt is None:
+                from .ops.dispatch import KernelBackend, KernelSelector
+                choice = KernelSelector().attention(
+                    q_len=self.config.n_audio_ctx,
+                    k_len=self.config.n_audio_ctx)
+                opt = choice == KernelBackend.PALLAS
+            self._use_flash_cache = bool(opt)
+        return self._use_flash_cache
+
+    @property
     def _qdecode(self):
         """Pallas quantized-matvec decode fast path (lazy, TPU-only).
 
@@ -225,7 +241,7 @@ class WhisperApr:
         return encode_jit(self.params, mel, self.config,
                           compute_dtype=self._compute_dtype,
                           fidelity=self._fidelity,
-                          use_flash=self.compute.use_flash_attention)
+                          use_flash=self._use_flash)
 
     def get_initial_tokens(self, language: str, task: str = "transcribe",
                            timestamps: bool = False) -> List[int]:
@@ -471,7 +487,8 @@ class WhisperApr:
                 prompt, bias, self.specials.eot, self.config,
                 max_len=max_tokens, prompt_len=len(prompt_list),
                 compute_dtype=self._compute_dtype, fidelity=self._fidelity,
-                timestamp_base=ts_base, no_speech=ns_id, qd=self._qdecode)
+                timestamp_base=ts_base, no_speech=ns_id, qd=self._qdecode,
+                use_flash=self._use_flash)
             tokens, lengths = res.tokens, res.lengths
             sum_lp, ns_prob = res.sum_logprob, res.no_speech_prob
 
@@ -506,6 +523,56 @@ class WhisperApr:
             self._attach_word_timestamps(results, audios)
 
         return BatchTranscriptionResult(results, time.time() - t0)
+
+    def transcribe_nbest(self, audio: np.ndarray,
+                         options: Optional[TranscribeOptions] = None,
+                         n: Optional[int] = None) -> List[TranscriptionResult]:
+        """N-best hypotheses from beam search, best first (reference:
+        src/inference/beam.rs:300 decode_nbest). ``n`` defaults to the
+        beam size; results carry the normalized-score ordering."""
+        from .inference.beam import beam_generate
+        options = options or TranscribeOptions(strategy="beam")
+        n = min(n or options.beam_size, options.beam_size)
+
+        lang = options.language
+        if lang in (None, "auto"):
+            lang = (self.detect_language(np.asarray(audio, np.float32)).best[0]
+                    if self.specials.is_multilingual else "en")
+        prompt_list = self.get_initial_tokens(lang, options.task,
+                                              options.timestamps)
+        prompt = jnp.asarray(np.asarray(prompt_list, np.int32)[None])
+        suppressor = WhisperTokenSuppressor(
+            suppress_timestamps=not options.timestamps,
+            n_vocab=self.config.n_vocab, tokens=self.specials)
+        bias = jnp.asarray(suppressor.bias())
+        max_tokens = min(options.max_tokens or self.config.n_text_ctx,
+                         self.config.n_text_ctx)
+        mel = self.mel_filters.compute_30s_device(
+            np.asarray(audio, np.float32),
+            n_frames=2 * self.config.n_audio_ctx)
+        enc = self.encode(mel)
+        ns_id = (self.specials.no_speech
+                 if self.specials.no_speech < self.config.n_vocab else -1)
+        res = beam_generate(
+            self.params, enc, prompt, bias, self.specials.eot, self.config,
+            beam_size=options.beam_size, patience=options.patience,
+            max_len=max_tokens, prompt_len=len(prompt_list),
+            compute_dtype=self._compute_dtype, fidelity=self._fidelity,
+            return_nbest=True, no_speech=ns_id)
+        toks = np.asarray(res.tokens)[0]       # [K, max_len]
+        lens = np.asarray(res.lengths)[0]      # [K]
+        scores = np.asarray(res.sum_logprob)[0]
+        ns = float(np.asarray(res.no_speech_prob)[0])
+        out = []
+        for k in range(min(n, toks.shape[0])):
+            seq = toks[k, : lens[k]].tolist()
+            gen = seq[len(prompt_list):]
+            text = self.tokenizer.decode_with_options(gen, skip_special=True)
+            out.append(TranscriptionResult(
+                text=text.strip(), language=lang, segments=[], tokens=seq,
+                avg_logprob=float(scores[k]) / max(len(gen), 1),
+                no_speech_prob=ns))
+        return out
 
     @staticmethod
     def parse_hotwords(items) -> List:

@@ -325,17 +325,26 @@ def quantize_params(params: Params, mode: str = "int8",
     mode: "int8" — all linear weights + token embedding int8;
           "int4" — block linear weights int4, token embedding int8
                    (the reference's mixed-precision scheme);
+          "q4"   — group-scale int4 (32-wide K blocks, the Q4_K-class
+                   format; reference: quantized.rs:355) for block linears,
+                   token embedding int8;
           "none" — pass through.
     Conv stem, LayerNorms, biases, and positional embeddings stay f32 (they
     are tiny and precision-critical), mirroring ``MixedPrecisionConfig``.
     """
     if mode == "none":
         return params
-    if mode not in ("int8", "int4", "mixed"):
+    if mode not in ("int8", "int4", "mixed", "q4"):
         raise ValueError(f"unknown quantization mode: {mode}")
-    from ..ops.quant import quantize_int4, quantize_int8
+    from ..ops.quant import quantize_int4, quantize_int8, quantize_q4_block
 
-    block_q = quantize_int4 if mode in ("int4", "mixed") else quantize_int8
+    if mode == "q4":
+        def block_q(w, per_channel=True, stacked=False):
+            return quantize_q4_block(w)
+    elif mode in ("int4", "mixed"):
+        block_q = quantize_int4
+    else:
+        block_q = quantize_int8
 
     def q_blocks(blocks: dict) -> dict:
         out = {}

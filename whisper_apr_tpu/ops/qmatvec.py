@@ -115,6 +115,26 @@ def qmatvec(x: jnp.ndarray, wq: jnp.ndarray, scale: jnp.ndarray,
 # Fused FFN kernel: fc2(gelu(fc1(x))) in one pallas call
 # ---------------------------------------------------------------------------
 
+def _erf(x: jnp.ndarray) -> jnp.ndarray:
+    """Abramowitz & Stegun 7.1.26 rational erf (|err| < 1.5e-7, f32).
+
+    Mosaic has no erf/erfc lowering; this keeps the exact-GELU semantics
+    well below bf16 rounding error inside the kernel.
+    """
+    a1, a2, a3 = 0.254829592, -0.284496736, 1.421413741
+    a4, a5, p = -1.453152027, 1.061405429, 0.3275911
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _gelu_exact(x: jnp.ndarray) -> jnp.ndarray:
+    """0.5 * x * (1 + erf(x / sqrt(2))) — HF Whisper's exact GELU."""
+    return 0.5 * x * (1.0 + _erf(x * 0.7071067811865475))
+
+
 def _ffn_kernel(layer_ref, x_ref, w1_ref, s1_ref, b1_ref, w2_ref,
                 o_ref, acc_ref):
     j = pl.program_id(0)
@@ -127,7 +147,7 @@ def _ffn_kernel(layer_ref, x_ref, w1_ref, s1_ref, b1_ref, w2_ref,
     w1 = w1_ref[0].astype(x.dtype)
     h = jax.lax.dot(x, w1, preferred_element_type=jnp.float32)
     h = h * s1_ref[0].astype(jnp.float32) + b1_ref[0].astype(jnp.float32)
-    h = jax.nn.gelu(h, approximate=False).astype(x.dtype)
+    h = _gelu_exact(h).astype(x.dtype)
     w2 = w2_ref[0].astype(x.dtype)
     acc_ref[...] += jax.lax.dot(h, w2, preferred_element_type=jnp.float32)
 

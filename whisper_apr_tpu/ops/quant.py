@@ -35,18 +35,24 @@ class QTensor:
     """Quantized weight: int data + scale (+ static packing metadata)."""
 
     def __init__(self, q, scale, int4: bool = False,
-                 orig_last: Optional[int] = None) -> None:
+                 orig_last: Optional[int] = None,
+                 group: Optional[int] = None) -> None:
         self.q = q
         self.scale = scale
         self.int4 = int4
         self.orig_last = orig_last
+        # group-scale (block) quantization: scale has one entry per
+        # ``group`` consecutive values along the K (second-to-last) axis —
+        # the TPU-native analog of the reference's Q4_K super-block scales
+        # (quantized.rs:355, realizar K-quant format)
+        self.group = group
 
     def tree_flatten(self) -> Tuple[tuple, tuple]:
-        return (self.q, self.scale), (self.int4, self.orig_last)
+        return (self.q, self.scale), (self.int4, self.orig_last, self.group)
 
     @classmethod
     def tree_unflatten(cls, aux, children) -> "QTensor":
-        return cls(children[0], children[1], aux[0], aux[1])
+        return cls(children[0], children[1], *aux)
 
     @property
     def shape(self):
@@ -62,6 +68,8 @@ class QTensor:
 
     def __repr__(self) -> str:
         kind = "int4" if self.int4 else "int8"
+        if self.group:
+            kind = f"{kind}-g{self.group}"
         return f"QTensor({kind}, q={tuple(self.q.shape)})"
 
 
@@ -129,6 +137,46 @@ def quantize_int4(w: np.ndarray, per_channel: bool = False,
                    int4=True, orig_last=last)
 
 
+def quantize_q4_block(w: np.ndarray, group: int = 32) -> QTensor:
+    """Group-scale int4: one absmax scale per ``group`` consecutive values
+    along the K axis (second-to-last), values packed two per byte.
+
+    The TPU-native analog of the reference's Q4_K blocks (quantized.rs:355:
+    256-value super-blocks with grouped scales via realizar). 4 bits/weight
+    + one f32 scale per 32-group on K = ~5 bits/weight stored (f16 scales
+    on disk would be 4.5); SQNR is substantially higher than per-channel
+    int4 because outliers only poison their own 32-value block.
+
+    w: [..., K, N] with K % group == 0 ->
+    q packed [..., K, N/2-ish? NO — packs along last axis like int4],
+    scale [..., K/group, N].
+    """
+    w = np.asarray(w, dtype=np.float32)
+    if w.ndim < 2:
+        return quantize_int4(w)
+    K, N = w.shape[-2], w.shape[-1]
+    if K % group != 0:
+        return quantize_int4(w, per_channel=True, stacked=w.ndim > 2)
+    lead = w.shape[:-2]
+    wg = w.reshape(lead + (K // group, group, N))
+    absmax = np.max(np.abs(wg), axis=-2, keepdims=True)  # [..., K/g, 1, N]
+    scale = np.where(absmax > 0, absmax / 7.0, 1.0).astype(np.float32)
+    q = np.clip(np.round(wg / scale), -7, 7).astype(np.int8)
+    q = q.reshape(lead + (K, N))
+
+    # pack pairs along the LAST axis (same layout as quantize_int4)
+    last = q.shape[-1]
+    if last % 2:
+        pad = [(0, 0)] * (q.ndim - 1) + [(0, 1)]
+        q = np.pad(q, pad)
+    lo = q[..., 0::2]
+    hi = q[..., 1::2]
+    packed = ((lo & 0x0F) | ((hi & 0x0F) << 4)).astype(np.int8)
+    return QTensor(jnp.asarray(packed),
+                   jnp.asarray(scale.reshape(lead + (K // group, N))),
+                   int4=True, orig_last=last, group=group)
+
+
 def _unpack_int4(packed: jnp.ndarray, orig_last: int) -> jnp.ndarray:
     """Packed int8 bytes -> int8 values in [-7, 7], original last dim."""
     u = packed.astype(jnp.uint8)
@@ -155,6 +203,15 @@ def dequant(w, dtype: jnp.dtype = jnp.float32) -> jnp.ndarray:
     if w.int4:
         q = _unpack_int4(q, int(w.orig_last))
     scale = w.scale.astype(dtype)
+    if w.group:
+        # block scales: [.., K/g, N] -> expand over each K-group
+        g = int(w.group)
+        K, N = q.shape[-2], q.shape[-1]
+        while scale.ndim > q.ndim:
+            scale = scale[0]
+        qg = q.reshape(q.shape[:-2] + (K // g, g, N)).astype(dtype)
+        out = qg * scale[..., :, None, :]
+        return out.reshape(q.shape[:-2] + (K, N))
     # scan slicing drops the leading layer axis of q but scale keepdims
     # may still carry it; align ranks by squeezing extra leading 1s
     while scale.ndim > q.ndim:

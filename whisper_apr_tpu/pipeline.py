@@ -31,7 +31,7 @@ _HIGHEST = jax.lax.Precision.HIGHEST
 @functools.partial(
     jax.jit,
     static_argnames=("config", "max_len", "prompt_len", "compute_dtype",
-                     "fidelity", "timestamp_base", "no_speech"))
+                     "fidelity", "timestamp_base", "no_speech", "use_flash"))
 def fused_transcribe_step(params: dict, audio: jnp.ndarray,
                           window: jnp.ndarray, basis: jnp.ndarray,
                           filters_t: jnp.ndarray, prompt: jnp.ndarray,
@@ -42,7 +42,8 @@ def fused_transcribe_step(params: dict, audio: jnp.ndarray,
                           fidelity: bool = False,
                           timestamp_base: int = -1,
                           no_speech: int = -1,
-                          qd=None):
+                          qd=None,
+                          use_flash: bool = False):
     """audio [B, n_samples] (pre-padded to a full window) -> DecodeResult.
 
     One XLA program: batched log-mel (vmapped, per-item normalization as in
@@ -63,7 +64,8 @@ def fused_transcribe_step(params: dict, audio: jnp.ndarray,
                            mel.dtype)], axis=1)
     mel = mel[:, :n_frames_target]
 
-    enc = encode(params, mel, config, compute_dtype, precision)
+    enc = encode(params, mel, config, compute_dtype, precision,
+                 use_flash=use_flash)
     return greedy_generate_body(
         params, enc, prompt, suppress_bias, eot, config,
         max_len=max_len, prompt_len=prompt_len,

@@ -1,0 +1,161 @@
+"""Device paged decoding: Pallas paged-attention kernel + scheduler pool.
+
+Kernel runs in interpret mode on CPU; on TPU the same code path compiles
+to Mosaic (verified on hardware in BENCH_NOTES).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from helpers import make_hf_twin, small_config, small_specials
+from whisper_apr_tpu import WhisperApr
+from whisper_apr_tpu.model import paged_decode
+from whisper_apr_tpu.model.decoder import init_cache, prefill
+from whisper_apr_tpu.model.kv_variants import (PAGE_SIZE, PagedKVCache,
+                                               decode_step_multi)
+from whisper_apr_tpu.ops.paged_attention import paged_attention
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    # lane-aligned d_model for the kernel path
+    from whisper_apr_tpu.config import ModelConfig
+    return ModelConfig(
+        model_type="tiny", n_vocab=700, n_audio_ctx=32, n_audio_state=128,
+        n_audio_head=4, n_audio_layer=2, n_text_ctx=48, n_text_state=128,
+        n_text_head=4, n_text_layer=2, n_mels=80)
+
+
+@pytest.fixture(scope="module")
+def setup(cfg):
+    from whisper_apr_tpu.model.params import init_params
+    params = init_params(cfg, seed=7)
+    rng = np.random.default_rng(0)
+    enc = jnp.asarray(rng.normal(0, 0.5, (2, cfg.n_audio_ctx,
+                                          cfg.n_text_state)).astype(np.float32))
+    return params, enc
+
+
+class TestPagedAttentionKernel:
+    def test_matches_dense_softmax(self):
+        rng = np.random.default_rng(0)
+        B, D, H, NP, PMAX = 2, 128, 4, 10, 3
+        hd = D // H
+        k_pool = rng.normal(0, 0.5, (NP, PAGE_SIZE, D)).astype(np.float32)
+        v_pool = rng.normal(0, 0.5, (NP, PAGE_SIZE, D)).astype(np.float32)
+        tables = np.zeros((B, PMAX), np.int32)
+        tables[0, :2] = [3, 7]
+        tables[1, :3] = [1, 4, 9]
+        lengths = np.array([20, 41], np.int32)
+        q = rng.normal(0, 0.5, (B, D)).astype(np.float32)
+        got = np.asarray(paged_attention(
+            jnp.asarray(q), jnp.asarray(k_pool), jnp.asarray(v_pool),
+            jnp.asarray(tables), jnp.asarray(lengths), H, interpret=True))
+        for b in range(B):
+            n = int(lengths[b])
+            pages = tables[b][: -(-n // PAGE_SIZE)]
+            k = k_pool[pages].reshape(-1, D)[:n]
+            v = v_pool[pages].reshape(-1, D)[:n]
+            for h in range(H):
+                lo = h * hd
+                s = (q[b, lo:lo + hd] * hd ** -0.5) @ k[:, lo:lo + hd].T
+                w = np.exp(s - s.max())
+                w /= w.sum()
+                want = w @ v[:, lo:lo + hd]
+                np.testing.assert_allclose(got[b, lo:lo + hd], want,
+                                           rtol=1e-4, atol=1e-5)
+
+
+class TestPagedDecodeStep:
+    def test_matches_dense_decode_token_exact(self, cfg, setup):
+        """The paged device step must produce the same logits as the dense
+        per-slot cache step at every position (the paged-vs-dense oracle)."""
+        params, enc = setup
+        B = enc.shape[0]
+        L, D = cfg.n_text_layer, cfg.n_text_state
+        max_len = 40
+        prompt = jnp.asarray(np.full((B, 3), 5, np.int32))
+
+        dense = init_cache(params, enc, cfg, max_len=max_len)
+        _, dense = prefill(params, prompt, enc, dense, cfg)
+
+        pk = PagedKVCache(cfg, n_pages=2 * B * (max_len // PAGE_SIZE + 1))
+        for b in range(B):
+            pk.alloc(b, 3)
+        tables = np.zeros((B, -(-max_len // PAGE_SIZE)), np.int32)
+        for b in range(B):
+            pk.k_pool, pk.v_pool = paged_decode.write_prefill_to_pool(
+                pk.k_pool, pk.v_pool, dense.self_k[:, b:b + 1],
+                dense.self_v[:, b:b + 1], np.asarray(pk._tables[b]), 3)
+
+        toks = np.array([7, 11], np.int32)
+        pos = 3
+        for step in range(6):
+            for b in range(B):
+                pk.extend(b, 1)
+                t = pk._tables[b]
+                tables[b, : len(t)] = t
+            lg_dense, dense = decode_step_multi(
+                params, jnp.asarray(toks), jnp.full(B, pos, jnp.int32),
+                dense, cfg)
+            lg_paged, pk.k_pool, pk.v_pool = paged_decode.paged_decode_step(
+                params, jnp.asarray(toks), jnp.full(B, pos, jnp.int32),
+                jnp.asarray(tables), pk.k_pool, pk.v_pool,
+                dense.cross_k, dense.cross_v, cfg, interpret=True)
+            np.testing.assert_allclose(np.asarray(lg_dense),
+                                       np.asarray(lg_paged),
+                                       rtol=2e-4, atol=2e-4)
+            toks = np.asarray(jnp.argmax(lg_paged, axis=-1), np.int32)
+            assert np.array_equal(
+                toks, np.asarray(jnp.argmax(lg_dense, axis=-1)))
+            pos += 1
+
+
+class TestPagedScheduler:
+    def test_paged_scheduler_matches_dense(self, cfg, setup):
+        """Scheduler over the shared page pool must produce token-identical
+        completions to the dense-slot scheduler."""
+        params, _ = setup
+        from whisper_apr_tpu.parallel.serving import BatchScheduler
+        specials = small_specials(cfg)
+        eng = WhisperApr(cfg, params, specials=specials)
+
+        rng = np.random.default_rng(3)
+        audios = [rng.normal(0, 0.1, 3200).astype(np.float32)
+                  for _ in range(3)]
+
+        paged_decode.INTERPRET = True
+        try:
+            results = {}
+            for mode in ("dense", "paged"):
+                sched = BatchScheduler(eng, n_slots=2, max_len=32,
+                                       paged=(mode == "paged"))
+                ids = [sched.submit(a, max_tokens=8) for a in audios]
+                sched.run_until_drained(max_steps=500)
+                results[mode] = [sched.result(i).tokens for i in ids]
+        finally:
+            paged_decode.INTERPRET = False
+        assert results["dense"] == results["paged"]
+
+    def test_pool_pages_are_recycled(self, cfg, setup):
+        params, _ = setup
+        from whisper_apr_tpu.parallel.serving import BatchScheduler
+        eng = WhisperApr(cfg, params, specials=small_specials(cfg))
+        paged_decode.INTERPRET = True
+        try:
+            sched = BatchScheduler(eng, n_slots=2, max_len=32, paged=True)
+            free0 = sched._paged_kv.free_pages
+            rng = np.random.default_rng(4)
+            for _ in range(2):
+                ids = [sched.submit(rng.normal(0, 0.1, 3200).astype(np.float32),
+                                    max_tokens=6) for _ in range(2)]
+                sched.run_until_drained(max_steps=200)
+                for i in ids:
+                    assert sched.result(i) is not None
+            assert sched._paged_kv.free_pages == free0  # all pages returned
+        finally:
+            paged_decode.INTERPRET = False

@@ -27,7 +27,8 @@ import numpy as np
 
 from ..config import ModelConfig
 from ..model.decoder import KVCache, init_cache, prefill
-from ..model.kv_variants import decode_step_multi, decode_steps_multi_jit
+from ..model.kv_variants import (PAGE_SIZE, PagedKVCache, decode_step_multi,
+                                 decode_steps_multi_jit)
 
 
 @dataclasses.dataclass
@@ -58,12 +59,15 @@ class BatchScheduler:
 
     def __init__(self, engine, n_slots: int = 8,
                  max_len: Optional[int] = None,
-                 steps_per_tick: int = 1) -> None:
+                 steps_per_tick: int = 1,
+                 paged: bool = False,
+                 n_pages: Optional[int] = None) -> None:
         self.engine = engine
         self.config: ModelConfig = engine.config
         self.n_slots = n_slots
         self.steps_per_tick = max(1, steps_per_tick)
         self.max_len = max_len or self.config.n_text_ctx
+        self.paged = paged
         self._queue: "queue.Queue[Request]" = queue.Queue()
         self._completions: Dict[int, Completion] = {}
         self._next_id = 0
@@ -77,11 +81,27 @@ class BatchScheduler:
         L = self.config.n_text_layer
         dt = engine._compute_dtype
         B = n_slots
-        self._cache = KVCache(
-            self_k=jnp.zeros((L, B, self.max_len, D), dtype=dt),
-            self_v=jnp.zeros((L, B, self.max_len, D), dtype=dt),
-            cross_k=jnp.zeros((L, B, S, D), dtype=dt),
-            cross_v=jnp.zeros((L, B, S, D), dtype=dt))
+        if paged:
+            # slots SHARE a page pool instead of dense [B, max_len] caches
+            # (reference: decoder.rs:835 PagedDecoderKVCache); page 0 is a
+            # reserved scratch page that idle slots write into harmlessly
+            self._p_max = -(-self.max_len // PAGE_SIZE)
+            pool_pages = n_pages or (B * self._p_max + 1)
+            self._paged_kv = PagedKVCache(self.config, pool_pages,
+                                          compute_dtype=dt)
+            self._paged_kv.alloc(-1, 1)  # sentinel: reserve page 0 slack
+            self._garbage_page = self._paged_kv._tables[-1][0]
+            self._cache = KVCache(
+                self_k=jnp.zeros((L, 1, 1, D), dtype=dt),   # unused (paged)
+                self_v=jnp.zeros((L, 1, 1, D), dtype=dt),
+                cross_k=jnp.zeros((L, B, S, D), dtype=dt),
+                cross_v=jnp.zeros((L, B, S, D), dtype=dt))
+        else:
+            self._cache = KVCache(
+                self_k=jnp.zeros((L, B, self.max_len, D), dtype=dt),
+                self_v=jnp.zeros((L, B, self.max_len, D), dtype=dt),
+                cross_k=jnp.zeros((L, B, S, D), dtype=dt),
+                cross_v=jnp.zeros((L, B, S, D), dtype=dt))
         self._tokens = np.full((B, self.max_len),
                                engine.specials.eot, dtype=np.int32)
         self._pos = np.zeros(B, dtype=np.int32)
@@ -135,11 +155,25 @@ class BatchScheduler:
             first = int(np.asarray(
                 jnp.argmax(logits[0] + self._bias)))
             P = len(req.prompt)
-            self._cache = KVCache(
-                self._cache.self_k.at[:, slot].set(one.self_k[:, 0]),
-                self._cache.self_v.at[:, slot].set(one.self_v[:, 0]),
-                self._cache.cross_k.at[:, slot].set(one.cross_k[:, 0]),
-                self._cache.cross_v.at[:, slot].set(one.cross_v[:, 0]))
+            if self.paged:
+                from ..model.paged_decode import write_prefill_to_pool
+                pk = self._paged_kv
+                pk.free(slot)  # clear any previous occupant
+                pk.alloc(slot, P + 1)  # prompt + the first generated token
+                table = np.asarray(pk._tables[slot], np.int32)
+                pk.k_pool, pk.v_pool = write_prefill_to_pool(
+                    pk.k_pool, pk.v_pool, one.self_k, one.self_v, table, P)
+                pk._lengths[slot] = P
+                self._cache = KVCache(
+                    self._cache.self_k, self._cache.self_v,
+                    self._cache.cross_k.at[:, slot].set(one.cross_k[:, 0]),
+                    self._cache.cross_v.at[:, slot].set(one.cross_v[:, 0]))
+            else:
+                self._cache = KVCache(
+                    self._cache.self_k.at[:, slot].set(one.self_k[:, 0]),
+                    self._cache.self_v.at[:, slot].set(one.self_v[:, 0]),
+                    self._cache.cross_k.at[:, slot].set(one.cross_k[:, 0]),
+                    self._cache.cross_v.at[:, slot].set(one.cross_v[:, 0]))
             self._tokens[slot] = self.engine.specials.eot
             self._tokens[slot, :P] = req.prompt
             self._tokens[slot, P] = first
@@ -167,6 +201,8 @@ class BatchScheduler:
             decode_seconds=now - self._decode_start[slot])
         self._active[slot] = False
         self._req[slot] = None
+        if self.paged:
+            self._paged_kv.free(slot)
 
     def step(self) -> int:
         """One scheduler tick: admit, then advance every active slot by one
@@ -180,12 +216,15 @@ class BatchScheduler:
                                          self._pos])
         pos = jnp.asarray(self._pos)
         K = self.steps_per_tick
-        # one fused dispatch advancing all slots by K tokens
-        toks, self._cache = decode_steps_multi_jit(
-            self.engine.params, token, pos, self._bias, self._cache,
-            self.config, n_steps=K,
-            compute_dtype=self.engine._compute_dtype)
-        toks = np.asarray(toks)  # [B, K]
+        if self.paged:
+            toks = self._paged_tick(token, pos, K)
+        else:
+            # one fused dispatch advancing all slots by K tokens
+            toks, self._cache = decode_steps_multi_jit(
+                self.engine.params, token, pos, self._bias, self._cache,
+                self.config, n_steps=K,
+                compute_dtype=self.engine._compute_dtype)
+            toks = np.asarray(toks)  # [B, K]
 
         eot = self.engine.specials.eot
         for slot in range(self.n_slots):
@@ -205,6 +244,36 @@ class BatchScheduler:
                     self._finish(slot)
                     break
         return int(self._active.sum())
+
+    def _paged_tick(self, token, pos, n_steps: int) -> np.ndarray:
+        """Advance all slots by ``n_steps`` over the shared page pool."""
+        from ..model.paged_decode import paged_decode_steps_jit
+        pk = self._paged_kv
+        # host: pre-extend each active slot's table to cover the new tokens
+        tables = np.full((self.n_slots, self._p_max), self._garbage_page,
+                         dtype=np.int32)
+        used = 1
+        for slot in range(self.n_slots):
+            if not self._active[slot]:
+                continue
+            pk.extend(slot, n_steps)
+            t = pk._tables[slot]
+            tables[slot, : len(t)] = t[: self._p_max]
+            used = max(used, min(len(t), self._p_max))
+        # bucket the table width to the next power of two: the kernel grid
+        # covers exactly the pages in use (a max_len-wide grid would DMA
+        # every slot's full table even for 1-page sequences), while the
+        # bucketing keeps the number of compiled variants logarithmic
+        width = 1
+        while width < used:
+            width *= 2
+        width = min(width, self._p_max)
+        toks, pk.k_pool, pk.v_pool = paged_decode_steps_jit(
+            self.engine.params, token, pos, self._bias,
+            jnp.asarray(tables[:, :width]), pk.k_pool, pk.v_pool,
+            self._cache.cross_k, self._cache.cross_v, self.config,
+            n_steps=n_steps, compute_dtype=self.engine._compute_dtype)
+        return np.asarray(toks)
 
     def run_until_drained(self, max_steps: int = 100_000) -> None:
         for _ in range(max_steps):

@@ -64,6 +64,9 @@ def _add_decode_flags(p: argparse.ArgumentParser) -> None:
                    help="use the Pallas flash-attention kernel")
     p.add_argument("--n-best", type=int, default=0, metavar="N",
                    help="with --beam-size>1: print the N best hypotheses")
+    p.add_argument("--speculative", action="store_true",
+                   help="self-draft multi-token decode (single stream, "
+                        "token-exact vs greedy)")
     p.add_argument("--hotword", action="append", default=None,
                    metavar="PHRASE[:BOOST]",
                    help="boost a phrase during decoding (repeatable)")

@@ -68,6 +68,7 @@ def _options_from_args(args, task: str) -> TranscribeOptions:
         entropy_thold=getattr(args, "entropy_thold", 2.4),
         no_speech_thold=getattr(args, "no_speech_thold", 0.6),
         hotwords=getattr(args, "hotword", None),
+        speculative=getattr(args, "speculative", False),
     )
 
 

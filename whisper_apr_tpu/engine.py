@@ -78,6 +78,12 @@ class TranscribeOptions:
     # hotword boosting (reference: src/vocabulary/mod.rs:86): phrases with
     # optional per-phrase boost; drives the host-stepped boosted decode
     hotwords: Optional[List] = None  # [(phrase, boost)] or ["phrase:boost"]
+    # speculative self-draft decode (single-stream greedy only): the first
+    # draft_layers decoder layers draft draft_tokens tokens per verify pass;
+    # output stays token-exact vs plain greedy. draft_layers=0 -> L//4.
+    speculative: bool = False
+    draft_tokens: int = 4
+    draft_layers: int = 0
 
 
 @dataclasses.dataclass
@@ -408,6 +414,33 @@ class WhisperApr:
         if options.hotwords:
             return self._transcribe_hotwords(
                 audios, options, lang, prompt_list, bias, max_tokens, t0)
+
+        if (options.speculative and len(audios) == 1
+                and options.strategy == "greedy"
+                and options.temperature == 0.0 and not options.timestamps):
+            from .inference.speculative import speculative_greedy_generate
+            mel = self.mel_filters.compute_30s_device(
+                audios[0], n_frames=2 * self.config.n_audio_ctx)
+            enc = self.encode(mel)
+            ld = options.draft_layers or max(1, self.config.n_text_layer // 4)
+            spec = speculative_greedy_generate(
+                self.params, enc, prompt, bias, self.specials.eot,
+                self.config, max_len=max_tokens,
+                prompt_len=len(prompt_list),
+                draft_tokens=options.draft_tokens, draft_layers=ld,
+                compute_dtype=self._compute_dtype, fidelity=self._fidelity)
+            # token-exact greedy output; gate metrics are not accumulated on
+            # this path (use the plain path when fallback gating is needed)
+            tokens_np = np.asarray(spec.tokens)
+            lengths_np = np.asarray(spec.lengths)
+            toks = tokens_np[0, : lengths_np[0]].tolist()
+            gen = toks[len(prompt_list):]
+            text = self.tokenizer.decode_with_options(gen, skip_special=True)
+            segments = ([Segment(0.0, len(audios[0]) / SAMPLE_RATE,
+                                 text, gen)] if text.strip() else [])
+            return BatchTranscriptionResult([TranscriptionResult(
+                text=text.strip(), language=lang, segments=segments,
+                tokens=toks)], time.time() - t0)
 
         if options.strategy == "sampling" or (
                 options.strategy == "greedy" and options.temperature > 0):

@@ -134,6 +134,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("input", help="HF model directory (safetensors + vocab)")
     p.add_argument("output", help="output .apr path")
     p.add_argument("--int8", action="store_true")
+    p.add_argument("--v2", action="store_true",
+                   help="write the APR v2 container (JSON metadata)")
 
     # benchmark
     p = sub.add_parser("benchmark", help="pipeline benchmark")

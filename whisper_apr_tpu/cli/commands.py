@@ -160,7 +160,10 @@ def run_detect_language(args) -> int:
 
 def run_model_info(args) -> int:
     """(reference: commands.rs model subcommand)"""
-    reader = AprReader.from_file(args.model)
+    from ..format.v2 import AprReaderV2, is_v2
+    head = open(args.model, "rb").read(4)
+    reader = (AprReaderV2.from_file(args.model) if is_v2(head)
+              else AprReader.from_file(args.model))
     h = reader.header
     cfg = h.to_model_config()
     print(f"model: {cfg.model_type}")
@@ -286,7 +289,8 @@ def run_convert(args) -> int:
     from ..tools.convert import convert_hf_to_apr
     out = convert_hf_to_apr(
         args.input, args.output,
-        quantization=QUANT_INT8 if args.int8 else 0)
+        quantization=QUANT_INT8 if args.int8 else 0,
+        container_version=2 if getattr(args, "v2", False) else 1)
     print(f"wrote {out}")
     return 0
 

@@ -149,8 +149,17 @@ class WhisperApr:
                       verify_crc: bool = True,
                       specials: Optional[SpecialTokens] = None) -> "WhisperApr":
         """Load a model from an .apr container (reference: src/lib.rs:673)."""
-        reader = (AprReader.from_file(path_or_bytes)
-                  if isinstance(path_or_bytes, str) else AprReader(path_or_bytes))
+        from .format.v2 import AprReaderV2, is_v2
+        raw = (open(path_or_bytes, "rb").read(4)
+               if isinstance(path_or_bytes, str) else path_or_bytes[:4])
+        if is_v2(raw):
+            reader = (AprReaderV2.from_file(path_or_bytes)
+                      if isinstance(path_or_bytes, str)
+                      else AprReaderV2(path_or_bytes))
+        else:
+            reader = (AprReader.from_file(path_or_bytes)
+                      if isinstance(path_or_bytes, str)
+                      else AprReader(path_or_bytes))
         if verify_crc and not reader.verify_crc():
             raise ModelError("corrupt .apr file: CRC32 mismatch")
         config = reader.header.to_model_config()

@@ -19,10 +19,14 @@ from .container import (
     MelFilterbankData,
     TensorDescriptor,
 )
+from .v2 import (MAGIC_V2, AprMetadata, AprReaderV2, AprTensorDescriptor,
+                 AprWriterV2, is_v2)
 from .validation import AprValidator, TensorStats, ValidationCheck, ValidationReport
 
 __all__ = [
     "AprHeader", "AprReader", "AprWriter", "AprValidator", "Crc32",
+    "AprMetadata", "AprReaderV2", "AprWriterV2", "AprTensorDescriptor",
+    "MAGIC_V2", "is_v2",
     "MelFilterbankData", "TensorDescriptor", "TensorStats",
     "ValidationCheck", "ValidationReport", "crc32",
     "MAGIC", "FORMAT_VERSION", "HEADER_SIZE", "TENSOR_INDEX_ENTRY_SIZE",

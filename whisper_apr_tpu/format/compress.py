@@ -27,6 +27,16 @@ def decompress_block(compressed: bytes, decompressed_size: int) -> bytes:
         raise FormatError(
             f"decompressed size {decompressed_size} exceeds maximum "
             f"{MAX_BLOCK_SIZE}")
+    out = _decode_block(compressed, decompressed_size)
+    if len(out) != decompressed_size:
+        raise FormatError(
+            f"LZ4 size mismatch: got {len(out)}, expected {decompressed_size}")
+    return out
+
+
+def _decode_block(compressed: bytes, max_size: int = MAX_BLOCK_SIZE) -> bytes:
+    """Decode a raw LZ4 block until the input is consumed (output size may
+    be unknown, as in standard LZ4 frames)."""
     src = compressed
     n = len(src)
     out = bytearray()
@@ -73,11 +83,8 @@ def decompress_block(compressed: bytes, decompressed_size: int) -> bytes:
         for _ in range(match_len):
             out.append(out[pos])
             pos += 1
-        if len(out) > decompressed_size:
+        if len(out) > max_size:
             raise FormatError("LZ4 output exceeds expected size")
-    if len(out) != decompressed_size:
-        raise FormatError(
-            f"LZ4 size mismatch: got {len(out)}, expected {decompressed_size}")
     return bytes(out)
 
 
@@ -183,4 +190,150 @@ def decompress_blocks(data: bytes) -> bytes:
             raise FormatError("truncated compressed block payload")
         out += decompress_block(data[i: i + comp_size], orig_size)
         i += comp_size
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Standard LZ4 FRAME format (spec v1.6.1) — interchange-compatible with the
+# lz4 CLI and any conforming reader. The reference only detects the frame
+# magic (compress.rs:34 LZ4_MAGIC); this implements the full framing so
+# compressed .apr payloads are standard LZ4 frames, not a private layout.
+# ---------------------------------------------------------------------------
+
+_XXH_P1, _XXH_P2, _XXH_P3 = 2654435761, 2246822519, 3266489917
+_XXH_P4, _XXH_P5 = 668265263, 374761393
+_M32 = 0xFFFFFFFF
+
+
+def _rotl32(x: int, r: int) -> int:
+    return ((x << r) | (x >> (32 - r))) & _M32
+
+
+def xxh32(data: bytes, seed: int = 0) -> int:
+    """xxHash32 (needed for LZ4 frame header/content checksums)."""
+    n = len(data)
+    i = 0
+    if n >= 16:
+        v1 = (seed + _XXH_P1 + _XXH_P2) & _M32
+        v2 = (seed + _XXH_P2) & _M32
+        v3 = seed & _M32
+        v4 = (seed - _XXH_P1) & _M32
+        while i <= n - 16:
+            for idx, v in enumerate((v1, v2, v3, v4)):
+                (lane,) = struct.unpack_from("<I", data, i + 4 * idx)
+                v = (v + lane * _XXH_P2) & _M32
+                v = _rotl32(v, 13)
+                v = (v * _XXH_P1) & _M32
+                if idx == 0:
+                    v1 = v
+                elif idx == 1:
+                    v2 = v
+                elif idx == 2:
+                    v3 = v
+                else:
+                    v4 = v
+            i += 16
+        h = (_rotl32(v1, 1) + _rotl32(v2, 7) + _rotl32(v3, 12)
+             + _rotl32(v4, 18)) & _M32
+    else:
+        h = (seed + _XXH_P5) & _M32
+    h = (h + n) & _M32
+    while i <= n - 4:
+        (lane,) = struct.unpack_from("<I", data, i)
+        h = (h + lane * _XXH_P3) & _M32
+        h = (_rotl32(h, 17) * _XXH_P4) & _M32
+        i += 4
+    while i < n:
+        h = (h + data[i] * _XXH_P5) & _M32
+        h = (_rotl32(h, 11) * _XXH_P1) & _M32
+        i += 1
+    h ^= h >> 15
+    h = (h * _XXH_P2) & _M32
+    h ^= h >> 13
+    h = (h * _XXH_P3) & _M32
+    h ^= h >> 16
+    return h
+
+
+def lz4_frame_compress(data: bytes, block_size: int = BLOCK_SIZE) -> bytes:
+    """Standard LZ4 frame: magic, descriptor (independent 64 KB blocks,
+    content size present), blocks (stored uncompressed when compression
+    does not help, per spec), end mark."""
+    out = bytearray()
+    out += struct.pack("<I", LZ4_MAGIC)
+    flg = 0x40 | 0x20 | 0x08  # version=01, B.Indep=1, C.Size=1
+    bd = 0x40                 # block max size code 4 = 64 KB
+    desc = bytes([flg, bd]) + struct.pack("<Q", len(data))
+    hc = (xxh32(desc) >> 8) & 0xFF
+    out += desc + bytes([hc])
+    for start in range(0, len(data), block_size):
+        chunk = data[start: start + block_size]
+        comp = compress_block(chunk)
+        if len(comp) < len(chunk):
+            out += struct.pack("<I", len(comp))
+            out += comp
+        else:  # incompressible: stored block (high bit set)
+            out += struct.pack("<I", len(chunk) | 0x80000000)
+            out += chunk
+    out += struct.pack("<I", 0)  # end mark
+    return bytes(out)
+
+
+def lz4_frame_decompress(data: bytes) -> bytes:
+    """Parse a standard LZ4 frame (any conforming writer's output)."""
+    if len(data) < 7:
+        raise FormatError("truncated LZ4 frame")
+    (magic,) = struct.unpack_from("<I", data, 0)
+    if magic != LZ4_MAGIC:
+        raise FormatError(f"bad LZ4 frame magic {magic:#x}")
+    i = 4
+    flg, bd = data[i], data[i + 1]
+    if (flg >> 6) != 0b01:
+        raise FormatError("unsupported LZ4 frame version")
+    has_bchk = bool(flg & 0x10)
+    has_csize = bool(flg & 0x08)
+    has_cchk = bool(flg & 0x04)
+    has_dict = bool(flg & 0x01)
+    desc_len = 2 + (8 if has_csize else 0) + (4 if has_dict else 0)
+    desc = data[i: i + desc_len]
+    hc = data[i + desc_len]
+    if hc != ((xxh32(desc) >> 8) & 0xFF):
+        raise FormatError("LZ4 frame header checksum mismatch")
+    content_size = struct.unpack_from("<Q", data, i + 2)[0] if has_csize else None
+    i += desc_len + 1
+    bmax = {4: 64 << 10, 5: 256 << 10, 6: 1 << 20, 7: 4 << 20}.get(
+        (bd >> 4) & 0x7)
+    if bmax is None:
+        raise FormatError("invalid LZ4 frame block size code")
+    out = bytearray()
+    while True:
+        if i + 4 > len(data):
+            raise FormatError("truncated LZ4 frame block header")
+        (word,) = struct.unpack_from("<I", data, i)
+        i += 4
+        if word == 0:
+            break  # end mark
+        stored = bool(word & 0x80000000)
+        size = word & 0x7FFFFFFF
+        if i + size > len(data):
+            raise FormatError("truncated LZ4 frame block")
+        block = data[i: i + size]
+        i += size
+        if has_bchk:
+            if i + 4 > len(data):
+                raise FormatError("truncated LZ4 block checksum")
+            (bchk,) = struct.unpack_from("<I", data, i)
+            i += 4
+            if bchk != xxh32(block):
+                raise FormatError("LZ4 block checksum mismatch")
+        out += block if stored else _decode_block(block, bmax)
+    if has_cchk:
+        if i + 4 > len(data):
+            raise FormatError("truncated LZ4 content checksum")
+        (cchk,) = struct.unpack_from("<I", data, i)
+        if cchk != xxh32(bytes(out)):
+            raise FormatError("LZ4 content checksum mismatch")
+    if content_size is not None and len(out) != content_size:
+        raise FormatError(
+            f"LZ4 content size mismatch: {len(out)} != {content_size}")
     return bytes(out)

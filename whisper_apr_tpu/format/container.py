@@ -274,13 +274,16 @@ class AprReader:
             self.tensors.append(desc)
             self._by_name[desc.name] = i
 
-        # compressed files carry `u32 comp_len + LZ4 blocks` in place of the
-        # raw tensor payload (reference ships the standalone decompressor at
-        # src/format/compress.rs; the framing is ours)
+        # compressed files carry `u32 comp_len + payload` in place of the
+        # raw tensor data. The payload is a STANDARD LZ4 frame (spec
+        # v1.6.1, detected by its magic — the framing the reference's
+        # LZ4_MAGIC constant implies, compress.rs:34); the round-1 private
+        # block layout is still read for back-compat.
         self._payload: Optional[bytes] = None
         self._sections_after = None
         if self.header.compressed and n_tensors > 0:
-            from .compress import decompress_blocks
+            from .compress import (LZ4_MAGIC, decompress_blocks,
+                                   lz4_frame_decompress)
             start = self.tensor_data_offset
             if start + 4 > len(data):
                 raise FormatError("truncated compressed payload header")
@@ -288,7 +291,11 @@ class AprReader:
             end = start + 4 + comp_len
             if end > len(data):
                 raise FormatError("truncated compressed payload")
-            self._payload = decompress_blocks(data[start + 4: end])
+            blob = data[start + 4: end]
+            if len(blob) >= 4 and struct.unpack_from("<I", blob)[0] == LZ4_MAGIC:
+                self._payload = lz4_frame_decompress(blob)
+            else:  # legacy private framing (round-1 files)
+                self._payload = decompress_blocks(blob)
             self._sections_after = end
 
     @staticmethod
@@ -482,8 +489,8 @@ class AprWriter:
         if quant == QUANT_INT8:
             out += scales
         if self.header.compressed:
-            from .compress import compress_blocks
-            comp = compress_blocks(bytes(payload))
+            from .compress import lz4_frame_compress
+            comp = lz4_frame_compress(bytes(payload))
             out += struct.pack("<I", len(comp))
             out += comp
         else:

@@ -69,12 +69,15 @@ def _config_from_hf_json(cfg_json: dict) -> ModelConfig:
 
 
 def convert_hf_to_apr(input_dir: str, output_path: str,
-                      quantization: int = QUANT_F32) -> str:
+                      quantization: int = QUANT_F32,
+                      container_version: int = 1) -> str:
     """Convert a local HF Whisper checkpoint directory to .apr.
 
     Expects: config.json, model.safetensors (or pytorch_model.bin),
     vocab.json + merges.txt (+ added_tokens.json). Embeds the exact slaney
     filterbank (computed; bit-matches OpenAI's mel_filters.npz).
+    ``container_version=2`` writes the JSON-metadata APR v2 container
+    (reference: src/format/mod.rs:46-50 aprender canonical format).
     """
     cfg_path = os.path.join(input_dir, "config.json")
     if not os.path.exists(cfg_path):
@@ -96,7 +99,11 @@ def convert_hf_to_apr(input_dir: str, output_path: str,
                                      weights_only=True).items()}
     tensors = hf_state_dict_to_apr_tensors(sd)
 
-    writer = AprWriter.from_config(config, quantization=quantization)
+    if container_version == 2:
+        from ..format.v2 import AprWriterV2
+        writer = AprWriterV2.from_config(config, quantization=quantization)
+    else:
+        writer = AprWriter.from_config(config, quantization=quantization)
     for name, arr in sorted(tensors.items()):
         writer.add_tensor(name, arr)
 

@@ -38,10 +38,17 @@ def main() -> None:
 
     cfg = ModelConfig.tiny()
     params = init_params(cfg, seed=0)
-    # fast path: bf16 weights/activations on the MXU
+    # production fast path: int8 weights + decode-specialized Pallas
+    # quantized-matvec kernels (round 2: int8+kernels beat bf16 at every
+    # model size), bf16 activations on the MXU
+    from whisper_apr_tpu.model.params import quantize_params
+    from whisper_apr_tpu.model.qdecode import prepare_qdecode
+    params = quantize_params(params, "int8")
     params = jax.tree_util.tree_map(
-        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
         params)
+    qd = prepare_qdecode(params, cfg)
     compute_dtype = jnp.bfloat16
 
     rng = np.random.default_rng(0)
@@ -65,7 +72,7 @@ def main() -> None:
         tokens, lengths, _, _ = fused_transcribe_step(
             params, batch, fb._window, fb._basis, fb._filters_t,
             prompt, bias, 50257, cfg, max_len=max_len, prompt_len=prompt_len,
-            compute_dtype=compute_dtype)
+            compute_dtype=compute_dtype, qd=qd)
         # NOTE: block_until_ready() does NOT synchronize under the axon
         # remote-TPU tunnel; fetching the value is the only true barrier.
         return np.asarray(tokens)

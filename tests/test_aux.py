@@ -368,3 +368,30 @@ class TestMmapRead:
         assert a.verify_crc() and b.verify_crc()
         assert np.array_equal(a.load_tensor("encoder.conv1.weight"),
                               b.load_tensor("encoder.conv1.weight"))
+
+
+class TestTurboPreset:
+    def test_large_v3_turbo_config(self):
+        from whisper_apr_tpu.config import ModelConfig
+        c = ModelConfig.from_name("large-v3-turbo")
+        assert c.n_text_layer == 4 and c.n_audio_layer == 32
+        assert c.n_mels == 128 and c.n_vocab == 51_866
+        assert ModelConfig.from_name("turbo").model_type == "large-v3-turbo"
+
+    def test_turbo_header_roundtrip(self):
+        from whisper_apr_tpu.config import ModelConfig
+        from whisper_apr_tpu.format.container import AprHeader
+        c = ModelConfig.large_v3_turbo()
+        c2 = AprHeader.parse(
+            AprHeader.from_config(c).to_bytes()).to_model_config()
+        assert c2.model_type == "large-v3-turbo"
+        assert c2.n_text_layer == 4
+
+    def test_turbo_hf_detection(self):
+        from whisper_apr_tpu.tools.convert import _config_from_hf_json
+        cfg = _config_from_hf_json({
+            "num_mel_bins": 128, "d_model": 1280, "encoder_layers": 32,
+            "encoder_attention_heads": 20, "decoder_layers": 4,
+            "decoder_attention_heads": 20, "vocab_size": 51_866,
+            "max_source_positions": 1500, "max_target_positions": 448})
+        assert cfg.model_type == "large-v3-turbo"

@@ -105,3 +105,83 @@ class TestDecodeStepQ:
                               config=cfg, max_len=12, prompt_len=2)
         assert np.array_equal(np.asarray(fast.tokens), np.asarray(ref.tokens))
         assert np.array_equal(np.asarray(fast.lengths), np.asarray(ref.lengths))
+
+
+class TestQdecodeUnified:
+    """The kernel path now serves multi-slot, sampling, and beam decodes."""
+
+    def test_multi_pos_matches_decode_step_multi(self, cfg, qsetup):
+        from whisper_apr_tpu.model.kv_variants import decode_step_multi
+        params, qd, enc = qsetup
+        cache_a = init_cache(params, enc, cfg, max_len=10)
+        cache_b = init_cache(params, enc, cfg, max_len=10)
+        prompt = jnp.asarray(np.full((2, 2), 5, np.int32))
+        _, cache_a = prefill(params, prompt, enc, cache_a, cfg)
+        _, cache_b = prefill(params, prompt, enc, cache_b, cfg)
+        tok = jnp.asarray(np.array([7, 11], np.int32))
+        pos = jnp.asarray(np.array([2, 2], np.int32))
+        for _ in range(3):
+            la, cache_a = decode_step_multi(params, tok, pos, cache_a, cfg)
+            lb, cache_b = qdecode.decode_step_q(
+                params, qd, tok, pos, cache_b, cfg,
+                compute_dtype=jnp.float32, interpret=True)
+            np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                       rtol=2e-4, atol=2e-4)
+            tok = jnp.argmax(lb, axis=-1).astype(jnp.int32)
+            pos = pos + 1
+
+    def test_multi_steps_with_qd_token_exact(self, cfg, qsetup):
+        from whisper_apr_tpu.model.kv_variants import decode_steps_multi
+        params, qd, enc = qsetup
+        bias = jnp.zeros(cfg.n_vocab, jnp.float32)
+        prompt = jnp.asarray(np.full((2, 2), 5, np.int32))
+        cache_a = init_cache(params, enc, cfg, max_len=12)
+        _, cache_a = prefill(params, prompt, enc, cache_a, cfg)
+        cache_b = init_cache(params, enc, cfg, max_len=12)
+        _, cache_b = prefill(params, prompt, enc, cache_b, cfg)
+        tok = jnp.asarray(np.array([7, 11], np.int32))
+        pos = jnp.asarray(np.array([2, 2], np.int32))
+        ref, _ = decode_steps_multi(params, tok, pos, bias, cache_a, cfg,
+                                    n_steps=4)
+        qdecode.INTERPRET = True
+        try:
+            fast, _ = decode_steps_multi(params, tok, pos, bias, cache_b,
+                                         cfg, n_steps=4, qd=qd)
+        finally:
+            qdecode.INTERPRET = False
+        assert np.array_equal(np.asarray(ref), np.asarray(fast))
+
+    def test_sampling_with_qd_matches_greedy_qd(self, cfg, qsetup):
+        import jax
+        from whisper_apr_tpu.inference.sampling import sample_generate
+        params, qd, enc = qsetup
+        eot = cfg.n_vocab - 1
+        prompt = jnp.asarray(np.full((2, 2), 5, np.int32))
+        bias = jnp.zeros(cfg.n_vocab, jnp.float32)
+        qdecode.INTERPRET = True
+        try:
+            g = greedy_generate(params, enc, prompt, bias, eot=eot,
+                                config=cfg, max_len=10, prompt_len=2, qd=qd)
+            s = sample_generate(params, enc, prompt, bias, eot,
+                                jax.random.PRNGKey(0), config=cfg,
+                                max_len=10, prompt_len=2, temperature=0.0,
+                                qd=qd)
+        finally:
+            qdecode.INTERPRET = False
+        assert np.array_equal(np.asarray(g.tokens), np.asarray(s.tokens))
+
+    def test_beam1_with_qd_matches_greedy_qd(self, cfg, qsetup):
+        from whisper_apr_tpu.inference.beam import beam_generate
+        params, qd, enc = qsetup
+        eot = cfg.n_vocab - 1
+        prompt = jnp.asarray(np.full((2, 2), 5, np.int32))
+        bias = jnp.zeros(cfg.n_vocab, jnp.float32)
+        qdecode.INTERPRET = True
+        try:
+            g = greedy_generate(params, enc, prompt, bias, eot=eot,
+                                config=cfg, max_len=10, prompt_len=2, qd=qd)
+            b = beam_generate(params, enc, prompt, bias, eot=eot, config=cfg,
+                              beam_size=1, max_len=10, prompt_len=2, qd=qd)
+        finally:
+            qdecode.INTERPRET = False
+        assert np.array_equal(np.asarray(g.tokens), np.asarray(b.tokens))

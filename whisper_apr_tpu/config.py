@@ -39,6 +39,7 @@ MODEL_TYPE_CODES = {
     "large-v1": 9,
     "large-v2": 10,
     "large-v3": 11,
+    "large-v3-turbo": 12,
 }
 MODEL_TYPE_NAMES = {v: k for k, v in MODEL_TYPE_CODES.items()}
 
@@ -140,6 +141,13 @@ class ModelConfig:
         return ModelConfig("large-v3", 51_866, 1500, 1280, 20, 32, 448, 1280, 20, 32, 128)
 
     @staticmethod
+    def large_v3_turbo() -> "ModelConfig":
+        # turbo: large-v3 encoder with the decoder pruned to 4 layers
+        # (OpenAI's distilled release; ~6x fewer decoder weights per step)
+        return ModelConfig("large-v3-turbo", 51_866, 1500, 1280, 20, 32,
+                           448, 1280, 20, 4, 128)
+
+    @staticmethod
     def from_name(name: str) -> "ModelConfig":
         table = {
             "tiny": ModelConfig.tiny,
@@ -154,6 +162,8 @@ class ModelConfig:
             "large-v1": ModelConfig.large_v1,
             "large-v2": ModelConfig.large_v2,
             "large-v3": ModelConfig.large_v3,
+            "large-v3-turbo": ModelConfig.large_v3_turbo,
+            "turbo": ModelConfig.large_v3_turbo,
         }
         if name not in table:
             raise ConfigError(f"unknown model preset: {name!r}")

@@ -474,7 +474,8 @@ class WhisperApr:
                     temperature=options.temperature,
                     top_k=options.top_k, top_p=options.top_p,
                     compute_dtype=self._compute_dtype,
-                    fidelity=self._fidelity, no_speech=ns_id)
+                    fidelity=self._fidelity, no_speech=ns_id,
+                    qd=self._qdecode)
                 toks = res.tokens.reshape(B, n_best, -1)
                 lens = res.lengths.reshape(B, n_best)
                 gen_len = jnp.maximum(
@@ -496,7 +497,8 @@ class WhisperApr:
                     temperature=options.temperature,
                     top_k=options.top_k, top_p=options.top_p,
                     compute_dtype=self._compute_dtype,
-                    fidelity=self._fidelity, no_speech=ns_id)
+                    fidelity=self._fidelity, no_speech=ns_id,
+                    qd=self._qdecode)
                 tokens, lengths = res.tokens, res.lengths
                 sum_lp, ns_prob = res.sum_logprob, res.no_speech_prob
         elif options.strategy == "beam":
@@ -511,7 +513,7 @@ class WhisperApr:
                 beam_size=options.beam_size, patience=options.patience,
                 max_len=max_tokens, prompt_len=len(prompt_list),
                 compute_dtype=self._compute_dtype, fidelity=self._fidelity,
-                no_speech=ns_id)
+                no_speech=ns_id, qd=self._qdecode)
             tokens, lengths = res.tokens, res.lengths
             sum_lp, ns_prob = res.sum_logprob, res.no_speech_prob
         else:
@@ -600,7 +602,7 @@ class WhisperApr:
             beam_size=options.beam_size, patience=options.patience,
             max_len=max_tokens, prompt_len=len(prompt_list),
             compute_dtype=self._compute_dtype, fidelity=self._fidelity,
-            return_nbest=True, no_speech=ns_id)
+            return_nbest=True, no_speech=ns_id, qd=self._qdecode)
         toks = np.asarray(res.tokens)[0]       # [K, max_len]
         lens = np.asarray(res.lengths)[0]      # [K]
         scores = np.asarray(res.sum_logprob)[0]

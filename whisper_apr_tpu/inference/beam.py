@@ -23,7 +23,7 @@ order-equivalent to the reference's per-step normalized sort.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -53,7 +53,8 @@ def beam_generate(params: dict, enc_out: jnp.ndarray, prompt: jnp.ndarray,
                   compute_dtype: jnp.dtype = jnp.float32,
                   fidelity: bool = False,
                   return_nbest: bool = False,
-                  no_speech: int = -1) -> DecodeResult:
+                  no_speech: int = -1,
+                  qd: Optional[dict] = None) -> DecodeResult:
     """Batched beam search. Returns a DecodeResult for the best hypothesis
     per batch item (sum_logprob = the winning beam's raw cumulative score),
     or per-beam [B, K, ...] arrays sorted by normalized score with
@@ -110,9 +111,15 @@ def beam_generate(params: dict, enc_out: jnp.ndarray, prompt: jnp.ndarray,
         pos, tokens, done, scores, fin_len, cache = state
         tok = jax.lax.dynamic_slice(
             tokens, (0, 0, pos), (B, K, 1))[:, :, 0]  # [B, K]
-        logits, cache = decode_step(
-            params, _flatten_beams(tok), pos, cache, config,
-            compute_dtype, precision)
+        if qd is None:
+            logits, cache = decode_step(
+                params, _flatten_beams(tok), pos, cache, config,
+                compute_dtype, precision)
+        else:
+            from ..model.qdecode import decode_step_q
+            logits, cache = decode_step_q(
+                params, qd, _flatten_beams(tok), pos, cache, config,
+                compute_dtype)
         logp = jax.nn.log_softmax(
             logits.astype(jnp.float32) + suppress_bias[None, :]).reshape(B, K, V)
 

@@ -65,14 +65,24 @@ def sample_generate(params: dict, enc_out: jnp.ndarray, prompt: jnp.ndarray,
                     top_k: Optional[int] = None, top_p: Optional[float] = None,
                     compute_dtype: jnp.dtype = jnp.float32,
                     fidelity: bool = False,
-                    no_speech: int = -1) -> DecodeResult:
+                    no_speech: int = -1,
+                    qd: Optional[dict] = None) -> DecodeResult:
     """Sampled decode, fully on device.
 
     Returns a DecodeResult; sum_logprob covers generated tokens (incl. EOT)
     and no_speech_prob is read at the SOT position for the silence gate.
+    ``qd`` switches per-token steps to the Pallas quantized-matvec path.
     """
     precision = _HIGHEST if fidelity else None
     B = enc_out.shape[0]
+    if qd is None:
+        step = functools.partial(decode_step, params, config=config,
+                                 compute_dtype=compute_dtype,
+                                 precision=precision)
+    else:
+        from ..model.qdecode import decode_step_q
+        step = functools.partial(decode_step_q, params, qd, config=config,
+                                 compute_dtype=compute_dtype)
     cache = init_cache(params, enc_out, config, max_len, precision,
                        compute_dtype)
     logits_all, cache = prefill(params, prompt, enc_out, cache, config,
@@ -97,8 +107,7 @@ def sample_generate(params: dict, enc_out: jnp.ndarray, prompt: jnp.ndarray,
     def body(state):
         pos, tokens, done, cache, key, sum_lp = state
         tok = jax.lax.dynamic_slice_in_dim(tokens, pos, 1, axis=1)[:, 0]
-        logits, cache = decode_step(params, tok, pos, cache, config,
-                                    compute_dtype, precision)
+        logits, cache = step(token=tok, pos=pos, cache=cache)
         key, sub = jax.random.split(key)
         nxt, lp = _pick(logits + suppress_bias[None, :], sub, temperature,
                         top_k, top_p)

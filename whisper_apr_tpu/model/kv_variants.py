@@ -109,7 +109,8 @@ def decode_step_multi(params: dict, token: jnp.ndarray, pos: jnp.ndarray,
 def decode_steps_multi(params: dict, token: jnp.ndarray, pos: jnp.ndarray,
                        suppress_bias: jnp.ndarray, cache: KVCache,
                        config: ModelConfig, n_steps: int,
-                       compute_dtype: jnp.dtype = jnp.float32
+                       compute_dtype: jnp.dtype = jnp.float32,
+                       qd: Optional[dict] = None
                        ) -> Tuple[jnp.ndarray, KVCache]:
     """Advance every slot by ``n_steps`` greedy tokens in ONE dispatch.
 
@@ -118,13 +119,20 @@ def decode_steps_multi(params: dict, token: jnp.ndarray, pos: jnp.ndarray,
     mask never reaches once the host trims pos back to the EOT index), so
     the host can cut each slot's stream at its own EOT. Amortizes per-
     dispatch overhead on remotely-tunneled devices (~25 ms/executable).
+    ``qd`` switches per-token steps to the Pallas quantized-matvec path.
     """
     T_max = cache.self_k.shape[2]
+    if qd is None:
+        step = functools.partial(decode_step_multi, params, config=config,
+                                 compute_dtype=compute_dtype)
+    else:
+        from .qdecode import decode_step_q
+        step = functools.partial(decode_step_q, params, qd, config=config,
+                                 compute_dtype=compute_dtype)
 
     def body(carry, _):
         tok, p, c = carry
-        logits, c = decode_step_multi(params, tok, jnp.minimum(p, T_max - 1),
-                                      c, config, compute_dtype)
+        logits, c = step(token=tok, pos=jnp.minimum(p, T_max - 1), cache=c)
         nxt = jnp.argmax(logits + suppress_bias[None, :], axis=-1
                          ).astype(jnp.int32)
         return (nxt, p + 1, c), nxt
@@ -138,8 +146,7 @@ _decode_steps_multi_jit = None
 
 
 def decode_steps_multi_jit(params, token, pos, suppress_bias, cache, config,
-                           n_steps, compute_dtype=jnp.float32):
-    import functools
+                           n_steps, compute_dtype=jnp.float32, qd=None):
     global _decode_steps_multi_jit
     if _decode_steps_multi_jit is None:
         # donate the cache: XLA reuses its HBM for the updated cache instead
@@ -150,7 +157,7 @@ def decode_steps_multi_jit(params, token, pos, suppress_bias, cache, config,
             static_argnames=("config", "n_steps", "compute_dtype"),
             donate_argnums=(4,))
     return _decode_steps_multi_jit(params, token, pos, suppress_bias, cache,
-                                   config, n_steps, compute_dtype)
+                                   config, n_steps, compute_dtype, qd=qd)
 
 
 # ---------------------------------------------------------------------------

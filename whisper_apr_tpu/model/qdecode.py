@@ -149,11 +149,27 @@ def decode_step_q(params: dict, qd: dict, token: jnp.ndarray,
                   compute_dtype: jnp.dtype = jnp.bfloat16,
                   interpret: Optional[bool] = None) -> Tuple[jnp.ndarray, KVCache]:
     """Incremental single-token forward, kernel edition. Same contract as
-    ``decode_step``: token [B] at ``pos`` -> (logits [B, V] f32, cache)."""
+    ``decode_step``: token [B] at ``pos`` -> (logits [B, V] f32, cache).
+    ``pos`` may be a scalar (all sequences aligned) or [B] per-sequence
+    positions (continuous batching, like decode_step_multi)."""
     if interpret is None:
         interpret = INTERPRET
     B = token.shape[0]
-    x = embed(params, token[:, None], pos, compute_dtype)  # [B,1,D]
+    multi_pos = jnp.ndim(pos) == 1
+    if multi_pos:
+        from ..ops.quant import is_quantized
+        dec = params["decoder"]
+        emb = dec["token_emb"]
+        if is_quantized(emb):
+            scale = emb.scale.astype(compute_dtype)
+            while scale.ndim > 1:
+                scale = scale[0]
+            tok = emb.q[token].astype(compute_dtype) * scale
+        else:
+            tok = emb[token].astype(compute_dtype)
+        x = (tok + dec["pos_emb"][pos].astype(compute_dtype))[:, None, :]
+    else:
+        x = embed(params, token[:, None], pos, compute_dtype)  # [B,1,D]
     n_heads = config.n_text_head
     lin, ffn, rest = qd["lin"], qd["ffn"], qd["rest"]
     L = config.n_text_layer
@@ -162,7 +178,16 @@ def decode_step_q(params: dict, qd: dict, token: jnp.ndarray,
     block_h = max(bh for bh in range(_LANE, min(H, 512) + 1, _LANE)
                   if H % bh == 0)
     T_max = cache.self_k.shape[2]
-    valid = (jnp.arange(T_max) <= pos)[None, None, None, :]
+    if multi_pos:
+        valid = (jnp.arange(T_max)[None, :]
+                 <= pos[:, None])[:, None, None, :]
+    else:
+        valid = (jnp.arange(T_max) <= pos)[None, None, None, :]
+
+    def _write(c, new):
+        if multi_pos:
+            return c.at[jnp.arange(B), pos].set(new[:, 0])
+        return jax.lax.dynamic_update_slice(c, new, (0, pos, 0))
 
     def body(x, layer):
         l, r, k_c, v_c, c_k, c_v = layer
@@ -172,8 +197,8 @@ def decode_step_q(params: dict, qd: dict, token: jnp.ndarray,
         q = qkv[:, None, :D]
         k_new = qkv[:, None, D:2 * D]
         v_new = qkv[:, None, 2 * D:]
-        k_c = jax.lax.dynamic_update_slice(k_c, k_new, (0, pos, 0))
-        v_c = jax.lax.dynamic_update_slice(v_c, v_new, (0, pos, 0))
+        k_c = _write(k_c, k_new)
+        v_c = _write(v_c, v_new)
         attn = mha(q, k_c, v_c, n_heads, mask=valid)
         x = x + _qmv(attn[:, 0, :], lin["self_o"], l,
                      b["self_o"], interpret)[:, None, :]

@@ -223,7 +223,8 @@ class BatchScheduler:
             toks, self._cache = decode_steps_multi_jit(
                 self.engine.params, token, pos, self._bias, self._cache,
                 self.config, n_steps=K,
-                compute_dtype=self.engine._compute_dtype)
+                compute_dtype=self.engine._compute_dtype,
+                qd=self.engine._qdecode)
             toks = np.asarray(toks)  # [B, K]
 
         eot = self.engine.specials.eot

@@ -52,7 +52,9 @@ def _config_from_hf_json(cfg_json: dict) -> ModelConfig:
     model_type = name_by_dims.get(
         (d_model, cfg_json["encoder_layers"]), "tiny")
     if model_type == "large" and cfg_json.get("num_mel_bins", 80) == 128:
-        model_type = "large-v3"
+        model_type = ("large-v3-turbo"
+                      if cfg_json.get("decoder_layers", 32) == 4
+                      else "large-v3")
     return ModelConfig(
         model_type=model_type,
         n_vocab=cfg_json["vocab_size"],

@@ -185,3 +185,160 @@ class TestQdecodeUnified:
         finally:
             qdecode.INTERPRET = False
         assert np.array_equal(np.asarray(g.tokens), np.asarray(b.tokens))
+
+
+class TestFusedDecode:
+    """decode_step_qf: fused attention+o-proj Pallas step over QKVCache.
+
+    bf16-KV mode must be bit-identical to decode_step_q (same matvec
+    kernels, same f32 softmax — only the fusion boundary moves); int8-KV
+    mode trades exactness for half the KV bandwidth and is gated on logit
+    closeness + argmax agreement.
+    """
+
+    def _prefilled(self, cfg, qsetup, max_len=12):
+        params, qd, enc = qsetup
+        cache = init_cache(params, enc, cfg, max_len=max_len)
+        prompt = jnp.asarray(np.full((2, 2), 5, np.int32))
+        _, cache = prefill(params, prompt, enc, cache, cfg)
+        return params, qd, cache
+
+    def test_bf16_mode_matches_decode_step_q(self, cfg, qsetup):
+        params, qd, cache = self._prefilled(cfg, qsetup)
+        qc = qdecode.quantize_cache(cache, kv_int8=False)
+        tok = jnp.asarray(np.array([7, 11], np.int32))
+        for step in range(3):
+            pos = jnp.int32(2 + step)
+            la, cache = qdecode.decode_step_q(
+                params, qd, tok, pos, cache, cfg,
+                compute_dtype=jnp.float32, interpret=True)
+            lb, qc = qdecode.decode_step_qf(
+                params, qd, tok, pos, qc, cfg,
+                compute_dtype=jnp.float32, interpret=True)
+            np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                       rtol=1e-5, atol=1e-5)
+            tok = jnp.argmax(la, -1).astype(jnp.int32)
+
+    def test_int8_kv_close_and_argmax_agrees(self, cfg, qsetup):
+        params, qd, cache = self._prefilled(cfg, qsetup)
+        qc = qdecode.quantize_cache(cache, kv_int8=True)
+        assert qc.self_kq.dtype == jnp.int8
+        assert qc.self_kq.shape[2] % qdecode.SELF_BLOCK_T == 0
+        tok = jnp.asarray(np.array([7, 11], np.int32))
+        for step in range(3):
+            pos = jnp.int32(2 + step)
+            la, cache = qdecode.decode_step_q(
+                params, qd, tok, pos, cache, cfg,
+                compute_dtype=jnp.float32, interpret=True)
+            lb, qc = qdecode.decode_step_qf(
+                params, qd, tok, pos, qc, cfg,
+                compute_dtype=jnp.float32, interpret=True)
+            a, b = np.asarray(la), np.asarray(lb)
+            cos = float((a * b).sum() /
+                        (np.linalg.norm(a) * np.linalg.norm(b)))
+            assert cos > 0.999, cos
+            assert np.array_equal(a.argmax(-1), b.argmax(-1))
+            tok = jnp.argmax(la, -1).astype(jnp.int32)
+
+    def test_multi_pos_fused(self, cfg, qsetup):
+        params, qd, cache = self._prefilled(cfg, qsetup)
+        qc = qdecode.quantize_cache(cache, kv_int8=False)
+        tok = jnp.asarray(np.array([7, 11], np.int32))
+        pos_v = jnp.asarray(np.array([2, 2], np.int32))
+        for _ in range(2):
+            la, cache = qdecode.decode_step_q(
+                params, qd, tok, pos_v, cache, cfg,
+                compute_dtype=jnp.float32, interpret=True)
+            lb, qc = qdecode.decode_step_qf(
+                params, qd, tok, pos_v, qc, cfg,
+                compute_dtype=jnp.float32, interpret=True)
+            np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                       rtol=1e-5, atol=1e-5)
+            tok = jnp.argmax(la, -1).astype(jnp.int32)
+            pos_v = pos_v + 1
+
+    def test_greedy_qf_bf16_token_exact(self, cfg, qsetup):
+        params, qd, enc = qsetup
+        prompt = jnp.asarray(np.full((2, 2), 5, np.int32))
+        bias = jnp.zeros(cfg.n_vocab, jnp.float32)
+        eot = cfg.n_vocab - 1
+        qdecode.INTERPRET = True
+        try:
+            ref = greedy_generate(params, enc, prompt, bias, eot=eot,
+                                  config=cfg, max_len=12, prompt_len=2,
+                                  qd=qd)
+            fused = greedy_generate(params, enc, prompt, bias, eot=eot,
+                                    config=cfg, max_len=12, prompt_len=2,
+                                    qd=qd, qf_mode="bf16")
+            fused8 = greedy_generate(params, enc, prompt, bias, eot=eot,
+                                     config=cfg, max_len=12, prompt_len=2,
+                                     qd=qd, qf_mode="int8")
+        finally:
+            qdecode.INTERPRET = False
+        assert np.array_equal(np.asarray(ref.tokens),
+                              np.asarray(fused.tokens))
+        assert np.array_equal(np.asarray(ref.lengths),
+                              np.asarray(fused.lengths))
+        # int8 KV: same tokens on this rig (logits agree to ~1e-3)
+        assert np.array_equal(np.asarray(ref.tokens),
+                              np.asarray(fused8.tokens))
+
+    def test_sampling_qf_matches_greedy_qf(self, cfg, qsetup):
+        from whisper_apr_tpu.inference.sampling import sample_generate
+        params, qd, enc = qsetup
+        eot = cfg.n_vocab - 1
+        prompt = jnp.asarray(np.full((2, 2), 5, np.int32))
+        bias = jnp.zeros(cfg.n_vocab, jnp.float32)
+        qdecode.INTERPRET = True
+        try:
+            g = greedy_generate(params, enc, prompt, bias, eot=eot,
+                                config=cfg, max_len=10, prompt_len=2,
+                                qd=qd, qf_mode="bf16")
+            s = sample_generate(params, enc, prompt, bias, eot,
+                                jax.random.PRNGKey(0), config=cfg,
+                                max_len=10, prompt_len=2, temperature=0.0,
+                                qd=qd, qf_mode="bf16")
+        finally:
+            qdecode.INTERPRET = False
+        assert np.array_equal(np.asarray(g.tokens), np.asarray(s.tokens))
+
+    def test_beam1_qf_matches_greedy_qf(self, cfg, qsetup):
+        from whisper_apr_tpu.inference.beam import beam_generate
+        params, qd, enc = qsetup
+        eot = cfg.n_vocab - 1
+        prompt = jnp.asarray(np.full((2, 2), 5, np.int32))
+        bias = jnp.zeros(cfg.n_vocab, jnp.float32)
+        qdecode.INTERPRET = True
+        try:
+            g = greedy_generate(params, enc, prompt, bias, eot=eot,
+                                config=cfg, max_len=10, prompt_len=2,
+                                qd=qd, qf_mode="bf16")
+            b = beam_generate(params, enc, prompt, bias, eot=eot, config=cfg,
+                              beam_size=2, max_len=10, prompt_len=2,
+                              qd=qd, qf_mode="bf16")
+            b1 = beam_generate(params, enc, prompt, bias, eot=eot, config=cfg,
+                               beam_size=1, max_len=10, prompt_len=2,
+                               qd=qd, qf_mode="bf16")
+        finally:
+            qdecode.INTERPRET = False
+        # beam(1) == greedy; beam(2) at least as good by raw score
+        assert np.array_equal(np.asarray(g.tokens), np.asarray(b1.tokens))
+        assert b.tokens.shape == g.tokens.shape
+
+    def test_beam_cross_reorder_skip_token_exact(self, cfg, qsetup):
+        """Beam with the XLA path (cross reorder skipped) still matches the
+        scan-kernel beam output token-exactly."""
+        from whisper_apr_tpu.inference.beam import beam_generate
+        params, qd, enc = qsetup
+        eot = cfg.n_vocab - 1
+        prompt = jnp.asarray(np.full((2, 2), 5, np.int32))
+        bias = jnp.zeros(cfg.n_vocab, jnp.float32)
+        qdecode.INTERPRET = True
+        try:
+            a = beam_generate(params, enc, prompt, bias, eot=eot, config=cfg,
+                              beam_size=3, max_len=10, prompt_len=2, qd=qd)
+        finally:
+            qdecode.INTERPRET = False
+        b = beam_generate(params, enc, prompt, bias, eot=eot, config=cfg,
+                          beam_size=3, max_len=10, prompt_len=2)
+        assert np.array_equal(np.asarray(a.tokens), np.asarray(b.tokens))

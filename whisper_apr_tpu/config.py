@@ -215,6 +215,14 @@ class ComputeConfig:
     use_flash_attention: "bool | None" = None
     # runtime weight quantization: "none" | "int8" | "int4"
     quantization: str = "none"
+    # decode KV-cache / attention-kernel mode (quantized fast path only):
+    # "auto" = per-block megakernel step with bf16 KV (measured fastest on
+    #          large-v3: 1.88 vs 2.35 ms/step scan; bit-identical logits),
+    # "bf16" = same, explicitly,
+    # "int8" = megakernel step with int8 per-row KV (same speed, HALF the
+    #          KV-cache memory — for serving capacity; <1e-3 logit error),
+    # "scan" = per-kernel scan step (decode_step_q), no fused attention
+    kv_mode: str = "auto"
 
     # decode in larger position buckets to bound recompilation
     text_bucket: int = 448

@@ -238,6 +238,17 @@ class WhisperApr:
         return self._qdecode_cache
 
     @property
+    def _qf_mode(self):
+        """Fused-attention decode mode for the greedy hot path (see
+        ComputeConfig.kv_mode): None when no qdecode, else "int8"/"bf16"."""
+        if self._qdecode is None:
+            return None
+        mode = self.compute.kv_mode
+        if mode == "auto":
+            return "bf16"
+        return None if mode == "scan" else mode
+
+    @property
     def _fidelity(self) -> bool:
         return self.compute.compute_dtype == "float32"
 
@@ -475,7 +486,7 @@ class WhisperApr:
                     top_k=options.top_k, top_p=options.top_p,
                     compute_dtype=self._compute_dtype,
                     fidelity=self._fidelity, no_speech=ns_id,
-                    qd=self._qdecode)
+                    qd=self._qdecode, qf_mode=self._qf_mode)
                 toks = res.tokens.reshape(B, n_best, -1)
                 lens = res.lengths.reshape(B, n_best)
                 gen_len = jnp.maximum(
@@ -498,7 +509,7 @@ class WhisperApr:
                     top_k=options.top_k, top_p=options.top_p,
                     compute_dtype=self._compute_dtype,
                     fidelity=self._fidelity, no_speech=ns_id,
-                    qd=self._qdecode)
+                    qd=self._qdecode, qf_mode=self._qf_mode)
                 tokens, lengths = res.tokens, res.lengths
                 sum_lp, ns_prob = res.sum_logprob, res.no_speech_prob
         elif options.strategy == "beam":
@@ -513,7 +524,7 @@ class WhisperApr:
                 beam_size=options.beam_size, patience=options.patience,
                 max_len=max_tokens, prompt_len=len(prompt_list),
                 compute_dtype=self._compute_dtype, fidelity=self._fidelity,
-                no_speech=ns_id, qd=self._qdecode)
+                no_speech=ns_id, qd=self._qdecode, qf_mode=self._qf_mode)
             tokens, lengths = res.tokens, res.lengths
             sum_lp, ns_prob = res.sum_logprob, res.no_speech_prob
         else:
@@ -532,7 +543,7 @@ class WhisperApr:
                 max_len=max_tokens, prompt_len=len(prompt_list),
                 compute_dtype=self._compute_dtype, fidelity=self._fidelity,
                 timestamp_base=ts_base, no_speech=ns_id, qd=self._qdecode,
-                use_flash=self._use_flash)
+                use_flash=self._use_flash, qf_mode=self._qf_mode)
             tokens, lengths = res.tokens, res.lengths
             sum_lp, ns_prob = res.sum_logprob, res.no_speech_prob
 
@@ -602,7 +613,7 @@ class WhisperApr:
             beam_size=options.beam_size, patience=options.patience,
             max_len=max_tokens, prompt_len=len(prompt_list),
             compute_dtype=self._compute_dtype, fidelity=self._fidelity,
-            return_nbest=True, no_speech=ns_id, qd=self._qdecode)
+            return_nbest=True, no_speech=ns_id, qd=self._qdecode, qf_mode=self._qf_mode)
         toks = np.asarray(res.tokens)[0]       # [K, max_len]
         lens = np.asarray(res.lengths)[0]      # [K]
         scores = np.asarray(res.sum_logprob)[0]

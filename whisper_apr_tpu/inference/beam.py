@@ -44,7 +44,7 @@ def _flatten_beams(x: jnp.ndarray) -> jnp.ndarray:
     jax.jit,
     static_argnames=("config", "beam_size", "max_len", "prompt_len",
                      "compute_dtype", "fidelity", "length_penalty",
-                     "return_nbest", "no_speech"))
+                     "return_nbest", "no_speech", "qf_mode"))
 def beam_generate(params: dict, enc_out: jnp.ndarray, prompt: jnp.ndarray,
                   suppress_bias: jnp.ndarray, eot: int, config: ModelConfig,
                   beam_size: int = 5, patience: float = 1.0,
@@ -54,7 +54,8 @@ def beam_generate(params: dict, enc_out: jnp.ndarray, prompt: jnp.ndarray,
                   fidelity: bool = False,
                   return_nbest: bool = False,
                   no_speech: int = -1,
-                  qd: Optional[dict] = None) -> DecodeResult:
+                  qd: Optional[dict] = None,
+                  qf_mode: Optional[str] = None) -> DecodeResult:
     """Batched beam search. Returns a DecodeResult for the best hypothesis
     per batch item (sum_logprob = the winning beam's raw cumulative score),
     or per-beam [B, K, ...] arrays sorted by normalized score with
@@ -83,6 +84,9 @@ def beam_generate(params: dict, enc_out: jnp.ndarray, prompt: jnp.ndarray,
     ns_prob = _no_speech_prob(
         logits_all.reshape(B, K, prompt_len, V)[:, 0], no_speech)
     logits = logits_all[:, -1, :]
+    if qd is not None and qf_mode:
+        from ..model.qdecode import quantize_cache
+        cache = quantize_cache(cache, kv_int8=(qf_mode == "int8"))
 
     logp = jax.nn.log_softmax(logits.astype(jnp.float32) + suppress_bias[None, :])
     logp = logp.reshape(B, K, V)
@@ -115,6 +119,11 @@ def beam_generate(params: dict, enc_out: jnp.ndarray, prompt: jnp.ndarray,
             logits, cache = decode_step(
                 params, _flatten_beams(tok), pos, cache, config,
                 compute_dtype, precision)
+        elif qf_mode:
+            from ..model.qdecode import decode_step_qf
+            logits, cache = decode_step_qf(
+                params, qd, _flatten_beams(tok), pos, cache, config,
+                compute_dtype)
         else:
             from ..model.qdecode import decode_step_q
             logits, cache = decode_step_q(
@@ -137,16 +146,26 @@ def beam_generate(params: dict, enc_out: jnp.ndarray, prompt: jnp.ndarray,
         was_done = jnp.take_along_axis(done, src_beam, axis=1)
         fin_len = jnp.take_along_axis(fin_len, src_beam, axis=1)
 
-        # reorder KV caches: [L, B*K, T, D] -> [L, B, K, T, D] gather
+        # reorder SELF KV caches: [L, B*K, T, .] -> [L, B, K, T, .] gather.
+        # Cross caches are NOT reordered: beams of one item share identical
+        # cross K/V (prefilled from the repeated encoder output), so the
+        # within-item gather would be an expensive identity (245 MB/step
+        # on large-v3).
         def reorder(c):
+            if c is None:
+                return None
             L = c.shape[0]
             cb = c.reshape(L, B, K, *c.shape[2:])
             return jnp.take_along_axis(
                 cb, src_beam[None, :, :, None, None], axis=2
             ).reshape(c.shape)
 
-        cache = KVCache(reorder(cache.self_k), reorder(cache.self_v),
-                        reorder(cache.cross_k), reorder(cache.cross_v))
+        cache = cache._replace(
+            **{f: reorder(getattr(cache, f))
+               for f in ("self_k", "self_v") if hasattr(cache, f)},
+            **{f: reorder(getattr(cache, f))
+               for f in ("self_kq", "self_ks", "self_vq", "self_vs")
+               if hasattr(cache, f)})
 
         tokens = jax.lax.dynamic_update_slice(
             tokens, new_tok[:, :, None], (0, 0, pos + 1))

@@ -57,7 +57,7 @@ def _pick(logits: jnp.ndarray, key, temperature: float,
     jax.jit,
     static_argnames=("config", "max_len", "prompt_len", "temperature",
                      "top_k", "top_p", "compute_dtype", "fidelity",
-                     "no_speech"))
+                     "no_speech", "qf_mode"))
 def sample_generate(params: dict, enc_out: jnp.ndarray, prompt: jnp.ndarray,
                     suppress_bias: jnp.ndarray, eot: int, key,
                     config: ModelConfig, max_len: int = 448,
@@ -66,12 +66,15 @@ def sample_generate(params: dict, enc_out: jnp.ndarray, prompt: jnp.ndarray,
                     compute_dtype: jnp.dtype = jnp.float32,
                     fidelity: bool = False,
                     no_speech: int = -1,
-                    qd: Optional[dict] = None) -> DecodeResult:
+                    qd: Optional[dict] = None,
+                    qf_mode: Optional[str] = None) -> DecodeResult:
     """Sampled decode, fully on device.
 
     Returns a DecodeResult; sum_logprob covers generated tokens (incl. EOT)
     and no_speech_prob is read at the SOT position for the silence gate.
-    ``qd`` switches per-token steps to the Pallas quantized-matvec path.
+    ``qd`` switches per-token steps to the Pallas quantized-matvec path;
+    ``qf_mode`` ("bf16"/"int8", with qd) selects the per-block megakernel
+    step (see model/qdecode.decode_step_qf).
     """
     precision = _HIGHEST if fidelity else None
     B = enc_out.shape[0]
@@ -79,6 +82,10 @@ def sample_generate(params: dict, enc_out: jnp.ndarray, prompt: jnp.ndarray,
         step = functools.partial(decode_step, params, config=config,
                                  compute_dtype=compute_dtype,
                                  precision=precision)
+    elif qf_mode:
+        from ..model.qdecode import decode_step_qf
+        step = functools.partial(decode_step_qf, params, qd, config=config,
+                                 compute_dtype=compute_dtype)
     else:
         from ..model.qdecode import decode_step_q
         step = functools.partial(decode_step_q, params, qd, config=config,
@@ -87,6 +94,9 @@ def sample_generate(params: dict, enc_out: jnp.ndarray, prompt: jnp.ndarray,
                        compute_dtype)
     logits_all, cache = prefill(params, prompt, enc_out, cache, config,
                                 compute_dtype, precision, all_logits=True)
+    if qd is not None and qf_mode:
+        from ..model.qdecode import quantize_cache
+        cache = quantize_cache(cache, kv_int8=(qf_mode == "int8"))
     ns_prob = _no_speech_prob(logits_all, no_speech)
     logits = logits_all[:, -1, :]
 

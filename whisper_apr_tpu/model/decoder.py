@@ -310,7 +310,8 @@ def greedy_generate_body(params: dict, enc_out: jnp.ndarray, prompt: jnp.ndarray
                          fidelity: bool = False,
                          timestamp_base: int = -1,
                          no_speech: int = -1,
-                         qd: Optional[dict] = None) -> DecodeResult:
+                         qd: Optional[dict] = None,
+                         qf_mode: Optional[str] = None) -> DecodeResult:
     """Greedy decode, fully on device (reference semantics:
     src/inference/greedy.rs:119-143 — argmax until EOT, EOT appended, total
     length capped at ``max_len`` including the prompt; suppression applied
@@ -321,6 +322,10 @@ def greedy_generate_body(params: dict, enc_out: jnp.ndarray, prompt: jnp.ndarray
     on the no-speech probability read at the SOT position. ``qd`` (from
     ``qdecode.prepare_qdecode``) switches the per-token step to the Pallas
     quantized-matvec fast path; prefill stays on XLA (GEMM-shaped).
+    ``qf_mode`` (with qd) selects the fused-attention step: "bf16" fuses
+    attention+o-proj into one Pallas call per block (bit-identical logits);
+    "int8" additionally keeps the KV caches int8 with per-row scales
+    (~half the KV bandwidth, ~1e-3-relative logit error).
     """
     precision = _HIGHEST if fidelity else None
     B = enc_out.shape[0]
@@ -332,6 +337,11 @@ def greedy_generate_body(params: dict, enc_out: jnp.ndarray, prompt: jnp.ndarray
                                     config=config,
                                     compute_dtype=compute_dtype,
                                     precision=precision)
+    elif qf_mode:
+        from .qdecode import decode_step_qf
+        step_fn = functools.partial(decode_step_qf, params, qd,
+                                    config=config,
+                                    compute_dtype=compute_dtype)
     else:
         from .qdecode import decode_step_q
         step_fn = functools.partial(decode_step_q, params, qd,
@@ -340,6 +350,9 @@ def greedy_generate_body(params: dict, enc_out: jnp.ndarray, prompt: jnp.ndarray
 
     logits_all, cache = prefill(params, prompt, enc_out, cache, config,
                                 compute_dtype, precision, all_logits=True)
+    if qd is not None and qf_mode:
+        from .qdecode import quantize_cache
+        cache = quantize_cache(cache, kv_int8=(qf_mode == "int8"))
     ns_prob = _no_speech_prob(logits_all, no_speech)
     logits = logits_all[:, -1, :]
 
@@ -412,4 +425,5 @@ def greedy_generate_body(params: dict, enc_out: jnp.ndarray, prompt: jnp.ndarray
 greedy_generate = functools.partial(
     jax.jit,
     static_argnames=("config", "max_len", "prompt_len", "compute_dtype",
-                     "fidelity", "timestamp_base", "no_speech"))(greedy_generate_body)
+                     "fidelity", "timestamp_base", "no_speech",
+                     "qf_mode"))(greedy_generate_body)

@@ -16,7 +16,7 @@ scales folded after the accumulate.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -24,6 +24,8 @@ import numpy as np
 
 from ..config import ModelConfig
 from ..ops.basic import gelu, layer_norm, mha
+from ..ops.decode_attention import (decode_attention_oproj, quantize_row,
+                                    quantize_rows)
 from ..ops.qmatvec import ffn_fused, qmatvec_stacked
 from ..ops.quant import QTensor, is_quantized
 from .decoder import KVCache, embed
@@ -128,10 +130,31 @@ def prepare_qdecode(params: dict, config: ModelConfig) -> Optional[dict]:
     ones = jnp.ones((1, 1, V + v_pad), jnp.float32)
     k_scale = jnp.asarray(emb.scale, jnp.float32).reshape(1, D)
 
+    # stacked [L, 1, N] views for the per-block megakernels
+    # (ops/decode_blocks.py) — reshapes alias the existing buffers
+    def col(a):
+        return a[:, None, :] if a.ndim == 2 else a
+
+    blk = {
+        "ln1_w": col(blocks["ln1"]["w"]), "ln1_b": col(blocks["ln1"]["b"]),
+        "ln2_w": col(blocks["ln2"]["w"]), "ln2_b": col(blocks["ln2"]["b"]),
+        "ln3_w": col(blocks["ln3"]["w"]), "ln3_b": col(blocks["ln3"]["b"]),
+        "wqkv": qkv_q, "sqkv": qkv_s, "bqkv": col(bias["qkv"]),
+        "self_wo": lin["self_o"][0], "self_wos": lin["self_o"][1],
+        "self_wob": col(bias["self_o"]),
+        "wcq": lin["cross_q"][0], "scq": lin["cross_q"][1],
+        "bcq": col(bias["cross_q"]),
+        "cross_wo": lin["cross_o"][0], "cross_wos": lin["cross_o"][1],
+        "cross_wob": col(bias["cross_o"]),
+        "w1": ffn["w1"], "s1": ffn["s1"], "b1": ffn["b1"], "w2": ffn["w2"],
+        "fc2_s": rest["fc2_scale"], "fc2_b": col(bias["fc2"]),
+    }
+
     return {
         "lin": lin,
         "ffn": ffn,
         "rest": rest,
+        "blk": blk,
         "vocab_qT": qT[None],        # [1, D, V_pad] int8
         "vocab_ones": ones,          # kernel scale (identity)
         "vocab_k_scale": k_scale,    # [1, D] f32, folds into x
@@ -229,3 +252,148 @@ def decode_step_q(params: dict, qd: dict, token: jnp.ndarray,
                              interpret=interpret, out_dtype=jnp.float32)
     return logits[:, : config.n_vocab], KVCache(new_k, new_v,
                                                 cache.cross_k, cache.cross_v)
+
+
+# ---------------------------------------------------------------------------
+# Fused-attention decode step (round-2 "megakernel" path)
+# ---------------------------------------------------------------------------
+#
+# decode_step_q above still pays, per layer, one XLA attention over the KV
+# cache plus a separate out-projection kernel. decode_step_qf replaces both
+# with ONE fused Pallas call per attention block (ops/decode_attention.py):
+# attention streams the cache flash-style and applies the out-projection
+# in VMEM. Optionally the KV caches are int8 with per-row scales — exact
+# row-scale commutation, ~half the decode's KV bandwidth (the cross K/V
+# alone is ~245 MB/step bf16 on large-v3).
+
+class QKVCache(NamedTuple):
+    """Stacked decode caches for the fused path.
+
+    ``*_q`` are [L, B, T, D] (int8 when quantized, else compute dtype);
+    ``*_s`` are per-row scales [L, B, 1, T] f32, or None in bf16 mode.
+    T is padded to a multiple of the kernel block (masked by lengths).
+    """
+
+    self_kq: jnp.ndarray
+    self_ks: Optional[jnp.ndarray]
+    self_vq: jnp.ndarray
+    self_vs: Optional[jnp.ndarray]
+    cross_kq: jnp.ndarray
+    cross_ks: Optional[jnp.ndarray]
+    cross_vq: jnp.ndarray
+    cross_vs: Optional[jnp.ndarray]
+
+
+SELF_BLOCK_T = 256
+CROSS_BLOCK_T = 512
+
+
+def _pad_t(a: jnp.ndarray, block: int) -> jnp.ndarray:
+    """Pad [L, B, T, D] on T up to a multiple of ``block``."""
+    t = a.shape[2]
+    pad = (-t) % block
+    if pad:
+        a = jnp.pad(a, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    return a
+
+
+def quantize_cache(cache: KVCache, kv_int8: bool = True) -> QKVCache:
+    """KVCache -> QKVCache: pad T to kernel blocks; optionally quantize
+    rows to int8 (exact per-row scales, see ops/decode_attention.py)."""
+    sk = _pad_t(cache.self_k, SELF_BLOCK_T)
+    sv = _pad_t(cache.self_v, SELF_BLOCK_T)
+    ck = _pad_t(cache.cross_k, CROSS_BLOCK_T)
+    cv = _pad_t(cache.cross_v, CROSS_BLOCK_T)
+    if not kv_int8:
+        return QKVCache(sk, None, sv, None, ck, None, cv, None)
+    skq, sks = quantize_rows(sk)
+    svq, svs = quantize_rows(sv)
+    ckq, cks = quantize_rows(ck)
+    cvq, cvs = quantize_rows(cv)
+    return QKVCache(skq, sks, svq, svs, ckq, cks, cvq, cvs)
+
+
+def decode_step_qf(params: dict, qd: dict, token: jnp.ndarray,
+                   pos: jnp.ndarray, cache: QKVCache, config: ModelConfig,
+                   compute_dtype: jnp.dtype = jnp.bfloat16,
+                   interpret: Optional[bool] = None
+                   ) -> Tuple[jnp.ndarray, QKVCache]:
+    """Fused-attention decode step over a ``QKVCache``: THREE per-block
+    megakernels per layer (ops/decode_blocks.py — self_block, cross_block,
+    ffn_block: LayerNorms, projections, attention, epilogues, and residuals
+    all in-kernel). The XLA step body is the embed, four KV-row writes per
+    layer, the final LayerNorm, and the vocab projection.
+
+    ``pos`` may be scalar (aligned batch) or [B] (continuous batching).
+    """
+    from ..ops.decode_blocks import cross_block, ffn_block, self_block
+
+    if interpret is None:
+        interpret = INTERPRET
+    B = token.shape[0]
+    multi_pos = jnp.ndim(pos) == 1
+    dec = params["decoder"]
+    if multi_pos:
+        emb = dec["token_emb"]
+        if is_quantized(emb):
+            scale = emb.scale.astype(compute_dtype)
+            while scale.ndim > 1:
+                scale = scale[0]
+            tok = emb.q[token].astype(compute_dtype) * scale
+        else:
+            tok = emb[token].astype(compute_dtype)
+        x = tok + dec["pos_emb"][pos].astype(compute_dtype)      # [B, D]
+    else:
+        x = embed(params, token[:, None], pos, compute_dtype)[:, 0]
+    n_heads = config.n_text_head
+    blk = qd["blk"]
+    L = config.n_text_layer
+    H = blk["w1"].shape[2]
+    block_h = max(bh for bh in range(_LANE, min(H, 512) + 1, _LANE)
+                  if H % bh == 0)
+    qcache = cache
+    kv_int8 = qcache.self_ks is not None
+    self_bt = min(SELF_BLOCK_T, qcache.self_kq.shape[2])
+    cross_bt = min(CROSS_BLOCK_T, qcache.cross_kq.shape[2])
+
+    def row_write(stack, new, l):
+        """One [B, D] row (or [B] scale column) at (l, :, pos)."""
+        if multi_pos:
+            return stack.at[l, jnp.arange(B), pos].set(new)
+        return jax.lax.dynamic_update_slice(
+            stack, new[None, :, None, :], (l, 0, pos, 0))
+
+    def scale_write(scales, s, l):
+        if multi_pos:
+            return scales.at[l, jnp.arange(B), pos, 0].set(s)
+        return jax.lax.dynamic_update_slice(
+            scales, s[None, :, None, None], (l, 0, pos, 0))
+
+    def body(l, carry):
+        x, skq, sks, svq, svs = carry
+        x, k8, ksc, v8, vsc = self_block(
+            x, blk, skq, sks, svq, svs, pos, l, n_heads,
+            block_t=self_bt, interpret=interpret)
+        skq = row_write(skq, k8, l)
+        svq = row_write(svq, v8, l)
+        if kv_int8:
+            sks = scale_write(sks, ksc, l)
+            svs = scale_write(svs, vsc, l)
+        x = cross_block(
+            x, blk, qcache.cross_kq, qcache.cross_ks, qcache.cross_vq,
+            qcache.cross_vs, config.n_audio_ctx, l, n_heads,
+            block_t=cross_bt, interpret=interpret)
+        x = ffn_block(x, blk, l, block_h=block_h, interpret=interpret)
+        return (x, skq, sks, svq, svs)
+
+    x, skq, sks, svq, svs = jax.lax.fori_loop(
+        0, L, body,
+        (x, qcache.self_kq, qcache.self_ks, qcache.self_vq, qcache.self_vs))
+    x = layer_norm(x, dec["ln_post"]["w"], dec["ln_post"]["b"])
+
+    xs = (x.astype(jnp.float32) * qd["vocab_k_scale"]).astype(x.dtype)
+    logits = qmatvec_stacked(xs, qd["vocab_qT"], qd["vocab_ones"], 0,
+                             interpret=interpret, out_dtype=jnp.float32)
+    new_cache = QKVCache(skq, sks, svq, svs, qcache.cross_kq,
+                         qcache.cross_ks, qcache.cross_vq, qcache.cross_vs)
+    return logits[:, : config.n_vocab], new_cache

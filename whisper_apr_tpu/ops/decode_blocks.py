@@ -1,0 +1,500 @@
+"""Per-block decode megakernels: one Pallas call per decoder sub-block.
+
+The decode-step anatomy (BENCH_NOTES.md round-2b) showed ~0.4 ms/step of
+XLA glue on large-v3 — per-layer LayerNorm/bias slicing, residual adds,
+and the seams between five kernels per layer. These three kernels absorb
+ALL of it; the XLA step body shrinks to four KV-row writes per layer:
+
+  self_block : x -> LN1 -> qkv matvec -> (quantize k,v rows OUT) ->
+               masked flash attention over the self cache (+ the current
+               token's k/v in VMEM) -> o-proj -> +bias -> +residual
+  cross_block: x -> LN2 -> q matvec -> flash attention over the cross
+               cache -> o-proj -> +bias -> +residual
+  ffn_block  : x -> LN3 -> fc1 -> exact GELU -> fc2 -> *scale +bias
+               -> +residual
+
+All weight/cache operands are STACKED on a leading layer axis and indexed
+by a scalar-prefetch layer id, so ``lax.fori_loop`` over layers never
+materializes per-layer slices (the qmatvec trick, ops/qmatvec.py).
+
+Heads are vectorized via the block-diagonal head-expansion matrix E
+(see ops/decode_attention.py — a per-head loop measurably erases the
+fusion win). KV caches may be int8 with per-row scales [L, B, T, 1];
+row scales commute through the attention dots exactly.
+
+Reference semantics: decoder block at src/model/decoder.rs:1478 (forward_one
+incremental path at :2125); attention per-head loop at
+src/model/attention.rs:587-620; quantized linear at
+src/model/quantized.rs:2501.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .decode_attention import head_expand_matrix
+
+_LANES = 128
+_NEG = float(-0.7 * np.finfo(np.float32).max)
+_LN_EPS = 1e-5
+
+
+def _ln(x32: jnp.ndarray, w_ref, b_ref) -> jnp.ndarray:
+    """f32 LayerNorm over lanes of [1, D] (reference: encoder.rs:219)."""
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    normed = (x32 - mean) * jax.lax.rsqrt(var + _LN_EPS)
+    return normed * w_ref[0].astype(jnp.float32) + b_ref[0].astype(jnp.float32)
+
+
+def _erf(x):
+    """A&S 7.1.26 rational erf (|err| < 1.5e-7); Mosaic has no erf."""
+    a1, a2, a3 = 0.254829592, -0.284496736, 1.421413741
+    a4, a5, p = -1.453152027, 1.061405429, 0.3275911
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _gelu_exact(x):
+    return 0.5 * x * (1.0 + _erf(x * 0.7071067811865475))
+
+
+def _attn_tile(s, valid, e_t, v, vs, m_ref, l_ref, acc_ref, quantized):
+    """One online-softmax accumulation step. s: [bt, H] raw scores;
+    valid: [bt, 1] bool; v: [bt, D] f32; vs: [bt, 1] f32 or None."""
+    s = jnp.where(valid, s, _NEG)
+    m_prev = m_ref[...]
+    m_cur = jnp.max(s, axis=0, keepdims=True)
+    m_next = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_next)
+    p = jnp.exp(s - m_next)                            # [bt, H]
+    l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=0, keepdims=True)
+    m_ref[...] = m_next
+    p_d = jax.lax.dot(p, e_t, preferred_element_type=jnp.float32)
+    pv = p_d * v
+    if quantized:
+        pv = pv * vs
+    ones = jnp.ones((1, p.shape[0]), jnp.float32)
+    contrib = jax.lax.dot(ones, pv, preferred_element_type=jnp.float32)
+    alpha_d = jax.lax.dot(alpha, e_t, preferred_element_type=jnp.float32)
+    acc_ref[...] = acc_ref[...] * alpha_d + contrib
+
+
+def _finish_attention(e_t, m_ref, l_ref, acc_ref):
+    l_d = jax.lax.dot(jnp.maximum(l_ref[...], 1e-30), e_t,
+                      preferred_element_type=jnp.float32)
+    return acc_ref[...] / l_d                          # [1, D] f32
+
+
+def _quantize_row(r32: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """[1, D] f32 -> (int8 [1, D], scale [1, 1] f32)."""
+    amax = jnp.max(jnp.abs(r32), axis=-1, keepdims=True)
+    s = jnp.maximum(amax, 1e-12) / 127.0
+    q = jnp.clip(jnp.round(r32 / s), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+# ---------------------------------------------------------------------------
+# self_block
+# ---------------------------------------------------------------------------
+
+def _self_kernel(lengths_ref, layer_ref, x_ref, lnw_ref, lnb_ref,
+                 wqkv_ref, sqkv_ref, bqkv_ref, kq_ref, ks_ref, vq_ref,
+                 vs_ref, wo_ref, wos_ref, wob_ref, e_ref, et_ref,
+                 xo_ref, k8_ref, ksc_ref, v8_ref, vsc_ref,
+                 x32_s, q_s, kc_s, vc_s, m_ref, l_ref, acc_ref,
+                 *, d: int, bt: int, scale: float, quantized: bool):
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    e = e_ref[...]
+    et = et_ref[...]
+
+    @pl.when(t == 0)
+    def _head():
+        x32 = x_ref[0].astype(jnp.float32)             # [1, D]
+        x32_s[...] = x32
+        h = _ln(x32, lnw_ref, lnb_ref).astype(x_ref.dtype)
+        w = wqkv_ref[0].astype(x_ref.dtype)
+        qkv = jax.lax.dot(h, w, preferred_element_type=jnp.float32)
+        qkv = qkv * sqkv_ref[0].astype(jnp.float32) \
+            + bqkv_ref[0].astype(jnp.float32)          # [1, 3D] f32
+        q = qkv[:, :d]
+        k = qkv[:, d:2 * d]
+        v = qkv[:, 2 * d:]
+        q_s[...] = q * scale
+        if quantized:
+            k8, ks = _quantize_row(k)
+            v8, vs = _quantize_row(v)
+            k8_ref[...] = k8[None]
+            v8_ref[...] = v8[None]
+            ksc_ref[...] = jnp.broadcast_to(ks, ksc_ref.shape[1:])[None]
+            vsc_ref[...] = jnp.broadcast_to(vs, vsc_ref.shape[1:])[None]
+            # attend to what later steps will read (the quantized row)
+            kc_s[...] = k8.astype(jnp.float32) * ks
+            vc_s[...] = v8.astype(jnp.float32) * vs
+        else:
+            kb = k.astype(k8_ref.dtype)
+            vb = v.astype(v8_ref.dtype)
+            k8_ref[...] = kb[None]
+            v8_ref[...] = vb[None]
+            ksc_ref[...] = jnp.ones(ksc_ref.shape[1:], jnp.float32)[None]
+            vsc_ref[...] = jnp.ones(vsc_ref.shape[1:], jnp.float32)[None]
+            kc_s[...] = kb.astype(jnp.float32)
+            vc_s[...] = vb.astype(jnp.float32)
+        m_ref[...] = jnp.full(m_ref.shape, -jnp.inf, jnp.float32)
+        l_ref[...] = jnp.zeros(l_ref.shape, jnp.float32)
+        acc_ref[...] = jnp.zeros(acc_ref.shape, jnp.float32)
+
+    k = kq_ref[0, 0].astype(jnp.float32)               # [bt, D]
+    v = vq_ref[0, 0].astype(jnp.float32)
+    qk = k * q_s[...]
+    vs = None
+    if quantized:
+        qk = qk * ks_ref[0, 0].astype(jnp.float32)
+        vs = vs_ref[0, 0].astype(jnp.float32)
+    s = jax.lax.dot(qk, e, preferred_element_type=jnp.float32)
+    pos = t * bt + jax.lax.broadcasted_iota(jnp.int32, (bt, 1), 0)
+    valid = pos < lengths_ref[b]                       # excludes current
+    _attn_tile(s, valid, et, v, vs, m_ref, l_ref, acc_ref, quantized)
+
+    @pl.when(t == pl.num_programs(1) - 1)
+    def _tail():
+        # current token's k/v (in VMEM, exactly what was written out)
+        s_c = jax.lax.dot(kc_s[...] * q_s[...], e,
+                          preferred_element_type=jnp.float32)  # [1, H]
+        m_prev = m_ref[...]
+        m_next = jnp.maximum(m_prev, s_c)
+        alpha = jnp.exp(m_prev - m_next)
+        p_c = jnp.exp(s_c - m_next)                    # [1, H]
+        l_f = l_ref[...] * alpha + p_c
+        alpha_d = jax.lax.dot(alpha, et, preferred_element_type=jnp.float32)
+        p_d = jax.lax.dot(p_c, et, preferred_element_type=jnp.float32)
+        acc = acc_ref[...] * alpha_d + p_d * vc_s[...]
+        l_d = jax.lax.dot(jnp.maximum(l_f, 1e-30), et,
+                          preferred_element_type=jnp.float32)
+        out = (acc / l_d).astype(x_ref.dtype)          # [1, D]
+        wo = wo_ref[0].astype(x_ref.dtype)
+        y = jax.lax.dot(out, wo, preferred_element_type=jnp.float32)
+        y = y * wos_ref[0].astype(jnp.float32) + wob_ref[0].astype(jnp.float32)
+        xo_ref[...] = (y + x32_s[...]).astype(xo_ref.dtype)[None]
+
+
+def self_block(x: jnp.ndarray, blk: dict, kq: jnp.ndarray,
+               ks: Optional[jnp.ndarray], vq: jnp.ndarray,
+               vs: Optional[jnp.ndarray], pos: jnp.ndarray, layer,
+               n_heads: int, block_t: int = 256,
+               interpret: bool = False):
+    """Whole self-attention sub-block for one decode token per sequence.
+
+    x [B, D]; blk: stacked operands from qdecode.prepare_qdecode()["blk"]
+    (ln1_w/ln1_b [L,1,D], wqkv [L,D,3D] int8, sqkv/bqkv [L,1,3D],
+    wo [L,D,D] int8, wos/wob [L,1,D]); kq/vq [L,B,T,D] cache stacks with
+    optional per-row scales ks/vs [L,B,T,1] (int8 mode);
+    pos [B] int32 — rows < pos are valid history (current token's k/v are
+    computed in-kernel and NOT yet in the cache).
+
+    Returns (x_out [B, D], k_row, k_scale [B], v_row, v_scale [B]) — the
+    caller scatters the rows into the cache at ``pos``.
+    """
+    B, D = x.shape
+    L, B2, T, D2 = kq.shape
+    assert (B, D) == (B2, D2)
+    assert T % block_t == 0
+    quantized = ks is not None
+    hd = D // n_heads
+    scale = float(hd) ** -0.5
+    layer = jnp.asarray(layer, jnp.int32).reshape((1,))
+    lengths = jnp.broadcast_to(jnp.asarray(pos, jnp.int32), (B,))
+    grid = (B, T // block_t)
+
+    e_mat = jnp.asarray(head_expand_matrix(n_heads, hd))
+    et_mat = jnp.transpose(e_mat)
+    row_dtype = jnp.int8 if quantized else x.dtype
+
+    kernel = functools.partial(_self_kernel, d=D, bt=block_t, scale=scale,
+                               quantized=quantized)
+
+    def const(i, j=None):
+        if j is None:
+            return lambda b, t, lens, lyr: (lyr[0], 0)
+        return lambda b, t, lens, lyr: (lyr[0], 0, 0)
+
+    cache_spec = pl.BlockSpec((1, 1, block_t, D),
+                              lambda b, t, lens, lyr: (lyr[0], b, t, 0))
+    if quantized:
+        ks_in, vs_in = ks, vs
+        sspec = pl.BlockSpec((1, 1, block_t, 1),
+                             lambda b, t, lens, lyr: (lyr[0], b, t, 0))
+    else:
+        ks_in = jnp.zeros((L, B, block_t, 1), jnp.float32)
+        vs_in = ks_in
+        sspec = pl.BlockSpec((1, 1, block_t, 1),
+                             lambda b, t, lens, lyr: (lyr[0], b, 0, 0))
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((B, 1, D), x.dtype),        # x_out
+        jax.ShapeDtypeStruct((B, 1, D), row_dtype),      # k row
+        jax.ShapeDtypeStruct((B, 1, _LANES), jnp.float32),  # k scale
+        jax.ShapeDtypeStruct((B, 1, D), row_dtype),      # v row
+        jax.ShapeDtypeStruct((B, 1, _LANES), jnp.float32),  # v scale
+    )
+    bspec = lambda shp: pl.BlockSpec(shp, lambda b, t, lens, lyr: (b, 0, 0))
+
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=out_shapes,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1, D), lambda b, t, lens, lyr: (b, 0, 0)),
+                pl.BlockSpec((1, 1, D), const(0, 0)),     # ln_w
+                pl.BlockSpec((1, 1, D), const(0, 0)),     # ln_b
+                pl.BlockSpec((1, D, 3 * D), const(0, 0)),  # wqkv
+                pl.BlockSpec((1, 1, 3 * D), const(0, 0)),  # sqkv
+                pl.BlockSpec((1, 1, 3 * D), const(0, 0)),  # bqkv
+                cache_spec,                               # kq
+                sspec,                                    # ks
+                cache_spec,                               # vq
+                sspec,                                    # vs
+                pl.BlockSpec((1, D, D), const(0, 0)),     # wo
+                pl.BlockSpec((1, 1, D), const(0, 0)),     # wos
+                pl.BlockSpec((1, 1, D), const(0, 0)),     # wob
+                pl.BlockSpec((D, n_heads), lambda b, t, lens, lyr: (0, 0)),
+                pl.BlockSpec((n_heads, D), lambda b, t, lens, lyr: (0, 0)),
+            ],
+            out_specs=(
+                bspec((1, 1, D)),
+                bspec((1, 1, D)),
+                bspec((1, 1, _LANES)),
+                bspec((1, 1, D)),
+                bspec((1, 1, _LANES)),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((1, D), jnp.float32),      # x32 (residual)
+                pltpu.VMEM((1, D), jnp.float32),      # q (pre-scaled)
+                pltpu.VMEM((1, D), jnp.float32),      # k current
+                pltpu.VMEM((1, D), jnp.float32),      # v current
+                pltpu.VMEM((1, n_heads), jnp.float32),
+                pltpu.VMEM((1, n_heads), jnp.float32),
+                pltpu.VMEM((1, D), jnp.float32),
+            ],
+        ),
+        interpret=interpret,
+    )(lengths, layer, x[:, None, :], blk["ln1_w"], blk["ln1_b"],
+      blk["wqkv"], blk["sqkv"], blk["bqkv"], kq, ks_in, vq, vs_in,
+      blk["self_wo"], blk["self_wos"], blk["self_wob"], e_mat, et_mat)
+    x_out, k8, ksc, v8, vsc = outs
+    return (x_out[:, 0, :], k8[:, 0, :], ksc[:, 0, 0], v8[:, 0, :],
+            vsc[:, 0, 0])
+
+
+# ---------------------------------------------------------------------------
+# cross_block
+# ---------------------------------------------------------------------------
+
+def _cross_kernel(lengths_ref, layer_ref, x_ref, lnw_ref, lnb_ref,
+                  wq_ref, sq_ref, bq_ref, kq_ref, ks_ref, vq_ref, vs_ref,
+                  wo_ref, wos_ref, wob_ref, e_ref, et_ref,
+                  xo_ref, x32_s, q_s, m_ref, l_ref, acc_ref,
+                  *, bt: int, scale: float, quantized: bool):
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    e = e_ref[...]
+    et = et_ref[...]
+
+    @pl.when(t == 0)
+    def _head():
+        x32 = x_ref[0].astype(jnp.float32)
+        x32_s[...] = x32
+        h = _ln(x32, lnw_ref, lnb_ref).astype(x_ref.dtype)
+        w = wq_ref[0].astype(x_ref.dtype)
+        q = jax.lax.dot(h, w, preferred_element_type=jnp.float32)
+        q = q * sq_ref[0].astype(jnp.float32) + bq_ref[0].astype(jnp.float32)
+        q_s[...] = q * scale
+        m_ref[...] = jnp.full(m_ref.shape, -jnp.inf, jnp.float32)
+        l_ref[...] = jnp.zeros(l_ref.shape, jnp.float32)
+        acc_ref[...] = jnp.zeros(acc_ref.shape, jnp.float32)
+
+    k = kq_ref[0, 0].astype(jnp.float32)
+    v = vq_ref[0, 0].astype(jnp.float32)
+    qk = k * q_s[...]
+    vs = None
+    if quantized:
+        qk = qk * ks_ref[0, 0].astype(jnp.float32)
+        vs = vs_ref[0, 0].astype(jnp.float32)
+    s = jax.lax.dot(qk, e, preferred_element_type=jnp.float32)
+    pos = t * bt + jax.lax.broadcasted_iota(jnp.int32, (bt, 1), 0)
+    valid = pos < lengths_ref[b]
+    _attn_tile(s, valid, et, v, vs, m_ref, l_ref, acc_ref, quantized)
+
+    @pl.when(t == pl.num_programs(1) - 1)
+    def _tail():
+        out = _finish_attention(et, m_ref, l_ref, acc_ref).astype(x_ref.dtype)
+        wo = wo_ref[0].astype(x_ref.dtype)
+        y = jax.lax.dot(out, wo, preferred_element_type=jnp.float32)
+        y = y * wos_ref[0].astype(jnp.float32) + wob_ref[0].astype(jnp.float32)
+        xo_ref[...] = (y + x32_s[...]).astype(xo_ref.dtype)[None]
+
+
+def cross_block(x: jnp.ndarray, blk: dict, kq: jnp.ndarray,
+                ks: Optional[jnp.ndarray], vq: jnp.ndarray,
+                vs: Optional[jnp.ndarray], enc_len: int, layer,
+                n_heads: int, block_t: int = 512,
+                interpret: bool = False) -> jnp.ndarray:
+    """Whole cross-attention sub-block; cache is static per utterance.
+
+    x [B, D]; kq/vq [L, B, Tc, D] (+ ks/vs row scales in int8 mode);
+    enc_len — valid encoder positions (n_audio_ctx). Returns x_out [B, D].
+    """
+    B, D = x.shape
+    L, B2, T, D2 = kq.shape
+    assert (B, D) == (B2, D2)
+    assert T % block_t == 0
+    quantized = ks is not None
+    hd = D // n_heads
+    scale = float(hd) ** -0.5
+    layer = jnp.asarray(layer, jnp.int32).reshape((1,))
+    lengths = jnp.full((B,), enc_len, jnp.int32)
+    grid = (B, T // block_t)
+
+    e_mat = jnp.asarray(head_expand_matrix(n_heads, hd))
+    et_mat = jnp.transpose(e_mat)
+    kernel = functools.partial(_cross_kernel, bt=block_t, scale=scale,
+                               quantized=quantized)
+
+    cache_spec = pl.BlockSpec((1, 1, block_t, D),
+                              lambda b, t, lens, lyr: (lyr[0], b, t, 0))
+    if quantized:
+        ks_in, vs_in = ks, vs
+        sspec = pl.BlockSpec((1, 1, block_t, 1),
+                             lambda b, t, lens, lyr: (lyr[0], b, t, 0))
+    else:
+        ks_in = jnp.zeros((L, B, block_t, 1), jnp.float32)
+        vs_in = ks_in
+        sspec = pl.BlockSpec((1, 1, block_t, 1),
+                             lambda b, t, lens, lyr: (lyr[0], b, 0, 0))
+
+    const = lambda: (lambda b, t, lens, lyr: (lyr[0], 0, 0))
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, 1, D), x.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1, D), lambda b, t, lens, lyr: (b, 0, 0)),
+                pl.BlockSpec((1, 1, D), const()),         # ln_w
+                pl.BlockSpec((1, 1, D), const()),         # ln_b
+                pl.BlockSpec((1, D, D), const()),         # wq
+                pl.BlockSpec((1, 1, D), const()),         # sq
+                pl.BlockSpec((1, 1, D), const()),         # bq
+                cache_spec, sspec, cache_spec, sspec,
+                pl.BlockSpec((1, D, D), const()),         # wo
+                pl.BlockSpec((1, 1, D), const()),         # wos
+                pl.BlockSpec((1, 1, D), const()),         # wob
+                pl.BlockSpec((D, n_heads), lambda b, t, lens, lyr: (0, 0)),
+                pl.BlockSpec((n_heads, D), lambda b, t, lens, lyr: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, D),
+                                   lambda b, t, lens, lyr: (b, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((1, D), jnp.float32),      # x32
+                pltpu.VMEM((1, D), jnp.float32),      # q
+                pltpu.VMEM((1, n_heads), jnp.float32),
+                pltpu.VMEM((1, n_heads), jnp.float32),
+                pltpu.VMEM((1, D), jnp.float32),
+            ],
+        ),
+        interpret=interpret,
+    )(lengths, layer, x[:, None, :], blk["ln2_w"], blk["ln2_b"],
+      blk["wcq"], blk["scq"], blk["bcq"], kq, ks_in, vq, vs_in,
+      blk["cross_wo"], blk["cross_wos"], blk["cross_wob"], e_mat, et_mat)
+    return out[:, 0, :]
+
+
+# ---------------------------------------------------------------------------
+# ffn_block
+# ---------------------------------------------------------------------------
+
+def _ffn_kernel(layer_ref, x_ref, lnw_ref, lnb_ref, w1_ref, s1_ref, b1_ref,
+                w2_ref, f2s_ref, f2b_ref, xo_ref, x32_s, h_s, acc_ref):
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _head():
+        x32 = x_ref[0].astype(jnp.float32)
+        x32_s[...] = x32
+        h_s[...] = _ln(x32, lnw_ref, lnb_ref).astype(h_s.dtype)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    h = h_s[...].astype(x_ref.dtype)
+    w1 = w1_ref[0].astype(x_ref.dtype)
+    t1 = jax.lax.dot(h, w1, preferred_element_type=jnp.float32)
+    t1 = t1 * s1_ref[0].astype(jnp.float32) + b1_ref[0].astype(jnp.float32)
+    g = _gelu_exact(t1).astype(x_ref.dtype)
+    w2 = w2_ref[0].astype(x_ref.dtype)
+    acc_ref[...] += jax.lax.dot(g, w2, preferred_element_type=jnp.float32)
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _tail():
+        y = (acc_ref[...] * f2s_ref[0].astype(jnp.float32)
+             + f2b_ref[0].astype(jnp.float32) + x32_s[...])
+        xo_ref[...] = y.astype(xo_ref.dtype)[None]
+
+
+def ffn_block(x: jnp.ndarray, blk: dict, layer, block_h: int = 512,
+              interpret: bool = False) -> jnp.ndarray:
+    """Whole FFN sub-block: x + fc2(gelu(fc1(LN3(x)))) with the fc2
+    per-channel scale/bias epilogue in-kernel. x [B, D] -> [B, D]."""
+    B, D = x.shape
+    L, D2, H = blk["w1"].shape
+    assert D == D2 and H % block_h == 0
+    layer = jnp.asarray(layer, jnp.int32).reshape((1,))
+    grid = (B, H // block_h)
+
+    const = lambda: (lambda b, j, lyr: (lyr[0], 0, 0))
+    out = pl.pallas_call(
+        _ffn_kernel,
+        out_shape=jax.ShapeDtypeStruct((B, 1, D), x.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1, D), lambda b, j, lyr: (b, 0, 0)),
+                pl.BlockSpec((1, 1, D), const()),
+                pl.BlockSpec((1, 1, D), const()),
+                pl.BlockSpec((1, D, block_h), lambda b, j, lyr:
+                             (lyr[0], 0, j)),
+                pl.BlockSpec((1, 1, block_h), lambda b, j, lyr:
+                             (lyr[0], 0, j)),
+                pl.BlockSpec((1, 1, block_h), lambda b, j, lyr:
+                             (lyr[0], 0, j)),
+                pl.BlockSpec((1, block_h, D), lambda b, j, lyr:
+                             (lyr[0], j, 0)),
+                pl.BlockSpec((1, 1, D), const()),
+                pl.BlockSpec((1, 1, D), const()),
+            ],
+            out_specs=pl.BlockSpec((1, 1, D),
+                                   lambda b, j, lyr: (b, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((1, D), jnp.float32),   # x32
+                pltpu.VMEM((1, D), jnp.float32),   # h (post-LN)
+                pltpu.VMEM((1, D), jnp.float32),   # acc
+            ],
+        ),
+        interpret=interpret,
+    )(layer, x[:, None, :], blk["ln3_w"], blk["ln3_b"], blk["w1"],
+      blk["s1"], blk["b1"], blk["w2"], blk["fc2_s"], blk["fc2_b"])
+    return out[:, 0, :]

@@ -31,7 +31,8 @@ _HIGHEST = jax.lax.Precision.HIGHEST
 @functools.partial(
     jax.jit,
     static_argnames=("config", "max_len", "prompt_len", "compute_dtype",
-                     "fidelity", "timestamp_base", "no_speech", "use_flash"))
+                     "fidelity", "timestamp_base", "no_speech", "use_flash",
+                     "qf_mode"))
 def fused_transcribe_step(params: dict, audio: jnp.ndarray,
                           window: jnp.ndarray, basis: jnp.ndarray,
                           filters_t: jnp.ndarray, prompt: jnp.ndarray,
@@ -43,7 +44,8 @@ def fused_transcribe_step(params: dict, audio: jnp.ndarray,
                           timestamp_base: int = -1,
                           no_speech: int = -1,
                           qd=None,
-                          use_flash: bool = False):
+                          use_flash: bool = False,
+                          qf_mode=None):
     """audio [B, n_samples] (pre-padded to a full window) -> DecodeResult.
 
     One XLA program: batched log-mel (vmapped, per-item normalization as in
@@ -70,7 +72,8 @@ def fused_transcribe_step(params: dict, audio: jnp.ndarray,
         params, enc, prompt, suppress_bias, eot, config,
         max_len=max_len, prompt_len=prompt_len,
         compute_dtype=compute_dtype, fidelity=fidelity,
-        timestamp_base=timestamp_base, no_speech=no_speech, qd=qd)
+        timestamp_base=timestamp_base, no_speech=no_speech, qd=qd,
+        qf_mode=qf_mode)
 
 
 def pad_audio_batch(audios, n_samples: int) -> np.ndarray:

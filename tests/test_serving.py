@@ -270,3 +270,46 @@ class TestPagedDecode:
         assert toks == dense_seq.tolist()
         # pages were released
         assert paged.free_pages == 8
+
+
+class TestFusedScheduler:
+    """Dense slots served by the per-block megakernel step (QKVCache)."""
+
+    @pytest.fixture(scope="class")
+    def qf_engine(self):
+        from whisper_apr_tpu.config import ComputeConfig
+        from whisper_apr_tpu.model import qdecode
+        cfg = small_config(n_text_state=128, n_audio_state=128,
+                           n_text_head=4, n_audio_head=4)
+        hf = make_hf_twin(cfg, seed=7)
+        eng = WhisperApr.from_hf_model(
+            hf, cfg, specials=small_specials(cfg),
+            compute=ComputeConfig(quantization="int8"))
+        qd = qdecode.prepare_qdecode(eng.params, cfg)
+        assert qd is not None
+        eng._qdecode_cache = qd  # CPU backend disables by default; force
+        return eng
+
+    @pytest.mark.parametrize("mode", ["bf16", "int8"])
+    def test_fused_slots_match_transcribe(self, qf_engine, mode):
+        from whisper_apr_tpu.model import qdecode
+        eng = qf_engine
+        eng.compute = eng.compute.replace(kv_mode=mode)
+        rng = np.random.default_rng(5)
+        audios = [rng.normal(0, 0.1, 3000 + 500 * i).astype(np.float32)
+                  for i in range(3)]
+        qdecode.INTERPRET = True
+        try:
+            opts = TranscribeOptions(language="en", max_tokens=8)
+            expected = [eng.transcribe(a, opts).tokens for a in audios]
+            sched = BatchScheduler(eng, n_slots=2)
+            assert sched._qf == mode
+            assert not hasattr(sched._cache, "self_k")  # QKVCache
+            ids = [sched.submit(a, "en", max_tokens=8) for a in audios]
+            sched.run_until_drained()
+        finally:
+            qdecode.INTERPRET = False
+        for rid, exp in zip(ids, expected):
+            comp = sched.result(rid)
+            assert comp is not None
+            assert comp.tokens[: len(exp)] == exp

@@ -74,7 +74,8 @@ def main():
         except Exception as ex:
             print(f"ffn_block bh={bh}: FAIL {type(ex).__name__}", flush=True)
 
-    # cross_block across block_t (bf16 KV)
+    # cross_block across block_t (bf16 KV); caches ride in env (a closure
+    # would embed them as HLO constants)
     ck, cv = qc.cross_kq, qc.cross_vq
     Tc = ck.shape[2]
     for bt in (256, 512, 768, 1536):
@@ -83,8 +84,8 @@ def main():
         try:
             s = p.per_step(layers(
                 lambda e, x, l, bt=bt: cross_block(
-                    x, e, ck, None, cv, None, cfg.n_audio_ctx, l,
-                    n_heads, block_t=bt)), blk, x0)
+                    x, e[0], e[1], None, e[2], None, cfg.n_audio_ctx, l,
+                    n_heads, block_t=bt)), (blk, ck, cv), x0)
             print(f"cross_block bt={bt:5d}: {s*1e3:8.4f} ms/step", flush=True)
         except Exception as ex:
             print(f"cross_block bt={bt}: FAIL {type(ex).__name__}: {ex}"[:200],
@@ -100,8 +101,8 @@ def main():
         try:
             s = p.per_step(layers(
                 lambda e, x, l, bt=bt: self_block(
-                    x, e, sk, None, sv, None, pos, l, n_heads,
-                    block_t=bt)[0]), blk, x0)
+                    x, e[0], e[1], None, e[2], None, pos, l, n_heads,
+                    block_t=bt)[0]), (blk, sk, sv), x0)
             print(f"self_block bt={bt:5d}: {s*1e3:8.4f} ms/step", flush=True)
         except Exception as ex:
             print(f"self_block bt={bt}: FAIL {type(ex).__name__}", flush=True)

@@ -119,11 +119,18 @@ def decode_steps_multi(params: dict, token: jnp.ndarray, pos: jnp.ndarray,
     mask never reaches once the host trims pos back to the EOT index), so
     the host can cut each slot's stream at its own EOT. Amortizes per-
     dispatch overhead on remotely-tunneled devices (~25 ms/executable).
-    ``qd`` switches per-token steps to the Pallas quantized-matvec path.
+    ``qd`` switches per-token steps to the Pallas quantized-matvec path;
+    passing a ``qdecode.QKVCache`` (with qd) selects the per-block
+    megakernel step (decode_step_qf) — the cache type IS the switch.
     """
-    T_max = cache.self_k.shape[2]
+    qf = not hasattr(cache, "self_k")  # QKVCache (fused megakernel path)
+    T_max = cache.self_kq.shape[2] if qf else cache.self_k.shape[2]
     if qd is None:
         step = functools.partial(decode_step_multi, params, config=config,
+                                 compute_dtype=compute_dtype)
+    elif qf:
+        from .qdecode import decode_step_qf
+        step = functools.partial(decode_step_qf, params, qd, config=config,
                                  compute_dtype=compute_dtype)
     else:
         from .qdecode import decode_step_q

@@ -97,11 +97,33 @@ class BatchScheduler:
                 cross_k=jnp.zeros((L, B, S, D), dtype=dt),
                 cross_v=jnp.zeros((L, B, S, D), dtype=dt))
         else:
-            self._cache = KVCache(
-                self_k=jnp.zeros((L, B, self.max_len, D), dtype=dt),
-                self_v=jnp.zeros((L, B, self.max_len, D), dtype=dt),
-                cross_k=jnp.zeros((L, B, S, D), dtype=dt),
-                cross_v=jnp.zeros((L, B, S, D), dtype=dt))
+            self._qf = engine._qf_mode if engine._qdecode is not None else None
+            if self._qf:
+                # fused megakernel slots (model/qdecode.decode_step_qf):
+                # T padded to the kernel blocks; int8 mode halves slot HBM
+                from ..model.qdecode import (CROSS_BLOCK_T, SELF_BLOCK_T,
+                                             QKVCache)
+                Tp = -(-self.max_len // SELF_BLOCK_T) * SELF_BLOCK_T
+                Sp = -(-S // CROSS_BLOCK_T) * CROSS_BLOCK_T
+                kv8 = self._qf == "int8"
+                rdt = jnp.int8 if kv8 else dt
+                def z(shape, d):
+                    return jnp.zeros(shape, dtype=d)
+                self._cache = QKVCache(
+                    z((L, B, Tp, D), rdt),
+                    z((L, B, Tp, 1), jnp.float32) if kv8 else None,
+                    z((L, B, Tp, D), rdt),
+                    z((L, B, Tp, 1), jnp.float32) if kv8 else None,
+                    z((L, B, Sp, D), rdt),
+                    z((L, B, Sp, 1), jnp.float32) if kv8 else None,
+                    z((L, B, Sp, D), rdt),
+                    z((L, B, Sp, 1), jnp.float32) if kv8 else None)
+            else:
+                self._cache = KVCache(
+                    self_k=jnp.zeros((L, B, self.max_len, D), dtype=dt),
+                    self_v=jnp.zeros((L, B, self.max_len, D), dtype=dt),
+                    cross_k=jnp.zeros((L, B, S, D), dtype=dt),
+                    cross_v=jnp.zeros((L, B, S, D), dtype=dt))
         self._tokens = np.full((B, self.max_len),
                                engine.specials.eot, dtype=np.int32)
         self._pos = np.zeros(B, dtype=np.int32)
@@ -168,6 +190,29 @@ class BatchScheduler:
                     self._cache.self_k, self._cache.self_v,
                     self._cache.cross_k.at[:, slot].set(one.cross_k[:, 0]),
                     self._cache.cross_v.at[:, slot].set(one.cross_v[:, 0]))
+            elif getattr(self, "_qf", None):
+                from ..ops.decode_attention import quantize_rows
+                c = self._cache
+                T0 = one.self_k.shape[2]
+                S0 = one.cross_k.shape[2]
+                if self._qf == "int8":
+                    sk, sks = quantize_rows(one.self_k)
+                    sv, svs = quantize_rows(one.self_v)
+                    ck, cks = quantize_rows(one.cross_k)
+                    cv, cvs = quantize_rows(one.cross_v)
+                    c = c._replace(
+                        self_ks=c.self_ks.at[:, slot, :T0].set(sks[:, 0]),
+                        self_vs=c.self_vs.at[:, slot, :T0].set(svs[:, 0]),
+                        cross_ks=c.cross_ks.at[:, slot, :S0].set(cks[:, 0]),
+                        cross_vs=c.cross_vs.at[:, slot, :S0].set(cvs[:, 0]))
+                else:
+                    sk, sv = one.self_k, one.self_v
+                    ck, cv = one.cross_k, one.cross_v
+                self._cache = c._replace(
+                    self_kq=c.self_kq.at[:, slot, :T0].set(sk[:, 0]),
+                    self_vq=c.self_vq.at[:, slot, :T0].set(sv[:, 0]),
+                    cross_kq=c.cross_kq.at[:, slot, :S0].set(ck[:, 0]),
+                    cross_vq=c.cross_vq.at[:, slot, :S0].set(cv[:, 0]))
             else:
                 self._cache = KVCache(
                     self._cache.self_k.at[:, slot].set(one.self_k[:, 0]),

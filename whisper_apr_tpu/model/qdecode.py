@@ -284,8 +284,14 @@ class QKVCache(NamedTuple):
     cross_vs: Optional[jnp.ndarray]
 
 
-SELF_BLOCK_T = 256
-CROSS_BLOCK_T = 512
+# cache PAD granularity (T rounded up to these) vs kernel TILE sizes —
+# tuned on v5e large-v3 (tools/tune_blocks.py): self 128-row tiles and
+# cross 256-row tiles double-buffer best; pads stay coarser so shapes
+# bucket less often
+SELF_BLOCK_T = 256       # pad granularity for the self cache
+CROSS_BLOCK_T = 512      # pad granularity for the cross cache
+SELF_TILE_T = 128        # kernel block (divides SELF_BLOCK_T)
+CROSS_TILE_T = 256       # kernel block (divides CROSS_BLOCK_T)
 
 
 def _pad_t(a: jnp.ndarray, block: int) -> jnp.ndarray:
@@ -353,8 +359,8 @@ def decode_step_qf(params: dict, qd: dict, token: jnp.ndarray,
                   if H % bh == 0)
     qcache = cache
     kv_int8 = qcache.self_ks is not None
-    self_bt = min(SELF_BLOCK_T, qcache.self_kq.shape[2])
-    cross_bt = min(CROSS_BLOCK_T, qcache.cross_kq.shape[2])
+    self_bt = min(SELF_TILE_T, qcache.self_kq.shape[2])
+    cross_bt = min(CROSS_TILE_T, qcache.cross_kq.shape[2])
 
     def row_write(stack, new, l):
         """One [B, D] row (or [B] scale column) at (l, :, pos)."""

@@ -10,6 +10,14 @@ DMAs each page straight from the pooled HBM arrays — no gather, no
 materialized per-sequence K/V. Softmax is computed online (flash-style
 running max/sum) across the page grid.
 
+Heads are VECTORIZED via the block-diagonal head-expansion matrix E [D, H]
+(see ops/decode_attention.py — a per-head in-kernel loop emits hundreds of
+tiny VPU/MXU ops per page and measurably dominates the kernel):
+
+    S[t, h]   = ((K ∘ q) @ E)[t, h]
+    P_D[t, d] = (P @ E^T)[t, d]
+    O[1, d]   = ones[1, T] @ (P_D ∘ V)[t, d]
+
 Layout: pools are [n_pages, PAGE, D] (written by an XLA scatter in the
 decode step); queries [B, D]; tables [B, P_max] int32 (0-padded); lengths
 [B] int32 counting valid tokens INCLUDING the current one.
@@ -26,14 +34,15 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .decode_attention import head_expand_matrix
+
 _LANES = 128
 _NEG = float(-0.7 * np.finfo(np.float32).max)
 
 
 def _paged_attn_kernel(tables_ref, lengths_ref, layer_ref, q_ref, k_ref,
-                       v_ref, o_ref,
-                       m_ref, l_ref, acc_ref, *, n_heads: int, page: int,
-                       scale: float, hd: int):
+                       v_ref, e_ref, et_ref, o_ref,
+                       m_ref, l_ref, acc_ref, *, page: int, scale: float):
     b = pl.program_id(0)
     p = pl.program_id(1)
 
@@ -43,47 +52,39 @@ def _paged_attn_kernel(tables_ref, lengths_ref, layer_ref, q_ref, k_ref,
         l_ref[...] = jnp.zeros(l_ref.shape, jnp.float32)
         acc_ref[...] = jnp.zeros(acc_ref.shape, jnp.float32)
 
-    k = k_ref[0, 0].astype(jnp.float32)           # [PAGE, D]
-    v = v_ref[0, 0].astype(jnp.float32)           # [PAGE, D]
+    e = e_ref[...]                                     # [D, H]
+    et = et_ref[...]                                   # [H, D]
+    k = k_ref[0, 0].astype(jnp.float32)                # [PAGE, D]
+    v = v_ref[0, 0].astype(jnp.float32)                # [PAGE, D]
+    q32 = q_ref[0].astype(jnp.float32) * scale         # [1, D]
 
-    # positions covered by this page vs the sequence length
+    s = jax.lax.dot(k * q32, e, preferred_element_type=jnp.float32)
+
     base = p * page
-    pos = base + jax.lax.broadcasted_iota(jnp.int32, (1, page), 1)
-    valid = pos < lengths_ref[b]                  # [1, PAGE]
+    pos = base + jax.lax.broadcasted_iota(jnp.int32, (page, 1), 0)
+    valid = pos < lengths_ref[b]                       # [PAGE, 1]
+    s = jnp.where(valid, s, _NEG)
 
-    # per-head online softmax (static head loop; tiny MXU ops — the kernel
-    # is HBM-bandwidth-bound on the page reads). m/l live as (1, LANES)
-    # broadcast rows; only column 0 is meaningful.
-    q32 = q_ref[0].astype(jnp.float32) * scale    # [1, D]
-    for h in range(n_heads):
-        lo = h * hd
-        q_h = q32[:, lo: lo + hd]                 # [1, hd]
-        k_h = k[:, lo: lo + hd]                   # [PAGE, hd]
-        v_h = v[:, lo: lo + hd]
-        s = jax.lax.dot_general(q_h, k_h, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        s = jnp.where(valid, s, _NEG)             # [1, PAGE]
+    m_prev = m_ref[...]                                # [1, H]
+    m_cur = jnp.max(s, axis=0, keepdims=True)
+    m_next = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_next)
+    pij = jnp.exp(s - m_next)                          # [PAGE, H]
+    l_ref[...] = l_ref[...] * alpha + jnp.sum(pij, axis=0, keepdims=True)
+    m_ref[...] = m_next
 
-        m_prev = m_ref[h: h + 1, :1]              # [1, 1]
-        m_cur = jnp.max(s, axis=1, keepdims=True)
-        m_next = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp(m_prev - m_next)          # [1, 1]
-        p_ij = jnp.exp(s - m_next)                # [1, PAGE]
-        l_new = l_ref[h: h + 1, :1] * alpha + jnp.sum(s * 0 + p_ij,
-                                                      axis=1, keepdims=True)
-        m_ref[h: h + 1, :] = jnp.broadcast_to(m_next, (1, m_ref.shape[1]))
-        l_ref[h: h + 1, :] = jnp.broadcast_to(l_new, (1, l_ref.shape[1]))
-        pv = jax.lax.dot_general(p_ij, v_h, (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        acc_ref[h: h + 1, :] = acc_ref[h: h + 1, :] * alpha + pv
+    p_d = jax.lax.dot(pij, et, preferred_element_type=jnp.float32)
+    ones = jnp.ones((1, page), jnp.float32)
+    contrib = jax.lax.dot(ones, p_d * v,
+                          preferred_element_type=jnp.float32)  # [1, D]
+    alpha_d = jax.lax.dot(alpha, et, preferred_element_type=jnp.float32)
+    acc_ref[...] = acc_ref[...] * alpha_d + contrib
 
     @pl.when(p == pl.num_programs(1) - 1)
     def _finalize():
-        for h in range(n_heads):
-            lo = h * hd
-            l_h = jnp.maximum(l_ref[h: h + 1, :1], 1e-30)
-            o_ref[0, :, lo: lo + hd] = (acc_ref[h: h + 1, :] / l_h
-                                        ).astype(o_ref.dtype)
+        l_d = jax.lax.dot(jnp.maximum(l_ref[...], 1e-30), et,
+                          preferred_element_type=jnp.float32)
+        o_ref[0] = (acc_ref[...] / l_d).astype(o_ref.dtype)
 
 
 def paged_attention_stacked(q: jnp.ndarray, k_pool: jnp.ndarray,
@@ -104,8 +105,10 @@ def paged_attention_stacked(q: jnp.ndarray, k_pool: jnp.ndarray,
     scale = float(hd) ** -0.5
     layer = jnp.asarray(layer, jnp.int32).reshape((1,))
 
-    kernel = functools.partial(_paged_attn_kernel, n_heads=n_heads,
-                               page=page, scale=scale, hd=hd)
+    e_mat = jnp.asarray(head_expand_matrix(n_heads, hd))
+    et_mat = jnp.transpose(e_mat)
+
+    kernel = functools.partial(_paged_attn_kernel, page=page, scale=scale)
     grid = (B, P_max)
     # q/out as [B, 1, D]: leading block dims of 1 keep the last-two-dims
     # tiling rule satisfied for any B
@@ -124,18 +127,22 @@ def paged_attention_stacked(q: jnp.ndarray, k_pool: jnp.ndarray,
                 pl.BlockSpec((1, 1, page, D),
                              lambda b, p, tbl, lens, lyr:
                              (lyr[0], tbl[b, p], 0, 0)),
+                pl.BlockSpec((D, n_heads),
+                             lambda b, p, tbl, lens, lyr: (0, 0)),
+                pl.BlockSpec((n_heads, D),
+                             lambda b, p, tbl, lens, lyr: (0, 0)),
             ],
             out_specs=pl.BlockSpec((1, 1, D),
                                    lambda b, p, tbl, lens, lyr: (b, 0, 0)),
             scratch_shapes=[
-                pltpu.VMEM((n_heads, _LANES), jnp.float32),  # m (col 0)
-                pltpu.VMEM((n_heads, _LANES), jnp.float32),  # l (col 0)
-                pltpu.VMEM((n_heads, hd), jnp.float32),      # acc
+                pltpu.VMEM((1, n_heads), jnp.float32),   # m
+                pltpu.VMEM((1, n_heads), jnp.float32),   # l
+                pltpu.VMEM((1, D), jnp.float32),         # acc (head-major)
             ],
         ),
         interpret=interpret,
     )(jnp.asarray(tables, jnp.int32), jnp.asarray(lengths, jnp.int32),
-      layer, q[:, None, :], k_pool, v_pool)
+      layer, q[:, None, :], k_pool, v_pool, e_mat, et_mat)
     return out[:, 0, :]
 
 

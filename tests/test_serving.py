@@ -313,3 +313,27 @@ class TestFusedScheduler:
             comp = sched.result(rid)
             assert comp is not None
             assert comp.tokens[: len(exp)] == exp
+
+
+class TestSchedulerSuppressorVariant:
+    def test_scheduler_bias_uses_engine_specials(self, cfg):
+        """Regression: the scheduler must derive its suppressor from the
+        ENGINE's SpecialTokens, not the vocab-size default — with shifted
+        special ids (English-only models, test rigs) the wrong table left
+        special tokens UNSUPPRESSED and scheduler output diverged from
+        engine.transcribe (first generated token = the task token)."""
+        hf = make_hf_twin(cfg, seed=3)  # seed-3 weights expose the argmax
+        eng = WhisperApr.from_hf_model(hf, cfg, specials=small_specials(cfg))
+        sched = BatchScheduler(eng, n_slots=1)
+        bias = np.asarray(sched._bias)
+        sp = eng.specials
+        for tok_id in (sp.sot, sp.transcribe, sp.translate, sp.no_timestamps):
+            assert bias[tok_id] < -1e30, tok_id
+
+        rng = np.random.default_rng(3)
+        audio = rng.normal(0, 0.1, 4000).astype(np.float32)
+        exp = eng.transcribe(
+            audio, TranscribeOptions(language="en", max_tokens=6)).tokens
+        rid = sched.submit(audio, "en", max_tokens=6)
+        sched.run_until_drained()
+        assert sched.result(rid).tokens[: len(exp)] == exp

@@ -130,10 +130,13 @@ class BatchScheduler:
         self._active = np.zeros(B, dtype=bool)
         self._req: List[Optional[Request]] = [None] * B
         self._decode_start = np.zeros(B, dtype=np.float64)
-        self._bias = jnp.asarray(
-            __import__("whisper_apr_tpu.inference.processors",
-                       fromlist=["WhisperTokenSuppressor"])
-            .WhisperTokenSuppressor(n_vocab=self.config.n_vocab).bias())
+        # variant-aware suppressor: derive the id set from the ENGINE's
+        # SpecialTokens, not the vocab-size default — English-only models
+        # (and test rigs) have shifted special ids
+        from ..inference.processors import WhisperTokenSuppressor
+        self._bias = jnp.asarray(WhisperTokenSuppressor(
+            n_vocab=self.config.n_vocab,
+            tokens=engine.specials).bias())
 
     # -- public API -----------------------------------------------------------
     def submit(self, audio: np.ndarray, language: str = "en",

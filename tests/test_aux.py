@@ -395,3 +395,19 @@ class TestTurboPreset:
             "decoder_attention_heads": 20, "vocab_size": 51_866,
             "max_source_positions": 1500, "max_target_positions": 448})
         assert cfg.model_type == "large-v3-turbo"
+
+
+class TestRecommendModel:
+    def test_monotone_and_bounds(self):
+        """recommend_model (reference: recommendedModelForMemory,
+        wasm/mod.rs:640): more memory never recommends a smaller model."""
+        from whisper_apr_tpu.utils.memory import recommend_model
+        order = ["tiny", "base", "small", "medium", "large-v3"]
+        prev = 0
+        for hbm in (2 << 28, 1 << 30, 4 << 30, 16 << 30, 64 << 30):
+            m = recommend_model(hbm)
+            idx = order.index(m)
+            assert idx >= prev
+            prev = idx
+        assert recommend_model(64 << 30) == "large-v3"
+        assert recommend_model(1 << 20) == "tiny"  # floor

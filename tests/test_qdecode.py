@@ -259,7 +259,9 @@ class TestFusedDecode:
 
     def test_greedy_qf_bf16_token_exact(self, cfg, qsetup):
         params, qd, enc = qsetup
-        prompt = jnp.asarray(np.full((2, 2), 5, np.int32))
+        enc = enc[:1]  # B=1: the drivers use the fused step only
+        # single-stream (B>1 falls back to the batched scan step)
+        prompt = jnp.asarray(np.full((1, 2), 5, np.int32))
         bias = jnp.zeros(cfg.n_vocab, jnp.float32)
         eot = cfg.n_vocab - 1
         qdecode.INTERPRET = True
@@ -286,8 +288,9 @@ class TestFusedDecode:
     def test_sampling_qf_matches_greedy_qf(self, cfg, qsetup):
         from whisper_apr_tpu.inference.sampling import sample_generate
         params, qd, enc = qsetup
+        enc = enc[:1]  # B=1 exercises the fused step (see greedy test)
         eot = cfg.n_vocab - 1
-        prompt = jnp.asarray(np.full((2, 2), 5, np.int32))
+        prompt = jnp.asarray(np.full((1, 2), 5, np.int32))
         bias = jnp.zeros(cfg.n_vocab, jnp.float32)
         qdecode.INTERPRET = True
         try:
@@ -305,8 +308,9 @@ class TestFusedDecode:
     def test_beam1_qf_matches_greedy_qf(self, cfg, qsetup):
         from whisper_apr_tpu.inference.beam import beam_generate
         params, qd, enc = qsetup
+        enc = enc[:1]  # B=1, beam(1): fused; beam(2) falls back to scan
         eot = cfg.n_vocab - 1
-        prompt = jnp.asarray(np.full((2, 2), 5, np.int32))
+        prompt = jnp.asarray(np.full((1, 2), 5, np.int32))
         bias = jnp.zeros(cfg.n_vocab, jnp.float32)
         qdecode.INTERPRET = True
         try:

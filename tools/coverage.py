@@ -19,6 +19,8 @@ from collections import defaultdict
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 PKG = os.path.join(ROOT, "whisper_apr_tpu")
+if ROOT not in sys.path:
+    sys.path.insert(0, ROOT)  # `python tools/coverage.py` puts tools/ first
 
 TOOL_ID = 4  # sys.monitoring free tool slot
 executed = defaultdict(set)

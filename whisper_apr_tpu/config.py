@@ -217,7 +217,8 @@ class ComputeConfig:
     quantization: str = "none"
     # decode KV-cache / attention-kernel mode (quantized fast path only):
     # "auto" = per-block megakernel step with bf16 KV (measured fastest on
-    #          large-v3: 1.88 vs 2.35 ms/step scan; bit-identical logits),
+    #          large-v3: 1.85 vs 2.35 ms/step scan; bit-identical under f32
+    #          compute, same bf16 precision class as the scan path),
     # "bf16" = same, explicitly,
     # "int8" = megakernel step with int8 per-row KV (same speed, HALF the
     #          KV-cache memory — for serving capacity; <1e-3 logit error),

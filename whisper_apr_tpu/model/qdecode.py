@@ -24,8 +24,7 @@ import numpy as np
 
 from ..config import ModelConfig
 from ..ops.basic import gelu, layer_norm, mha
-from ..ops.decode_attention import (decode_attention_oproj, quantize_row,
-                                    quantize_rows)
+from ..ops.decode_attention import quantize_row, quantize_rows
 from ..ops.qmatvec import ffn_fused, qmatvec_stacked
 from ..ops.quant import QTensor, is_quantized
 from .decoder import KVCache, embed

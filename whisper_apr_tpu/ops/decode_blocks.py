@@ -70,22 +70,31 @@ def _gelu_exact(x):
 
 
 def _attn_tile(s, valid, e_t, v, vs, m_ref, l_ref, acc_ref, quantized):
-    """One online-softmax accumulation step. s: [bt, H] raw scores;
-    valid: [bt, 1] bool; v: [bt, D] f32; vs: [bt, 1] f32 or None."""
+    """One online-softmax accumulation step.
+
+    s: [bt, H] raw scores (f32, K-row scales already folded in by the
+    caller — they ride the small [bt, H] matrix, never the [bt, D] tile);
+    valid: [bt, 1] bool; v: [bt, D] in the tile's compute dtype (bf16 on
+    the fast path — the heavy elementwise ops stay bf16 and the dots run
+    bf16 x bf16 -> f32 on the MXU); vs: [bt, 1] f32 row scales or None
+    (folded into the [bt, H] probabilities, which is exact: each row t of
+    P scales v[t, :] uniformly)."""
     s = jnp.where(valid, s, _NEG)
     m_prev = m_ref[...]
     m_cur = jnp.max(s, axis=0, keepdims=True)
     m_next = jnp.maximum(m_prev, m_cur)
     alpha = jnp.exp(m_prev - m_next)
-    p = jnp.exp(s - m_next)                            # [bt, H]
+    p = jnp.exp(s - m_next)                            # [bt, H] f32
     l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=0, keepdims=True)
     m_ref[...] = m_next
-    p_d = jax.lax.dot(p, e_t, preferred_element_type=jnp.float32)
-    pv = p_d * v
     if quantized:
-        pv = pv * vs
-    ones = jnp.ones((1, p.shape[0]), jnp.float32)
-    contrib = jax.lax.dot(ones, pv, preferred_element_type=jnp.float32)
+        p = p * vs                                     # [bt, 1] row scales
+    # MXU accumulators must be f32; inputs stay bf16, result drops to bf16
+    p_d = jax.lax.dot(p.astype(v.dtype), e_t.astype(v.dtype),
+                      preferred_element_type=jnp.float32).astype(v.dtype)
+    ones = jnp.ones((1, p.shape[0]), v.dtype)
+    contrib = jax.lax.dot(ones, p_d * v,
+                          preferred_element_type=jnp.float32)  # [1, D]
     alpha_d = jax.lax.dot(alpha, e_t, preferred_element_type=jnp.float32)
     acc_ref[...] = acc_ref[...] * alpha_d + contrib
 
@@ -155,14 +164,19 @@ def _self_kernel(lengths_ref, layer_ref, x_ref, lnw_ref, lnb_ref,
         l_ref[...] = jnp.zeros(l_ref.shape, jnp.float32)
         acc_ref[...] = jnp.zeros(acc_ref.shape, jnp.float32)
 
-    k = kq_ref[0, 0].astype(jnp.float32)               # [bt, D]
-    v = vq_ref[0, 0].astype(jnp.float32)
-    qk = k * q_s[...]
+    # tiles stay in compute dtype: bf16 elementwise + bf16 MXU dots with
+    # f32 accumulation; the int8 row scales fold into the small [bt, H]
+    # score/prob matrices (exact), never the [bt, D] tiles
+    cdt = x_ref.dtype
+    k = kq_ref[0, 0].astype(cdt)                       # [bt, D]
+    v = vq_ref[0, 0].astype(cdt)
+    qk = k * q_s[...].astype(cdt)
     vs = None
+    s = jax.lax.dot(qk, e.astype(cdt),
+                    preferred_element_type=jnp.float32)  # [bt, H]
     if quantized:
-        qk = qk * ks_ref[0, 0].astype(jnp.float32)
+        s = s * ks_ref[0, 0].astype(jnp.float32)       # [bt, 1] K scales
         vs = vs_ref[0, 0].astype(jnp.float32)
-    s = jax.lax.dot(qk, e, preferred_element_type=jnp.float32)
     pos = t * bt + jax.lax.broadcasted_iota(jnp.int32, (bt, 1), 0)
     valid = pos < lengths_ref[b]                       # excludes current
     _attn_tile(s, valid, et, v, vs, m_ref, l_ref, acc_ref, quantized)
@@ -326,14 +340,16 @@ def _cross_kernel(lengths_ref, layer_ref, x_ref, lnw_ref, lnb_ref,
         l_ref[...] = jnp.zeros(l_ref.shape, jnp.float32)
         acc_ref[...] = jnp.zeros(acc_ref.shape, jnp.float32)
 
-    k = kq_ref[0, 0].astype(jnp.float32)
-    v = vq_ref[0, 0].astype(jnp.float32)
-    qk = k * q_s[...]
+    cdt = x_ref.dtype
+    k = kq_ref[0, 0].astype(cdt)
+    v = vq_ref[0, 0].astype(cdt)
+    qk = k * q_s[...].astype(cdt)
     vs = None
+    s = jax.lax.dot(qk, e.astype(cdt),
+                    preferred_element_type=jnp.float32)
     if quantized:
-        qk = qk * ks_ref[0, 0].astype(jnp.float32)
+        s = s * ks_ref[0, 0].astype(jnp.float32)
         vs = vs_ref[0, 0].astype(jnp.float32)
-    s = jax.lax.dot(qk, e, preferred_element_type=jnp.float32)
     pos = t * bt + jax.lax.broadcasted_iota(jnp.int32, (bt, 1), 0)
     valid = pos < lengths_ref[b]
     _attn_tile(s, valid, et, v, vs, m_ref, l_ref, acc_ref, quantized)

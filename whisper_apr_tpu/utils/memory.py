@@ -80,6 +80,24 @@ def plan_memory(config: ModelConfig, batch: int = 1,
     return MemoryPlan(weights, kv, acts)
 
 
+def recommend_model(hbm_bytes: int, batch: int = 1,
+                    quantization: str = "int8") -> str:
+    """Largest model preset whose inference session fits the given memory
+    (reference: recommendedModelForMemory, src/wasm/mod.rs:640, and
+    recommended_wasm_pages, src/model/mod.rs:295 — re-expressed for HBM)."""
+    from ..config import ModelConfig
+    per_el = {"int8": 1, "int4": 1, "none": 4,
+              "bfloat16": 2, "float32": 4}.get(quantization, 4)
+    best = "tiny"
+    for name in ("tiny", "base", "small", "medium", "large-v3"):
+        plan = plan_memory(ModelConfig.from_name(name), batch,
+                           param_bytes_per_el=per_el,
+                           compute_bytes_per_el=2)
+        if plan.fits(hbm_bytes):
+            best = name
+    return best
+
+
 def tree_bytes(params: Any) -> int:
     """Actual bytes of a parameter pytree on device."""
     return sum(leaf.size * leaf.dtype.itemsize

@@ -346,3 +346,23 @@ class TestFusedDecode:
         b = beam_generate(params, enc, prompt, bias, eot=eot, config=cfg,
                           beam_size=3, max_len=10, prompt_len=2)
         assert np.array_equal(np.asarray(a.tokens), np.asarray(b.tokens))
+
+    def test_beam2_qf_matches_scan_beam2(self, cfg, qsetup):
+        """Beam K=2 with the fused step (batched kernels + QKVCache beam
+        reorder) must match the scan-kernel beam token-exactly (f32)."""
+        from whisper_apr_tpu.inference.beam import beam_generate
+        params, qd, enc = qsetup
+        enc = enc[:1]
+        eot = cfg.n_vocab - 1
+        prompt = jnp.asarray(np.full((1, 2), 5, np.int32))
+        bias = jnp.zeros(cfg.n_vocab, jnp.float32)
+        qdecode.INTERPRET = True
+        try:
+            a = beam_generate(params, enc, prompt, bias, eot=eot, config=cfg,
+                              beam_size=2, max_len=10, prompt_len=2,
+                              qd=qd, qf_mode="bf16")
+            b = beam_generate(params, enc, prompt, bias, eot=eot, config=cfg,
+                              beam_size=2, max_len=10, prompt_len=2, qd=qd)
+        finally:
+            qdecode.INTERPRET = False
+        assert np.array_equal(np.asarray(a.tokens), np.asarray(b.tokens))

@@ -216,12 +216,15 @@ class ComputeConfig:
     # runtime weight quantization: "none" | "int8" | "int4"
     quantization: str = "none"
     # decode KV-cache / attention-kernel mode (quantized fast path only):
-    # "auto" = per-block megakernel step with bf16 KV (measured fastest on
-    #          large-v3: 1.85 vs 2.35 ms/step scan; bit-identical under f32
-    #          compute, same bf16 precision class as the scan path),
+    # "auto" = per-block megakernel step with bf16 KV — fastest at every
+    #          batch (large-v3: B=1 1.85 vs 2.35 ms/step scan; B=8 slots
+    #          0.66 vs 0.95 ms/slot-token via the batched kernels);
+    #          bit-identical under f32 compute, same bf16 precision class
+    #          as the scan path otherwise,
     # "bf16" = same, explicitly,
-    # "int8" = megakernel step with int8 per-row KV (same speed, HALF the
-    #          KV-cache memory — for serving capacity; <1e-3 logit error),
+    # "int8" = megakernel step with int8 per-row KV: HALF the KV-cache
+    #          memory (serving capacity; B=8 0.85 ms/slot-token,
+    #          <1e-3 logit error),
     # "scan" = per-kernel scan step (decode_step_q), no fused attention
     kv_mode: str = "auto"
 

@@ -68,8 +68,6 @@ def beam_generate(params: dict, enc_out: jnp.ndarray, prompt: jnp.ndarray,
     precision = _HIGHEST if fidelity else None
     B = enc_out.shape[0]
     K = beam_size
-    if B * K > 1:
-        qf_mode = None  # megakernels win only single-stream (decoder.py)
     V = config.n_vocab
 
     # replicate encoder output per beam: [B*K, S, D]

@@ -78,8 +78,6 @@ def sample_generate(params: dict, enc_out: jnp.ndarray, prompt: jnp.ndarray,
     """
     precision = _HIGHEST if fidelity else None
     B = enc_out.shape[0]
-    if B > 1:
-        qf_mode = None  # megakernels win only single-stream (decoder.py)
     if qd is None:
         step = functools.partial(decode_step, params, config=config,
                                  compute_dtype=compute_dtype,

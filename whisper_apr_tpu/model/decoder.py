@@ -329,12 +329,6 @@ def greedy_generate_body(params: dict, enc_out: jnp.ndarray, prompt: jnp.ndarray
     """
     precision = _HIGHEST if fidelity else None
     B = enc_out.shape[0]
-    # the per-block megakernels win single-stream (B=1: 1.85 vs 2.35
-    # ms/step on large-v3) but lose to the batched scan step once weights
-    # amortize over slots (B=8: 1.28 vs 0.94 ms/slot-token) — the kernel
-    # grid serializes per-sequence work. Pick by batch at trace time.
-    if B > 1:
-        qf_mode = None
     cache = init_cache(params, enc_out, config, max_len,
                        precision, compute_dtype)
 

@@ -331,7 +331,9 @@ def decode_step_qf(params: dict, qd: dict, token: jnp.ndarray,
 
     ``pos`` may be scalar (aligned batch) or [B] (continuous batching).
     """
-    from ..ops.decode_blocks import cross_block, ffn_block, self_block
+    from ..ops.decode_blocks import (cross_block, cross_block_batched,
+                                     ffn_block, ffn_block_batched,
+                                     self_block, self_block_batched)
 
     if interpret is None:
         interpret = INTERPRET
@@ -358,8 +360,18 @@ def decode_step_qf(params: dict, qd: dict, token: jnp.ndarray,
                   if H % bh == 0)
     qcache = cache
     kv_int8 = qcache.self_ks is not None
-    self_bt = min(SELF_TILE_T, qcache.self_kq.shape[2])
-    cross_bt = min(CROSS_TILE_T, qcache.cross_kq.shape[2])
+    if B == 1:
+        self_bt = min(SELF_TILE_T, qcache.self_kq.shape[2])
+        cross_bt = min(CROSS_TILE_T, qcache.cross_kq.shape[2])
+    else:
+        # batched kernels carry B sequences per tile: [B, bt, D] cache
+        # blocks double-buffered next to the resident weights must stay
+        # under the ~16 MiB VMEM budget (measured: B=8 bt=128 overflows
+        # for bf16 AND int8 — Mosaic's scoped accounting charges more
+        # than raw tile bytes)
+        bt = max(8, 64 * 8 // max(B, 8))
+        self_bt = min(bt, qcache.self_kq.shape[2])
+        cross_bt = min(bt, qcache.cross_kq.shape[2])
 
     def row_write(stack, new, l):
         """One [B, D] row (or [B] scale column) at (l, :, pos)."""
@@ -374,9 +386,18 @@ def decode_step_qf(params: dict, qd: dict, token: jnp.ndarray,
         return jax.lax.dynamic_update_slice(
             scales, s[None, :, None, None], (l, 0, pos, 0))
 
+    # B == 1: per-sequence kernels (grid (B, tiles)); B > 1: batched
+    # kernels (grid (tiles,), all sequences per tile — selector-matrix
+    # segmented softmax, M=B projections)
+    if B == 1:
+        _self, _cross, _ffn = self_block, cross_block, ffn_block
+    else:
+        _self, _cross, _ffn = (self_block_batched, cross_block_batched,
+                               ffn_block_batched)
+
     def body(l, carry):
         x, skq, sks, svq, svs = carry
-        x, k8, ksc, v8, vsc = self_block(
+        x, k8, ksc, v8, vsc = _self(
             x, blk, skq, sks, svq, svs, pos, l, n_heads,
             block_t=self_bt, interpret=interpret)
         skq = row_write(skq, k8, l)
@@ -384,11 +405,11 @@ def decode_step_qf(params: dict, qd: dict, token: jnp.ndarray,
         if kv_int8:
             sks = scale_write(sks, ksc, l)
             svs = scale_write(svs, vsc, l)
-        x = cross_block(
+        x = _cross(
             x, blk, qcache.cross_kq, qcache.cross_ks, qcache.cross_vq,
             qcache.cross_vs, config.n_audio_ctx, l, n_heads,
             block_t=cross_bt, interpret=interpret)
-        x = ffn_block(x, blk, l, block_h=block_h, interpret=interpret)
+        x = _ffn(x, blk, l, block_h=block_h, interpret=interpret)
         return (x, skq, sks, svq, svs)
 
     x, skq, sks, svq, svs = jax.lax.fori_loop(

@@ -514,3 +514,446 @@ def ffn_block(x: jnp.ndarray, blk: dict, layer, block_h: int = 512,
     )(layer, x[:, None, :], blk["ln3_w"], blk["ln3_b"], blk["w1"],
       blk["s1"], blk["b1"], blk["w2"], blk["fc2_s"], blk["fc2_b"])
     return out[:, 0, :]
+
+
+# ---------------------------------------------------------------------------
+# Batched (M > 1) block kernels — serving slots / batched greedy
+# ---------------------------------------------------------------------------
+#
+# The single-stream kernels above put B on the GRID, serializing
+# per-sequence work (B=8 large-v3 measured 1.28 ms/slot-token vs the
+# batched XLA scan step's 0.94 — BENCH_NOTES round-2c). These variants
+# keep the grid over T tiles ONLY and carry all B sequences through each
+# tile: projections run as [B, D] @ [D, N] MXU dots, and the per-sequence
+# attention bookkeeping stays 2-D via a block-diagonal SELECTOR matrix
+#
+#     P_sel [B*bt, B], P_sel[i, b] = 1  iff  i // bt == b
+#
+# which expands per-b rows ([B, X] -> [B*bt, X] via P_sel @ .) and sums
+# tile rows per b ([B*bt, X] -> [B, X] via P_sel^T @ .) as single MXU
+# dots. Only the running-max update needs a (short, static) loop over B.
+# At B slots the KV tiles dominate HBM traffic, so int8 KV (half the
+# bytes) actually pays here, unlike at B=1.
+
+def _sel_matrix(n_rows: int, b: int, bt: int):
+    """P_sel [B*bt, B] built from iotas in-kernel (no DMA)."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (n_rows, b), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (n_rows, b), 1)
+    return (i // bt == j).astype(jnp.float32)
+
+
+def _batched_attn_tile(s, valid, e_t, v_flat, vs, m_ref, l_ref, acc_ref,
+                       sel, selT, B, bt, quantized, cdt):
+    """Online-softmax update for all B sequences in one tile.
+
+    s [B*bt, H] raw scores (K scales folded); valid [B*bt, 1];
+    v_flat [B*bt, D] compute dtype; vs [B*bt, 1] f32 or None;
+    m/l [B, H] f32 scratch; acc [B, D] f32 scratch."""
+    s = jnp.where(valid, s, _NEG)
+    m_prev = m_ref[...]                                # [B, H]
+    # segmented max over each b's bt rows: static B loop over 2-D slices,
+    # stacked by concatenate (a functional .at[].set lowers to an
+    # unsupported in-kernel scatter)
+    m_cur = jnp.concatenate(
+        [jnp.max(s[b * bt: (b + 1) * bt, :], axis=0, keepdims=True)
+         for b in range(B)], axis=0)                   # [B, H]
+    m_next = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_next)                   # [B, H]
+    m_exp = jax.lax.dot(sel, m_next,
+                        preferred_element_type=jnp.float32)  # [B*bt, H]
+    p = jnp.exp(s - m_exp)                             # [B*bt, H]
+    l_ref[...] = l_ref[...] * alpha + jax.lax.dot(
+        selT, p, preferred_element_type=jnp.float32)   # [B, H]
+    m_ref[...] = m_next
+    if quantized:
+        p = p * vs
+    p_d = jax.lax.dot(p.astype(cdt), e_t.astype(cdt),
+                      preferred_element_type=jnp.float32).astype(cdt)
+    pv = p_d * v_flat                                  # [B*bt, D]
+    contrib = jax.lax.dot(selT.astype(cdt), pv,
+                          preferred_element_type=jnp.float32)  # [B, D]
+    alpha_d = jax.lax.dot(alpha, e_t, preferred_element_type=jnp.float32)
+    acc_ref[...] = acc_ref[...] * alpha_d + contrib
+
+
+def _ln_rows(x32, w_ref, b_ref):
+    """f32 LayerNorm over lanes, any number of rows [B, D]."""
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    normed = (x32 - mean) * jax.lax.rsqrt(var + _LN_EPS)
+    return normed * w_ref[0].astype(jnp.float32) + b_ref[0].astype(jnp.float32)
+
+
+def _self_kernel_b(lengths_ref, layer_ref, x_ref, lnw_ref, lnb_ref,
+                   wqkv_ref, sqkv_ref, bqkv_ref, kq_ref, ks_ref, vq_ref,
+                   vs_ref, wo_ref, wos_ref, wob_ref, e_ref, et_ref, len_ref,
+                   xo_ref, k8_ref, ksc_ref, v8_ref, vsc_ref,
+                   x32_s, q_s, kc_s, vc_s, m_ref, l_ref, acc_ref,
+                   *, d: int, bt: int, B: int, scale: float,
+                   quantized: bool):
+    t = pl.program_id(0)
+    e = e_ref[...]
+    et = et_ref[...]
+    cdt = x_ref.dtype
+    n_rows = B * bt
+    sel = _sel_matrix(n_rows, B, bt)
+    selT = jnp.transpose(sel)
+
+    @pl.when(t == 0)
+    def _head():
+        x32 = x_ref[...].astype(jnp.float32)           # [B, D]
+        x32_s[...] = x32
+        h = _ln_rows(x32, lnw_ref, lnb_ref).astype(cdt)
+        w = wqkv_ref[0].astype(cdt)
+        qkv = jax.lax.dot(h, w, preferred_element_type=jnp.float32)
+        qkv = qkv * sqkv_ref[0].astype(jnp.float32) \
+            + bqkv_ref[0].astype(jnp.float32)          # [B, 3D] f32
+        q = qkv[:, :d]
+        k = qkv[:, d:2 * d]
+        v = qkv[:, 2 * d:]
+        q_s[...] = q * scale
+        if quantized:
+            amax_k = jnp.max(jnp.abs(k), axis=-1, keepdims=True)
+            ks = jnp.maximum(amax_k, 1e-12) / 127.0    # [B, 1]
+            k8 = jnp.clip(jnp.round(k / ks), -127, 127).astype(jnp.int8)
+            amax_v = jnp.max(jnp.abs(v), axis=-1, keepdims=True)
+            vsc = jnp.maximum(amax_v, 1e-12) / 127.0
+            v8 = jnp.clip(jnp.round(v / vsc), -127, 127).astype(jnp.int8)
+            k8_ref[...] = k8
+            v8_ref[...] = v8
+            ksc_ref[...] = jnp.broadcast_to(ks, ksc_ref.shape)
+            vsc_ref[...] = jnp.broadcast_to(vsc, vsc_ref.shape)
+            kc_s[...] = k8.astype(jnp.float32) * ks
+            vc_s[...] = v8.astype(jnp.float32) * vsc
+        else:
+            k8_ref[...] = k.astype(k8_ref.dtype)
+            v8_ref[...] = v.astype(v8_ref.dtype)
+            ksc_ref[...] = jnp.ones(ksc_ref.shape, jnp.float32)
+            vsc_ref[...] = jnp.ones(vsc_ref.shape, jnp.float32)
+            kc_s[...] = k.astype(k8_ref.dtype).astype(jnp.float32)
+            vc_s[...] = v.astype(v8_ref.dtype).astype(jnp.float32)
+        m_ref[...] = jnp.full(m_ref.shape, -jnp.inf, jnp.float32)
+        l_ref[...] = jnp.zeros(l_ref.shape, jnp.float32)
+        acc_ref[...] = jnp.zeros(acc_ref.shape, jnp.float32)
+
+    k_flat = kq_ref[0].reshape(n_rows, d).astype(cdt)  # [B*bt, D]
+    v_flat = vq_ref[0].reshape(n_rows, d).astype(cdt)
+    q_exp = jax.lax.dot(sel.astype(cdt), q_s[...].astype(cdt),
+                        preferred_element_type=jnp.float32).astype(cdt)
+    qk = k_flat * q_exp
+    s = jax.lax.dot(qk, e.astype(cdt), preferred_element_type=jnp.float32)
+    vs = None
+    if quantized:
+        s = s * ks_ref[0].reshape(n_rows, 1).astype(jnp.float32)
+        vs = vs_ref[0].reshape(n_rows, 1).astype(jnp.float32)
+    # per-b validity: row i covers cache position t*bt + i % bt of seq i//bt
+    pos_in = t * bt + jax.lax.broadcasted_iota(jnp.int32, (n_rows, 1), 0) % bt
+    len_exp = jax.lax.dot(sel, len_ref[...].astype(jnp.float32),
+                          preferred_element_type=jnp.float32)  # [B*bt, 1]
+    valid = pos_in.astype(jnp.float32) < len_exp
+    _batched_attn_tile(s, valid, et, v_flat, vs, m_ref, l_ref, acc_ref,
+                       sel, selT, B, bt, quantized, cdt)
+
+    @pl.when(t == pl.num_programs(0) - 1)
+    def _tail():
+        # current token's k/v per sequence — all [B, *] 2-D ops
+        s_c = jax.lax.dot((kc_s[...] * q_s[...]).astype(jnp.float32), e,
+                          preferred_element_type=jnp.float32)  # [B, H]
+        m_prev = m_ref[...]
+        m_next = jnp.maximum(m_prev, s_c)
+        alpha = jnp.exp(m_prev - m_next)
+        p_c = jnp.exp(s_c - m_next)
+        l_f = l_ref[...] * alpha + p_c
+        alpha_d = jax.lax.dot(alpha, et, preferred_element_type=jnp.float32)
+        p_d = jax.lax.dot(p_c, et, preferred_element_type=jnp.float32)
+        acc = acc_ref[...] * alpha_d + p_d * vc_s[...]
+        l_d = jax.lax.dot(jnp.maximum(l_f, 1e-30), et,
+                          preferred_element_type=jnp.float32)
+        out = (acc / l_d).astype(cdt)                  # [B, D]
+        wo = wo_ref[0].astype(cdt)
+        y = jax.lax.dot(out, wo, preferred_element_type=jnp.float32)
+        y = y * wos_ref[0].astype(jnp.float32) + wob_ref[0].astype(jnp.float32)
+        xo_ref[...] = (y + x32_s[...]).astype(xo_ref.dtype)
+
+
+def self_block_batched(x, blk, kq, ks, vq, vs, pos, layer, n_heads,
+                       block_t: int = 128, interpret: bool = False):
+    """Batched self-attention sub-block: all B sequences per grid tile.
+
+    Same contract as ``self_block`` (x [B, D]; pos [B] per-sequence valid
+    lengths EXCLUDING the current token; returns (x_out, k_row, k_scale,
+    v_row, v_scale)) but the grid is (T // block_t,) — use for B > 1.
+    """
+    B, D = x.shape
+    L, B2, T, D2 = kq.shape
+    assert (B, D) == (B2, D2)
+    assert T % block_t == 0
+    quantized = ks is not None
+    hd = D // n_heads
+    scale = float(hd) ** -0.5
+    layer = jnp.asarray(layer, jnp.int32).reshape((1,))
+    lengths = jnp.broadcast_to(jnp.asarray(pos, jnp.int32), (B,))
+    grid = (T // block_t,)
+
+    e_mat = jnp.asarray(head_expand_matrix(n_heads, hd))
+    et_mat = jnp.transpose(e_mat)
+    row_dtype = jnp.int8 if quantized else x.dtype
+    kernel = functools.partial(_self_kernel_b, d=D, bt=block_t, B=B,
+                               scale=scale, quantized=quantized)
+
+    const3 = lambda: (lambda t, lens, lyr: (lyr[0], 0, 0))
+    cache_spec = pl.BlockSpec((1, B, block_t, D),
+                              lambda t, lens, lyr: (lyr[0], 0, t, 0))
+    if quantized:
+        ks_in, vs_in = ks, vs
+        sspec = pl.BlockSpec((1, B, block_t, 1),
+                             lambda t, lens, lyr: (lyr[0], 0, t, 0))
+    else:
+        ks_in = jnp.zeros((L, B, block_t, 1), jnp.float32)
+        vs_in = ks_in
+        sspec = pl.BlockSpec((1, B, block_t, 1),
+                             lambda t, lens, lyr: (lyr[0], 0, 0, 0))
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((B, D), x.dtype),
+        jax.ShapeDtypeStruct((B, D), row_dtype),
+        jax.ShapeDtypeStruct((B, _LANES), jnp.float32),
+        jax.ShapeDtypeStruct((B, D), row_dtype),
+        jax.ShapeDtypeStruct((B, _LANES), jnp.float32),
+    )
+    full2 = lambda shp: pl.BlockSpec(shp, lambda t, lens, lyr: (0, 0))
+
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=out_shapes,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                full2((B, D)),                           # x
+                pl.BlockSpec((1, 1, D), const3()),       # ln_w
+                pl.BlockSpec((1, 1, D), const3()),       # ln_b
+                pl.BlockSpec((1, D, 3 * D), const3()),   # wqkv
+                pl.BlockSpec((1, 1, 3 * D), const3()),   # sqkv
+                pl.BlockSpec((1, 1, 3 * D), const3()),   # bqkv
+                cache_spec, sspec, cache_spec, sspec,
+                pl.BlockSpec((1, D, D), const3()),       # wo
+                pl.BlockSpec((1, 1, D), const3()),       # wos
+                pl.BlockSpec((1, 1, D), const3()),       # wob
+                pl.BlockSpec((D, n_heads), lambda t, lens, lyr: (0, 0)),
+                pl.BlockSpec((n_heads, D), lambda t, lens, lyr: (0, 0)),
+                full2((B, 1)),                           # lengths (VMEM)
+            ],
+            out_specs=(
+                full2((B, D)), full2((B, D)), full2((B, _LANES)),
+                full2((B, D)), full2((B, _LANES)),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((B, D), jnp.float32),     # x32
+                pltpu.VMEM((B, D), jnp.float32),     # q
+                pltpu.VMEM((B, D), jnp.float32),     # k current
+                pltpu.VMEM((B, D), jnp.float32),     # v current
+                pltpu.VMEM((B, n_heads), jnp.float32),
+                pltpu.VMEM((B, n_heads), jnp.float32),
+                pltpu.VMEM((B, D), jnp.float32),
+            ],
+        ),
+        interpret=interpret,
+    )(lengths, layer, x, blk["ln1_w"], blk["ln1_b"], blk["wqkv"],
+      blk["sqkv"], blk["bqkv"], kq, ks_in, vq, vs_in, blk["self_wo"],
+      blk["self_wos"], blk["self_wob"], e_mat, et_mat,
+      lengths[:, None].astype(jnp.int32))
+    x_out, k8, ksc, v8, vsc = outs
+    return x_out, k8, ksc[:, 0], v8, vsc[:, 0]
+
+
+def _cross_kernel_b(lengths_ref, layer_ref, x_ref, lnw_ref, lnb_ref,
+                    wq_ref, sq_ref, bq_ref, kq_ref, ks_ref, vq_ref, vs_ref,
+                    wo_ref, wos_ref, wob_ref, e_ref, et_ref,
+                    xo_ref, x32_s, q_s, m_ref, l_ref, acc_ref,
+                    *, d: int, bt: int, B: int, enc_len: int, scale: float,
+                    quantized: bool):
+    t = pl.program_id(0)
+    e = e_ref[...]
+    et = et_ref[...]
+    cdt = x_ref.dtype
+    n_rows = B * bt
+    sel = _sel_matrix(n_rows, B, bt)
+    selT = jnp.transpose(sel)
+
+    @pl.when(t == 0)
+    def _head():
+        x32 = x_ref[...].astype(jnp.float32)
+        x32_s[...] = x32
+        h = _ln_rows(x32, lnw_ref, lnb_ref).astype(cdt)
+        w = wq_ref[0].astype(cdt)
+        q = jax.lax.dot(h, w, preferred_element_type=jnp.float32)
+        q = q * sq_ref[0].astype(jnp.float32) + bq_ref[0].astype(jnp.float32)
+        q_s[...] = q * scale
+        m_ref[...] = jnp.full(m_ref.shape, -jnp.inf, jnp.float32)
+        l_ref[...] = jnp.zeros(l_ref.shape, jnp.float32)
+        acc_ref[...] = jnp.zeros(acc_ref.shape, jnp.float32)
+
+    k_flat = kq_ref[0].reshape(n_rows, d).astype(cdt)
+    v_flat = vq_ref[0].reshape(n_rows, d).astype(cdt)
+    q_exp = jax.lax.dot(sel.astype(cdt), q_s[...].astype(cdt),
+                        preferred_element_type=jnp.float32).astype(cdt)
+    qk = k_flat * q_exp
+    s = jax.lax.dot(qk, e.astype(cdt), preferred_element_type=jnp.float32)
+    vs = None
+    if quantized:
+        s = s * ks_ref[0].reshape(n_rows, 1).astype(jnp.float32)
+        vs = vs_ref[0].reshape(n_rows, 1).astype(jnp.float32)
+    # every sequence shares the encoder length (same utter padding)
+    pos_in = t * bt + jax.lax.broadcasted_iota(jnp.int32, (n_rows, 1), 0) % bt
+    valid = pos_in < enc_len
+    _batched_attn_tile(s, valid, et, v_flat, vs, m_ref, l_ref, acc_ref,
+                       sel, selT, B, bt, quantized, cdt)
+
+    @pl.when(t == pl.num_programs(0) - 1)
+    def _tail():
+        l_d = jax.lax.dot(jnp.maximum(l_ref[...], 1e-30), et,
+                          preferred_element_type=jnp.float32)
+        out = (acc_ref[...] / l_d).astype(cdt)
+        wo = wo_ref[0].astype(cdt)
+        y = jax.lax.dot(out, wo, preferred_element_type=jnp.float32)
+        y = y * wos_ref[0].astype(jnp.float32) + wob_ref[0].astype(jnp.float32)
+        xo_ref[...] = (y + x32_s[...]).astype(xo_ref.dtype)
+
+
+def cross_block_batched(x, blk, kq, ks, vq, vs, enc_len, layer, n_heads,
+                        block_t: int = 128, interpret: bool = False):
+    """Batched cross-attention sub-block (grid over T tiles, B per tile)."""
+    B, D = x.shape
+    L, B2, T, D2 = kq.shape
+    assert (B, D) == (B2, D2)
+    assert T % block_t == 0
+    quantized = ks is not None
+    hd = D // n_heads
+    scale = float(hd) ** -0.5
+    layer = jnp.asarray(layer, jnp.int32).reshape((1,))
+    lengths = jnp.zeros((B,), jnp.int32)  # unused (enc_len is static)
+    grid = (T // block_t,)
+
+    e_mat = jnp.asarray(head_expand_matrix(n_heads, hd))
+    et_mat = jnp.transpose(e_mat)
+    kernel = functools.partial(_cross_kernel_b, d=D, bt=block_t, B=B,
+                               enc_len=int(enc_len), scale=scale,
+                               quantized=quantized)
+
+    const3 = lambda: (lambda t, lens, lyr: (lyr[0], 0, 0))
+    cache_spec = pl.BlockSpec((1, B, block_t, D),
+                              lambda t, lens, lyr: (lyr[0], 0, t, 0))
+    if quantized:
+        ks_in, vs_in = ks, vs
+        sspec = pl.BlockSpec((1, B, block_t, 1),
+                             lambda t, lens, lyr: (lyr[0], 0, t, 0))
+    else:
+        ks_in = jnp.zeros((L, B, block_t, 1), jnp.float32)
+        vs_in = ks_in
+        sspec = pl.BlockSpec((1, B, block_t, 1),
+                             lambda t, lens, lyr: (lyr[0], 0, 0, 0))
+    full2 = lambda shp: pl.BlockSpec(shp, lambda t, lens, lyr: (0, 0))
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, D), x.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                full2((B, D)),
+                pl.BlockSpec((1, 1, D), const3()),
+                pl.BlockSpec((1, 1, D), const3()),
+                pl.BlockSpec((1, D, D), const3()),
+                pl.BlockSpec((1, 1, D), const3()),
+                pl.BlockSpec((1, 1, D), const3()),
+                cache_spec, sspec, cache_spec, sspec,
+                pl.BlockSpec((1, D, D), const3()),
+                pl.BlockSpec((1, 1, D), const3()),
+                pl.BlockSpec((1, 1, D), const3()),
+                pl.BlockSpec((D, n_heads), lambda t, lens, lyr: (0, 0)),
+                pl.BlockSpec((n_heads, D), lambda t, lens, lyr: (0, 0)),
+            ],
+            out_specs=full2((B, D)),
+            scratch_shapes=[
+                pltpu.VMEM((B, D), jnp.float32),
+                pltpu.VMEM((B, D), jnp.float32),
+                pltpu.VMEM((B, n_heads), jnp.float32),
+                pltpu.VMEM((B, n_heads), jnp.float32),
+                pltpu.VMEM((B, D), jnp.float32),
+            ],
+        ),
+        interpret=interpret,
+    )(lengths, layer, x, blk["ln2_w"], blk["ln2_b"], blk["wcq"],
+      blk["scq"], blk["bcq"], kq, ks_in, vq, vs_in, blk["cross_wo"],
+      blk["cross_wos"], blk["cross_wob"], e_mat, et_mat)
+    return out
+
+
+def _ffn_kernel_b(layer_ref, x_ref, lnw_ref, lnb_ref, w1_ref, s1_ref,
+                  b1_ref, w2_ref, f2s_ref, f2b_ref, xo_ref,
+                  x32_s, h_s, acc_ref):
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _head():
+        x32 = x_ref[...].astype(jnp.float32)
+        x32_s[...] = x32
+        h_s[...] = _ln_rows(x32, lnw_ref, lnb_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    h = h_s[...].astype(x_ref.dtype)
+    w1 = w1_ref[0].astype(x_ref.dtype)
+    t1 = jax.lax.dot(h, w1, preferred_element_type=jnp.float32)
+    t1 = t1 * s1_ref[0].astype(jnp.float32) + b1_ref[0].astype(jnp.float32)
+    g = _gelu_exact(t1).astype(x_ref.dtype)
+    w2 = w2_ref[0].astype(x_ref.dtype)
+    acc_ref[...] += jax.lax.dot(g, w2, preferred_element_type=jnp.float32)
+
+    @pl.when(j == pl.num_programs(0) - 1)
+    def _tail():
+        y = (acc_ref[...] * f2s_ref[0].astype(jnp.float32)
+             + f2b_ref[0].astype(jnp.float32) + x32_s[...])
+        xo_ref[...] = y.astype(xo_ref.dtype)
+
+
+def ffn_block_batched(x, blk, layer, block_h: int = 512,
+                      interpret: bool = False):
+    """Batched FFN sub-block: [B, D] rows through every H tile together."""
+    B, D = x.shape
+    L, D2, H = blk["w1"].shape
+    assert D == D2 and H % block_h == 0
+    layer = jnp.asarray(layer, jnp.int32).reshape((1,))
+    grid = (H // block_h,)
+
+    const3 = lambda: (lambda j, lyr: (lyr[0], 0, 0))
+    full2 = lambda shp: pl.BlockSpec(shp, lambda j, lyr: (0, 0))
+    out = pl.pallas_call(
+        _ffn_kernel_b,
+        out_shape=jax.ShapeDtypeStruct((B, D), x.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                full2((B, D)),
+                pl.BlockSpec((1, 1, D), const3()),
+                pl.BlockSpec((1, 1, D), const3()),
+                pl.BlockSpec((1, D, block_h), lambda j, lyr: (lyr[0], 0, j)),
+                pl.BlockSpec((1, 1, block_h), lambda j, lyr: (lyr[0], 0, j)),
+                pl.BlockSpec((1, 1, block_h), lambda j, lyr: (lyr[0], 0, j)),
+                pl.BlockSpec((1, block_h, D), lambda j, lyr: (lyr[0], j, 0)),
+                pl.BlockSpec((1, 1, D), const3()),
+                pl.BlockSpec((1, 1, D), const3()),
+            ],
+            out_specs=full2((B, D)),
+            scratch_shapes=[
+                pltpu.VMEM((B, D), jnp.float32),
+                pltpu.VMEM((B, D), jnp.float32),
+                pltpu.VMEM((B, D), jnp.float32),
+            ],
+        ),
+        interpret=interpret,
+    )(layer, x, blk["ln3_w"], blk["ln3_b"], blk["w1"], blk["s1"],
+      blk["b1"], blk["w2"], blk["fc2_s"], blk["fc2_b"])
+    return out

@@ -97,14 +97,12 @@ class BatchScheduler:
                 cross_k=jnp.zeros((L, B, S, D), dtype=dt),
                 cross_v=jnp.zeros((L, B, S, D), dtype=dt))
         else:
-            # serving slots default to the batched SCAN step: with B slots
-            # amortizing weight reads, it beats the megakernel step
-            # (B=8 large-v3: 0.94 vs 1.28 ms/slot-token). An EXPLICIT
-            # kv_mode ("bf16"/"int8") still selects fused slots — int8
-            # halves the per-slot cache HBM (capacity over latency).
-            explicit = engine.compute.kv_mode in ("bf16", "int8")
-            self._qf = (engine.compute.kv_mode
-                        if explicit and engine._qdecode is not None else None)
+            # serving slots ride the BATCHED megakernel step (round-2c:
+            # all B sequences per kernel tile — B=8 large-v3 0.66 vs the
+            # scan step's 0.95 ms/slot-token). kv_mode "int8" halves the
+            # per-slot cache HBM (0.85 ms/slot-token — capacity option);
+            # "scan" opts out entirely.
+            self._qf = engine._qf_mode
             if self._qf:
                 # fused megakernel slots (model/qdecode.decode_step_qf):
                 # T padded to the kernel blocks; int8 mode halves slot HBM

@@ -61,6 +61,12 @@ def main():
         _print_table(data)
         return
 
+    show_missing = None
+    if "--missing" in sys.argv:
+        i = sys.argv.index("--missing")
+        show_missing = sys.argv[i + 1]
+        del sys.argv[i: i + 2]
+
     mon = sys.monitoring
     mon.use_tool_id(TOOL_ID, "apr-coverage")
     mon.set_events(TOOL_ID, mon.events.LINE)
@@ -92,7 +98,28 @@ def main():
     with open(os.path.join(ROOT, "COVERAGE.json"), "w") as f:
         json.dump(data, f, indent=1, sort_keys=True)
     _print_table(data)
+    if show_missing:
+        path = os.path.join(ROOT, show_missing)
+        exe = _executable_lines(path)
+        missing = sorted(exe - executed.get(path, set()))
+        print(f"\nmissing lines in {show_missing}:")
+        print(_ranges(missing))
     sys.exit(rc)
+
+
+def _ranges(lines):
+    out, start, prev = [], None, None
+    for n in lines:
+        if start is None:
+            start = prev = n
+        elif n == prev + 1:
+            prev = n
+        else:
+            out.append(f"{start}-{prev}" if prev > start else str(start))
+            start = prev = n
+    if start is not None:
+        out.append(f"{start}-{prev}" if prev > start else str(start))
+    return ", ".join(out)
 
 
 def _print_table(data):

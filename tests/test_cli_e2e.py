@@ -112,3 +112,34 @@ class TestCliSubcommands:
         assert rc == 0
         rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert rep["tokens_per_second"] > 0
+
+    def test_record_stdin(self, workdir, monkeypatch):
+        """`record` consumes raw PCM from stdin (the reference stubs this,
+        commands.rs:770)."""
+        import io
+        import sys as _sys
+        audio = np.fromfile("/root/reference/test_data/ref_a_audio.bin",
+                            dtype=np.float32)
+
+        class FakeStdin:
+            buffer = io.BytesIO(audio.astype("<f4").tobytes())
+
+            @staticmethod
+            def isatty():
+                return False
+
+        monkeypatch.setattr(_sys, "stdin", FakeStdin())
+        rc = run(["record", "-m", workdir["model"],
+                  "--sample-format", "f32le", "--chunk-seconds", "0.5",
+                  "-l", "en", "--seconds", "1.5"])
+        assert rc == 0
+
+    def test_command_matching(self, workdir, capsys):
+        cmds = str(workdir["dir"] / "cmds.txt")
+        open(cmds, "w").write("turn on the lights\nstop\n")
+        rc = run(["command", workdir["clip"], cmds, "-m", workdir["model"],
+                  "--max-tokens", "6", "-l", "en", "--threshold", "10"])
+        # threshold 10 always matches (gibberish decode still picks best)
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "heard:" in out and "command:" in out

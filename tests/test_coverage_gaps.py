@@ -151,3 +151,68 @@ class TestRecordChunking:
         total = np.concatenate(chunks)
         assert len(total) == 8000  # stops at max_seconds
         np.testing.assert_allclose(total, 0.5, atol=1e-4)
+
+
+class TestWavVariants:
+    """PCM 8/24/32-bit + float32 + stereo parse paths
+    (reference: src/audio/wav.rs:99 parse, format table)."""
+
+    def _wav(self, fmt_tag, bits, channels, frames: bytes, rate=16000):
+        import struct
+        block = channels * (bits // 8)
+        fmt = struct.pack("<HHIIHH", fmt_tag, channels, rate,
+                          rate * block, block, bits)
+        data = frames
+        riff = (b"WAVE"
+                + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data)
+        return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+    def test_pcm8(self):
+        from whisper_apr_tpu.audio.wav import parse_wav
+        frames = bytes([128, 255, 0, 128])  # 0, +1, -1, 0 (unsigned 8-bit)
+        s, rate = parse_wav(self._wav(1, 8, 1, frames))
+        assert rate == 16000
+        np.testing.assert_allclose(s, [0.0, 127 / 128, -1.0, 0.0], atol=1e-2)
+
+    def test_pcm24(self):
+        from whisper_apr_tpu.audio.wav import parse_wav
+        def i24(v):
+            return int(v).to_bytes(3, "little", signed=True)
+        frames = i24(0) + i24(2**23 - 1) + i24(-(2**23))
+        s, _ = parse_wav(self._wav(1, 24, 1, frames))
+        np.testing.assert_allclose(s, [0.0, 1.0, -1.0], atol=1e-6)
+
+    def test_pcm32_and_stereo_downmix(self):
+        import struct
+        from whisper_apr_tpu.audio.wav import parse_wav
+        # stereo 32-bit: L=+max R=-max -> downmix 0
+        frames = struct.pack("<ii", 2**31 - 1, -(2**31))
+        s, _ = parse_wav(self._wav(1, 32, 2, frames))
+        assert len(s) == 1
+        assert abs(float(s[0])) < 1e-6
+
+    def test_float32(self):
+        import struct
+        from whisper_apr_tpu.audio.wav import parse_wav
+        frames = struct.pack("<3f", 0.5, -0.25, 1.0)
+        s, _ = parse_wav(self._wav(3, 32, 1, frames))
+        np.testing.assert_allclose(s, [0.5, -0.25, 1.0], rtol=1e-6)
+
+    def test_bad_magic_raises(self):
+        from whisper_apr_tpu.audio.wav import parse_wav
+        from whisper_apr_tpu.errors import AudioError
+        with pytest.raises(AudioError):
+            parse_wav(b"JUNK" + b"\x00" * 64)
+
+
+class TestCrc32Incremental:
+    def test_streaming_matches_oneshot(self):
+        import zlib
+        from whisper_apr_tpu.format.checksum import Crc32, crc32
+        c = Crc32()
+        parts = [b"hello ", b"", b"world", b"!" * 100]
+        for p in parts:
+            c.update(p)
+        whole = b"".join(parts)
+        assert c.finalize() == crc32(whole) == zlib.crc32(whole) & 0xFFFFFFFF

@@ -81,7 +81,13 @@ class KernelSelector:
         """Self/cross attention: flash (Pallas) when the score matrix is
         large enough that skipping its HBM round-trip pays for the kernel.
         Mirrors the reference's FLASH_ATTENTION_THRESHOLD dispatch
-        (attention.rs:226,764) with a bytes-based rule."""
+        (attention.rs:226,764) with a bytes-based rule.
+
+        Measured (v5e, large-v3 encoder, 1500 ctx): XLA 18.9 ms vs the
+        flash kernel's 67.8 ms — at Whisper's sequence lengths the score
+        matrix fits comfortably and XLA's fused attention wins, so the
+        threshold keeps every Whisper shape on XLA; PALLAS remains the
+        explicit (--flash-attn) and long-context option."""
         if backend != KernelBackend.AUTO:
             return backend
         if self.caps.platform == "cpu":

@@ -70,11 +70,16 @@ def main():
         logits, c = decode_step_qf(prm, q_d, tok, pos, c, cfg)
         return (jnp.argmax(logits, -1).astype(jnp.int32), pos + 1, c)
 
+    import whisper_apr_tpu.model.qdecode as qdec
+    bts = [int(x) for x in os.environ.get("BT_SWEEP", "").split(",") if x]
     for mode in ("bf16", "int8"):
         qc = quantize_cache(cache, kv_int8=(mode == "int8"))
-        s = p.per_step(body_fused, (params, qd), (tok0, pos0, qc))
-        print(f"fused({mode}) B={B}       : {s*1e3:8.4f} ms/step "
-              f"({s*1e3/B:6.4f} ms/slot-token)", flush=True)
+        for bt in (bts or [None]):
+            qdec.BATCHED_TILE_T = bt
+            s = p.per_step(body_fused, (params, qd), (tok0, pos0, qc))
+            print(f"fused({mode}) B={B} bt={bt}: {s*1e3:8.4f} ms/step "
+                  f"({s*1e3/B:6.4f} ms/slot-token)", flush=True)
+    qdec.BATCHED_TILE_T = None
 
 
 if __name__ == "__main__":

@@ -291,6 +291,8 @@ SELF_BLOCK_T = 256       # pad granularity for the self cache
 CROSS_BLOCK_T = 512      # pad granularity for the cross cache
 SELF_TILE_T = 128        # kernel block (divides SELF_BLOCK_T)
 CROSS_TILE_T = 256       # kernel block (divides CROSS_BLOCK_T)
+# batched-kernel tile override for tuning sweeps (None = 64*8/B heuristic)
+BATCHED_TILE_T = None
 
 
 def _pad_t(a: jnp.ndarray, block: int) -> jnp.ndarray:
@@ -369,7 +371,7 @@ def decode_step_qf(params: dict, qd: dict, token: jnp.ndarray,
         # under the ~16 MiB VMEM budget (measured: B=8 bt=128 overflows
         # for bf16 AND int8 — Mosaic's scoped accounting charges more
         # than raw tile bytes)
-        bt = max(8, 64 * 8 // max(B, 8))
+        bt = BATCHED_TILE_T or max(8, 64 * 8 // max(B, 8))
         self_bt = min(bt, qcache.self_kq.shape[2])
         cross_bt = min(bt, qcache.cross_kq.shape[2])
 

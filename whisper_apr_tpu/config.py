@@ -219,8 +219,9 @@ class ComputeConfig:
     # "auto" = per-block megakernel step with bf16 KV — fastest at every
     #          batch (large-v3: B=1 1.85 vs 2.35 ms/step scan; B=8 slots
     #          0.66 vs 0.95 ms/slot-token via the batched kernels);
-    #          bit-identical under f32 compute, same bf16 precision class
-    #          as the scan path otherwise,
+    #          token-exact vs the scan path with logits in the same bf16
+    #          precision class (~1e-5 relative — the kernels reorder dots
+    #          and use the A&S erf approximation),
     # "bf16" = same, explicitly,
     # "int8" = megakernel step with int8 per-row KV: HALF the KV-cache
     #          memory (serving capacity; B=8 0.85 ms/slot-token,
@@ -230,6 +231,14 @@ class ComputeConfig:
 
     # decode in larger position buckets to bound recompilation
     text_bucket: int = 448
+
+    _KV_MODES = ("auto", "bf16", "int8", "scan")
+
+    def __post_init__(self):
+        if self.kv_mode not in self._KV_MODES:
+            raise ValueError(
+                f"kv_mode must be one of {self._KV_MODES}, "
+                f"got {self.kv_mode!r}")
 
     def replace(self, **kw) -> "ComputeConfig":
         return dataclasses.replace(self, **kw)

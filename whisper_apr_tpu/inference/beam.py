@@ -123,7 +123,7 @@ def beam_generate(params: dict, enc_out: jnp.ndarray, prompt: jnp.ndarray,
             from ..model.qdecode import decode_step_qf
             logits, cache = decode_step_qf(
                 params, qd, _flatten_beams(tok), pos, cache, config,
-                compute_dtype)
+                compute_dtype, enc_len=enc_out.shape[1])
         else:
             from ..model.qdecode import decode_step_q
             logits, cache = decode_step_q(

@@ -85,7 +85,8 @@ def sample_generate(params: dict, enc_out: jnp.ndarray, prompt: jnp.ndarray,
     elif qf_mode:
         from ..model.qdecode import decode_step_qf
         step = functools.partial(decode_step_qf, params, qd, config=config,
-                                 compute_dtype=compute_dtype)
+                                 compute_dtype=compute_dtype,
+                                 enc_len=enc_out.shape[1])
     else:
         from ..model.qdecode import decode_step_q
         step = functools.partial(decode_step_q, params, qd, config=config,

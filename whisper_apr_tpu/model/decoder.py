@@ -323,7 +323,9 @@ def greedy_generate_body(params: dict, enc_out: jnp.ndarray, prompt: jnp.ndarray
     ``qdecode.prepare_qdecode``) switches the per-token step to the Pallas
     quantized-matvec fast path; prefill stays on XLA (GEMM-shaped).
     ``qf_mode`` (with qd) selects the fused-attention step: "bf16" fuses
-    attention+o-proj into one Pallas call per block (bit-identical logits);
+    attention+o-proj into one Pallas call per block (token-exact vs the
+    scan path, logits within ~1e-5 — the kernels reorder dots via the
+    head-expansion matmul and use the A&S erf approximation);
     "int8" additionally keeps the KV caches int8 with per-row scales
     (~half the KV bandwidth, ~1e-3-relative logit error).
     """
@@ -341,7 +343,8 @@ def greedy_generate_body(params: dict, enc_out: jnp.ndarray, prompt: jnp.ndarray
         from .qdecode import decode_step_qf
         step_fn = functools.partial(decode_step_qf, params, qd,
                                     config=config,
-                                    compute_dtype=compute_dtype)
+                                    compute_dtype=compute_dtype,
+                                    enc_len=enc_out.shape[1])
     else:
         from .qdecode import decode_step_q
         step_fn = functools.partial(decode_step_q, params, qd,

@@ -24,7 +24,7 @@ import numpy as np
 
 from ..config import ModelConfig
 from ..ops.basic import gelu, layer_norm, mha
-from ..ops.decode_attention import quantize_row, quantize_rows
+from ..ops.decode_attention import quantize_rows
 from ..ops.qmatvec import ffn_fused, qmatvec_stacked
 from ..ops.quant import QTensor, is_quantized
 from .decoder import KVCache, embed
@@ -269,7 +269,8 @@ class QKVCache(NamedTuple):
     """Stacked decode caches for the fused path.
 
     ``*_q`` are [L, B, T, D] (int8 when quantized, else compute dtype);
-    ``*_s`` are per-row scales [L, B, 1, T] f32, or None in bf16 mode.
+    ``*_s`` are per-row scales [L, B, T, 1] f32 (column layout, as
+    ops/decode_attention.py documents), or None in bf16 mode.
     T is padded to a multiple of the kernel block (masked by lengths).
     """
 
@@ -323,7 +324,8 @@ def quantize_cache(cache: KVCache, kv_int8: bool = True) -> QKVCache:
 def decode_step_qf(params: dict, qd: dict, token: jnp.ndarray,
                    pos: jnp.ndarray, cache: QKVCache, config: ModelConfig,
                    compute_dtype: jnp.dtype = jnp.bfloat16,
-                   interpret: Optional[bool] = None
+                   interpret: Optional[bool] = None,
+                   enc_len: Optional[int] = None
                    ) -> Tuple[jnp.ndarray, QKVCache]:
     """Fused-attention decode step over a ``QKVCache``: THREE per-block
     megakernels per layer (ops/decode_blocks.py — self_block, cross_block,
@@ -332,6 +334,9 @@ def decode_step_qf(params: dict, qd: dict, token: jnp.ndarray,
     layer, the final LayerNorm, and the vocab projection.
 
     ``pos`` may be scalar (aligned batch) or [B] (continuous batching).
+    ``enc_len`` is the number of VALID encoder positions in the (padded)
+    cross cache — pass the pre-padding cross-cache length; defaults to
+    ``config.n_audio_ctx`` (exact for full 30 s windows).
     """
     from ..ops.decode_blocks import (cross_block, cross_block_batched,
                                      ffn_block, ffn_block_batched,
@@ -339,6 +344,8 @@ def decode_step_qf(params: dict, qd: dict, token: jnp.ndarray,
 
     if interpret is None:
         interpret = INTERPRET
+    if enc_len is None:
+        enc_len = config.n_audio_ctx
     B = token.shape[0]
     multi_pos = jnp.ndim(pos) == 1
     dec = params["decoder"]
@@ -409,7 +416,7 @@ def decode_step_qf(params: dict, qd: dict, token: jnp.ndarray,
             svs = scale_write(svs, vsc, l)
         x = _cross(
             x, blk, qcache.cross_kq, qcache.cross_ks, qcache.cross_vq,
-            qcache.cross_vs, config.n_audio_ctx, l, n_heads,
+            qcache.cross_vs, enc_len, l, n_heads,
             block_t=cross_bt, interpret=interpret)
         x = _ffn(x, blk, l, block_h=block_h, interpret=interpret)
         return (x, skq, sks, svq, svs)

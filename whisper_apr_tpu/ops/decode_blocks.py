@@ -54,19 +54,8 @@ def _ln(x32: jnp.ndarray, w_ref, b_ref) -> jnp.ndarray:
     return normed * w_ref[0].astype(jnp.float32) + b_ref[0].astype(jnp.float32)
 
 
-def _erf(x):
-    """A&S 7.1.26 rational erf (|err| < 1.5e-7); Mosaic has no erf."""
-    a1, a2, a3 = 0.254829592, -0.284496736, 1.421413741
-    a4, a5, p = -1.453152027, 1.061405429, 0.3275911
-    sign = jnp.sign(x)
-    ax = jnp.abs(x)
-    t = 1.0 / (1.0 + p * ax)
-    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
-    return sign * (1.0 - poly * jnp.exp(-ax * ax))
-
-
-def _gelu_exact(x):
-    return 0.5 * x * (1.0 + _erf(x * 0.7071067811865475))
+# A&S rational erf / exact GELU shared with the FFN matvec kernels
+from .qmatvec import _gelu_exact  # noqa: E402
 
 
 def _attn_tile(s, valid, e_t, v, vs, m_ref, l_ref, acc_ref, quantized):

@@ -1,12 +1,23 @@
-"""Full model lineup benchmark on the real TPU (the BENCH_NOTES table).
+"""Full model lineup benchmark on the real TPU — the flagship evidence.
 
 Per model: full fused pipeline (log-mel -> encoder -> greedy decode of a
-FORCED 224 tokens, EOT suppressed), one 30 s clip, B=1, int8 weights +
-the per-block megakernel decode (qf_mode bf16). Timing by value fetch.
+FORCED 224 tokens, EOT suppressed), one 30 s clip, int8 weights + the
+megakernel decode (kv_mode auto). Timing by value fetch (the tunnel's
+block_until_ready does not synchronize). Weights are random at real model
+dimensions — RTF is shape-dependent, not value-dependent.
 
-Usage: python -u tools/bench_lineup.py [model ...]
+Usage:
+    python -u tools/bench_lineup.py                      # default lineup
+    python -u tools/bench_lineup.py --emit json > LINEUP_r03.json
+    python -u tools/bench_lineup.py large-v3 --batch 8   # one model, B=8
+
+The JSON artifact captures the whole lineup incl. the north-star metric
+(large-v3 int8 B=1 RTF vs the 0.02 target) and the B=8 serving point, so
+the flagship numbers are reproducible from one committed command.
 """
 
+import argparse
+import json
 import os
 import sys
 import time
@@ -23,9 +34,11 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
 DECODE_TOKENS = 224
 AUDIO_SECONDS = 30.0
+NORTH_STAR_RTF = 0.02          # BASELINE.md: large-v3 int8 per-chip target
+REFERENCE_TINY_RTF = 0.31      # reference's best validated native number
 
 
-def bench_model(name: str) -> float:
+def bench_model(name: str, batch_size: int = 1) -> dict:
     from whisper_apr_tpu.config import ModelConfig
     from whisper_apr_tpu.audio.mel import MelFilterbank
     from whisper_apr_tpu.model.params import init_params, quantize_params
@@ -44,12 +57,13 @@ def bench_model(name: str) -> float:
     fb = MelFilterbank.create(cfg.n_mels)
     prompt_len = 4
     max_len = prompt_len + DECODE_TOKENS
-    prompt = jnp.asarray(
-        np.array([[50258, 50259, 50359, 50363]], dtype=np.int32))
+    prompt = jnp.asarray(np.broadcast_to(
+        np.array([[50258, 50259, 50359, 50363]], dtype=np.int32),
+        (batch_size, prompt_len)).copy())
     bias = np.zeros(cfg.n_vocab, dtype=np.float32)
     bias[50257] = np.finfo(np.float32).min
     bias = jnp.asarray(bias)
-    batch = jnp.asarray(pad_audio_batch([audio], 480_000))
+    batch = jnp.asarray(pad_audio_batch([audio] * batch_size, 480_000))
 
     def pipeline():
         tokens, *_ = fused_transcribe_step(
@@ -59,20 +73,74 @@ def bench_model(name: str) -> float:
             qf_mode="bf16")
         return np.asarray(tokens)
 
+    t0 = time.perf_counter()
     pipeline()
+    compile_s = time.perf_counter() - t0
     best = min(
         (lambda t0=time.perf_counter(): (pipeline(),
                                          time.perf_counter() - t0)[1])()
         for _ in range(3))
-    return best
+    rtf = best / AUDIO_SECONDS / batch_size
+    return {
+        "model": name,
+        "batch": batch_size,
+        "quant": "int8",
+        "decode_tokens": DECODE_TOKENS,
+        "total_ms": round(best * 1e3, 1),
+        "rtf_per_stream": round(rtf, 6),
+        "realtime_streams_per_chip": round(1.0 / rtf, 1),
+        "compile_s": round(compile_s, 1),
+    }
 
 
 def main():
-    models = sys.argv[1:] or ["tiny", "base", "small", "medium", "large-v3"]
-    for name in models:
-        t = bench_model(name)
-        rtf = t / AUDIO_SECONDS
-        print(f"{name:<10} {t*1e3:8.1f} ms   RTF {rtf:.5f}", flush=True)
+    ap = argparse.ArgumentParser()
+    ap.add_argument("models", nargs="*",
+                    default=["tiny", "base", "small", "medium",
+                             "large-v3", "large-v3-turbo"])
+    ap.add_argument("--emit", choices=["text", "json"], default="text")
+    ap.add_argument("--batch", type=int, default=None,
+                    help="force one batch size (default: 1, plus 8 for "
+                         "large-v3 in the full lineup)")
+    args = ap.parse_args()
+
+    runs = []
+    for name in args.models:
+        runs.append((name, args.batch or 1))
+    if args.batch is None and "large-v3" in args.models:
+        runs.append(("large-v3", 8))      # the serving point
+
+    rows = []
+    for name, b in runs:
+        r = bench_model(name, b)
+        rows.append(r)
+        print(f"# {name:<16} B={b}  {r['total_ms']:8.1f} ms   "
+              f"RTF/stream {r['rtf_per_stream']:.5f}", file=sys.stderr,
+              flush=True)
+
+    if args.emit == "json":
+        north = next((r for r in rows
+                      if r["model"] == "large-v3" and r["batch"] == 1), None)
+        out = {
+            "protocol": ("fused mel+encode+greedy, forced "
+                         f"{DECODE_TOKENS} tokens, {AUDIO_SECONDS:.0f}s "
+                         "clip, int8 weights, megakernel decode, value-"
+                         "fetch timing, best of 3"),
+            "device": jax.devices()[0].platform,
+            "north_star": {
+                "target_rtf": NORTH_STAR_RTF,
+                "measured_rtf": north["rtf_per_stream"] if north else None,
+                "met": (north["rtf_per_stream"] <= NORTH_STAR_RTF)
+                if north else None,
+            },
+            "reference_tiny_rtf": REFERENCE_TINY_RTF,
+            "models": rows,
+        }
+        print(json.dumps(out, indent=1))
+    else:
+        for r in rows:
+            print(f"{r['model']:<16} B={r['batch']}  {r['total_ms']:8.1f} ms"
+                  f"   RTF/stream {r['rtf_per_stream']:.5f}")
 
 
 if __name__ == "__main__":

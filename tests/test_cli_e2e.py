@@ -88,6 +88,24 @@ class TestCliSubcommands:
         assert rc == 0
         assert "int8" in capsys.readouterr().out
 
+    def test_quantize_q4k_and_transcribe(self, workdir, capsys):
+        out = str(workdir["dir"] / "tiny-q4k.apr")
+        rc = run(["quantize", "-m", workdir["model"], "-o", out,
+                  "--format", "q4k"])
+        assert rc == 0
+        # k-quants beat int8 on size (4.5 vs 8 bits for eligible tensors)
+        int8_path = str(workdir["dir"] / "tiny-int8-b.apr")
+        assert run(["quantize", "-m", workdir["model"],
+                    "-o", int8_path]) == 0
+        assert os.path.getsize(out) < os.path.getsize(int8_path)
+        capsys.readouterr()
+        rc = run(["model", "-m", out])
+        assert rc == 0
+        assert "q4k" in capsys.readouterr().out
+        rc = run(["transcribe", workdir["clip"], "-m", out, "-of", "json",
+                  "--max-tokens", "4", "-l", "en"])
+        assert rc == 0
+
     def test_parity(self, workdir, capsys):
         ref = str(workdir["dir"] / "ref.txt")
         open(ref, "w").write("hello world")

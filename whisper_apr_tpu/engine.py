@@ -165,9 +165,13 @@ class WhisperApr:
         config = reader.header.to_model_config()
         compute = compute or ComputeConfig()
         dtype = jnp.dtype(compute.param_dtype)
-        # int8 files stay int8 on device (file scales, no dequant round trip)
+        # quantized files stay quantized on device (file scales, no
+        # dequant round trip): int8 with the per-tensor scale table, q4k
+        # bit-exact from the super-blocks (ops/q4k.planar_from_raw)
         file_int8 = reader.header.quantization == 2
-        keep = file_int8 and compute.quantization in ("none", "int8")
+        file_q4k = reader.header.quantization == 4
+        keep = (file_int8 and compute.quantization in ("none", "int8")) or \
+               (file_q4k and compute.quantization in ("none", "q4k"))
         params = load_params_from_apr(reader, dtype=dtype, keep_quantized=keep)
         if compute.quantization != "none" and not keep:
             from .model.params import quantize_params

@@ -46,13 +46,16 @@ FORMAT_VERSION = 1
 HEADER_SIZE = 48
 TENSOR_INDEX_ENTRY_SIZE = 96
 
-# Quantization codes (reference: src/format/mod.rs:75-100)
+# Quantization codes (reference: src/format/mod.rs:75-100; Q4_K carried
+# via realizar k-quants in the reference, quantized.rs:88-380)
 QUANT_F32 = 0
 QUANT_F16 = 1
 QUANT_INT8 = 2
 QUANT_INT4 = 3
+QUANT_Q4K = 4
 
-_QUANT_NAMES = {QUANT_F32: "f32", QUANT_F16: "f16", QUANT_INT8: "int8", QUANT_INT4: "int4"}
+_QUANT_NAMES = {QUANT_F32: "f32", QUANT_F16: "f16", QUANT_INT8: "int8",
+                QUANT_INT4: "int4", QUANT_Q4K: "q4k"}
 
 
 @dataclasses.dataclass
@@ -354,6 +357,24 @@ class AprReader:
             if end > len(blob):
                 raise FormatError("tensor data out of bounds")
             arr = np.frombuffer(blob, dtype=np.int8, count=count, offset=start)
+        elif (self.header.quantization == QUANT_Q4K
+              and desc.size != count * 4):
+            # q4k files store matmul weights as raw super-blocks (144 B /
+            # 256 values, flat stream padded to a 256 multiple) and
+            # everything else as f32; the two are distinguished by the
+            # descriptor's byte size
+            from ..ops.q4k import BLOCK_BYTES, QK_K
+            n_sb = (count + QK_K - 1) // QK_K
+            if desc.size != n_sb * BLOCK_BYTES:
+                raise FormatError(
+                    f"tensor {desc.name}: size {desc.size} matches neither "
+                    f"f32 nor Q4_K for {count} elements")
+            end = start + desc.size
+            if end > len(blob):
+                raise FormatError("tensor data out of bounds")
+            arr = np.frombuffer(blob, dtype=np.uint8, count=desc.size,
+                                offset=start)
+            return arr.reshape(n_sb, BLOCK_BYTES)
         else:
             end = start + count * 4
             if end > len(blob):
@@ -363,14 +384,21 @@ class AprReader:
         return arr.reshape(dims) if dims else arr
 
     def load_tensor(self, name: str) -> np.ndarray:
-        """Load a tensor as f32, dequantizing int8 via the scale table.
+        """Load a tensor as f32, dequantizing int8 via the scale table and
+        Q4_K super-blocks via the k-quant codec.
 
         (reference: src/format/mod.rs:610-660 load_tensor /
-        read_int8_tensor_dequantized, dequant rule ``f32 = int8 * scale``)
+        read_int8_tensor_dequantized, dequant rule ``f32 = int8 * scale``;
+        Q4_K dequant quantized.rs:164)
         """
         raw = self.load_raw(name)
         if self.header.quantization == QUANT_INT8:
             return raw.astype(np.float32) * self.scale_for(name)
+        if self.header.quantization == QUANT_Q4K and raw.dtype == np.uint8:
+            from ..ops.q4k import dequantize_q4k_raw
+            desc = self.tensors[self._by_name[name]]
+            flat = dequantize_q4k_raw(raw[None])[0]
+            return flat[:desc.n_elements].reshape(desc.dims)
         return raw.astype(np.float32, copy=False)
 
     def total_tensor_data_size(self) -> int:
@@ -455,8 +483,9 @@ class AprWriter:
 
     def to_bytes(self) -> bytes:
         quant = self.header.quantization
-        if quant not in (QUANT_F32, QUANT_INT8):
-            raise FormatError(f"writer supports f32/int8 only, got {quant}")
+        if quant not in (QUANT_F32, QUANT_INT8, QUANT_Q4K):
+            raise FormatError(
+                f"writer supports f32/int8/q4k only, got {quant}")
         self.header.n_tensors = len(self._tensors)
 
         out = bytearray()
@@ -476,6 +505,20 @@ class AprWriter:
                 q = np.clip(np.round(arr / scale), -127, 127).astype(np.int8)
                 data = q.tobytes()
                 scales += struct.pack("<f", scale)
+            elif quant == QUANT_Q4K and arr.ndim == 2 and arr.size >= 4096:
+                # 2-D matmul weights carry raw Q4_K super-blocks over the
+                # row-major flat stream, zero-padded to a 256 multiple
+                # (matches realizar's element-count rule — the reference's
+                # QuantizedTensorQ4K::from_raw only constrains total size,
+                # quantized.rs:125-160). When the row length is already a
+                # 256 multiple this is identical to per-row quantization.
+                # Small/1-D tensors (LN, biases, conv) stay f32.
+                from ..ops.q4k import QK_K, quantize_q4k_raw
+                flat = np.ascontiguousarray(arr, np.float32).reshape(-1)
+                pad = (-flat.size) % QK_K
+                if pad:
+                    flat = np.pad(flat, (0, pad))
+                data = quantize_q4k_raw(flat[None]).tobytes()
             else:
                 data = arr.astype("<f4").tobytes()
             desc = TensorDescriptor(

@@ -124,9 +124,13 @@ def load_params_from_apr(reader: AprReader,
     format/mod.rs:632); LN/bias/conv/pos tensors still load as f32.
     """
     cfg = reader.header.to_model_config()
-    native_int8 = bool(keep_quantized) and getattr(
-        reader, "header", None) is not None and \
-        getattr(reader.header, "quantization", 0) == 2
+    file_quant = getattr(getattr(reader, "header", None),
+                         "quantization", 0)
+    native_int8 = bool(keep_quantized) and file_quant == 2
+    # q4k files: block linears load bit-exact from the super-blocks
+    # (ops/q4k.planar_from_raw); the token embedding (gathered, not
+    # matmul'd) re-quantizes to per-channel int8 at load
+    native_q4k = bool(keep_quantized) and file_quant == 4
 
     def q_linear(name: str, d_in: int, d_out: int):
         """int8 weight straight from the file: transpose + file scale."""
@@ -161,7 +165,8 @@ def load_params_from_apr(reader: AprReader,
 
     def stack_w(prefix_fn: Callable[[int], str], L: int,
                 d_in: int, d_out: int):
-        """Stacked [L, d_in, d_out] weight — QTensor on native-int8 loads."""
+        """Stacked [L, d_in, d_out] weight — QTensor on native-quantized
+        loads (int8 per-tensor scales, or bit-exact planar Q4_K)."""
         if native_int8:
             from ..ops.quant import QTensor
             pairs = [q_linear(f"{prefix_fn(i)}", d_in, d_out)
@@ -171,6 +176,17 @@ def load_params_from_apr(reader: AprReader,
                 np.array([p[1] for p in pairs],
                          np.float32).reshape(L, 1, 1))
             return QTensor(q, scale)
+        if native_q4k and d_in % 256 == 0:
+            from ..ops.q4k import planar_from_raw
+            from ..ops.quant import QTensor
+            qts = [planar_from_raw(
+                np.asarray(reader.load_raw(prefix_fn(i))), d_out, d_in)
+                for i in range(L)]
+            return QTensor(
+                jnp.stack([t.q for t in qts]),
+                jnp.stack([t.scale for t in qts]),
+                zero=jnp.stack([t.zero for t in qts]),
+                int4=True, group=qts[0].group, kpack=True)
         # prefix_fn yields the FULL tensor name (incl. ".weight")
         return j(np.stack([get(prefix_fn(i), d_out, d_in, transpose=True)
                            for i in range(L)]))
@@ -237,6 +253,12 @@ def load_params_from_apr(reader: AprReader,
                 jnp.asarray(np.asarray(reader.load_raw(te_name))
                             .reshape(cfg.n_vocab, d_t)),
                 jnp.asarray(np.float32(reader.scale_for(te_name))))
+        elif native_q4k:
+            from ..ops.quant import quantize_int8
+            token_emb = quantize_int8(
+                get_or("decoder.embed_tokens.weight",
+                       "decoder.token_embedding").reshape(cfg.n_vocab, d_t),
+                per_channel=True)
         else:
             token_emb = j(get_or("decoder.embed_tokens.weight",
                                  "decoder.token_embedding")
@@ -325,20 +347,31 @@ def quantize_params(params: Params, mode: str = "int8",
     mode: "int8" — all linear weights + token embedding int8;
           "int4" — block linear weights int4, token embedding int8
                    (the reference's mixed-precision scheme);
-          "q4"   — group-scale int4 (32-wide K blocks, the Q4_K-class
-                   format; reference: quantized.rs:355) for block linears,
-                   token embedding int8;
+          "q4"   — group-scale int4 (32-wide K blocks, symmetric) for
+                   block linears, token embedding int8;
+          "q4k"  — EXACT Q4_K super-block k-quants (asymmetric 6-bit
+                   sub-scales, ops/q4k.py; reference: quantized.rs:355)
+                   for block linears whose K axis is 256-aligned, q4
+                   fallback otherwise, token embedding int8;
           "none" — pass through.
     Conv stem, LayerNorms, biases, and positional embeddings stay f32 (they
     are tiny and precision-critical), mirroring ``MixedPrecisionConfig``.
     """
     if mode == "none":
         return params
-    if mode not in ("int8", "int4", "mixed", "q4"):
+    if mode not in ("int8", "int4", "mixed", "q4", "q4k"):
         raise ValueError(f"unknown quantization mode: {mode}")
     from ..ops.quant import quantize_int4, quantize_int8, quantize_q4_block
 
-    if mode == "q4":
+    if mode == "q4k":
+        from ..ops.q4k import QK_K, quantize_q4k
+
+        def block_q(w, per_channel=True, stacked=False):
+            w = np.asarray(w)
+            if w.shape[-2] % QK_K == 0:
+                return quantize_q4k(w, stacked=stacked)
+            return quantize_q4_block(w)
+    elif mode == "q4":
         def block_q(w, per_channel=True, stacked=False):
             return quantize_q4_block(w)
     elif mode in ("int4", "mixed"):

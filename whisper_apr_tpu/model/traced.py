@@ -27,8 +27,12 @@ def _layer_slice(tree, i):
     def f(x):
         if is_quantized(x):
             scale = x.scale
+            zero = x.zero
             return QTensor(x.q[i], scale[i] if scale.ndim == x.q.ndim else scale,
-                           x.int4, x.orig_last)
+                           x.int4, x.orig_last, x.group,
+                           zero=(zero[i] if zero is not None
+                                 and zero.ndim == x.q.ndim else zero),
+                           kpack=x.kpack)
         return x[i]
     return jax.tree_util.tree_map(
         f, tree, is_leaf=is_quantized)

@@ -36,7 +36,9 @@ class QTensor:
 
     def __init__(self, q, scale, int4: bool = False,
                  orig_last: Optional[int] = None,
-                 group: Optional[int] = None) -> None:
+                 group: Optional[int] = None,
+                 zero: Optional[Any] = None,
+                 kpack: bool = False) -> None:
         self.q = q
         self.scale = scale
         self.int4 = int4
@@ -46,13 +48,23 @@ class QTensor:
         # the TPU-native analog of the reference's Q4_K super-block scales
         # (quantized.rs:355, realizar K-quant format)
         self.group = group
+        # asymmetric (k-quant) zero point per group; exact Q4_K carries
+        # ``d*ls`` in scale and ``dmin*lm`` here (ops/q4k.py)
+        self.zero = zero
+        # kpack: nibble pairs packed along the K axis (even rows in low
+        # nibbles) instead of the last axis — the planar Q4_K layout
+        self.kpack = kpack
 
     def tree_flatten(self) -> Tuple[tuple, tuple]:
-        return (self.q, self.scale), (self.int4, self.orig_last, self.group)
+        return ((self.q, self.scale, self.zero),
+                (self.int4, self.orig_last, self.group, self.kpack))
 
     @classmethod
     def tree_unflatten(cls, aux, children) -> "QTensor":
-        return cls(children[0], children[1], *aux)
+        int4, orig_last, group, kpack = aux
+        return cls(children[0], children[1], int4=int4,
+                   orig_last=orig_last, group=group, zero=children[2],
+                   kpack=kpack)
 
     @property
     def shape(self):
@@ -199,6 +211,9 @@ def dequant(w, dtype: jnp.dtype = jnp.float32) -> jnp.ndarray:
     the consuming matmul — the dequant-matmul of quantized.rs:2501)."""
     if not is_quantized(w):
         return w.astype(dtype) if w.dtype != dtype else w
+    if w.zero is not None:
+        from .q4k import dequant_q4k
+        return dequant_q4k(w, dtype)
     q = w.q
     if w.int4:
         q = _unpack_int4(q, int(w.orig_last))

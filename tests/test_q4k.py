@@ -176,6 +176,58 @@ class TestQuantizeParams:
         assert cos > 0.98, cos
 
 
+class TestQ4kFastPath:
+    def test_matvec_kernel_matches_dequant(self):
+        rng = np.random.default_rng(10)
+        L, K, N = 2, 256, 384
+        w = rng.normal(0, 0.2, (L, K, N)).astype(np.float32)
+        qt = q4k.quantize_q4k(w, stacked=True)
+        dense = np.asarray(q4k.dequant_q4k(qt))
+        for m in (1, 4):
+            x = rng.normal(0, 1, (m, K)).astype(np.float32)
+            for l in range(L):
+                got = np.asarray(q4k.q4k_matvec_stacked(
+                    jnp.asarray(x), qt.q, qt.scale, qt.zero, l,
+                    interpret=True))
+                np.testing.assert_allclose(got, x @ dense[l],
+                                           rtol=2e-5, atol=2e-5)
+
+    def test_decode_step_q_q4k_matches_xla(self):
+        from whisper_apr_tpu.config import ModelConfig
+        from whisper_apr_tpu.model import qdecode
+        from whisper_apr_tpu.model.decoder import (decode_step, init_cache,
+                                                   prefill)
+        from whisper_apr_tpu.model.params import (init_params,
+                                                  quantize_params)
+        cfg = ModelConfig(
+            model_type="tiny", n_vocab=512, n_audio_ctx=32,
+            n_audio_state=256, n_audio_head=4, n_audio_layer=2,
+            n_text_ctx=16, n_text_state=256, n_text_head=4,
+            n_text_layer=2, n_mels=80)
+        pq = quantize_params(init_params(cfg, seed=7), "q4k")
+        assert not qdecode.supports_qdecode(pq, cfg)     # not int8
+        assert qdecode.supports_q4k_decode(pq, cfg)
+        qd = qdecode.prepare_q4k_decode(pq, cfg)
+        assert qd is not None and qd["mode"] == "q4k"
+        rng = np.random.default_rng(0)
+        enc = jnp.asarray(rng.normal(0, 0.5, (2, 32, 256)).astype(np.float32))
+        prompt = jnp.full((2, 2), 5, jnp.int32)
+        cache_a = init_cache(pq, enc, cfg, max_len=8)
+        cache_b = init_cache(pq, enc, cfg, max_len=8)
+        _, cache_a = prefill(pq, prompt, enc, cache_a, cfg)
+        _, cache_b = prefill(pq, prompt, enc, cache_b, cfg)
+        tok = jnp.asarray(np.array([7, 11], np.int32))
+        for step in range(2):
+            pos = jnp.int32(2 + step)
+            la, cache_a = decode_step(pq, tok, pos, cache_a, cfg)
+            lb, cache_b = qdecode.decode_step_q(
+                pq, qd, tok, pos, cache_b, cfg,
+                compute_dtype=jnp.float32, interpret=True)
+            np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                       rtol=3e-4, atol=3e-4)
+            tok = jnp.argmax(la, -1).astype(jnp.int32)
+
+
 class TestAprCarriage:
     def test_v1_roundtrip_and_native_load(self, tmp_path):
         from whisper_apr_tpu.format.container import (AprHeader, AprReader,

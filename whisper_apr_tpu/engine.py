@@ -236,8 +236,11 @@ class WhisperApr:
         if not hasattr(self, "_qdecode_cache"):
             qd = None
             if jax.default_backend() not in ("cpu",):
-                from .model.qdecode import prepare_qdecode
+                from .model.qdecode import (prepare_q4k_decode,
+                                            prepare_qdecode)
                 qd = prepare_qdecode(self.params, self.config)
+                if qd is None:
+                    qd = prepare_q4k_decode(self.params, self.config)
             self._qdecode_cache = qd
         return self._qdecode_cache
 
@@ -247,6 +250,8 @@ class WhisperApr:
         ComputeConfig.kv_mode): None when no qdecode, else "int8"/"bf16"."""
         if self._qdecode is None:
             return None
+        if self._qdecode.get("mode") == "q4k":
+            return None               # megakernels are int8-only; scan step
         mode = self.compute.kv_mode
         if mode == "auto":
             return "bf16"

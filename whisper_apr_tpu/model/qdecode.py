@@ -160,6 +160,93 @@ def prepare_qdecode(params: dict, config: ModelConfig) -> Optional[dict]:
     }
 
 
+def supports_q4k_decode(params: dict, config: ModelConfig) -> bool:
+    """The Q4_K fast path needs planar k-quant block weights (kpack
+    QTensors, ops/q4k.py) and an int8 token embedding."""
+    blocks = params["decoder"]["blocks"]
+    leaves = [blocks["self_attn"]["q_w"], blocks["self_attn"]["k_w"],
+              blocks["self_attn"]["v_w"], blocks["self_attn"]["o_w"],
+              blocks["cross_attn"]["q_w"], blocks["cross_attn"]["o_w"],
+              blocks["fc1"]["w"], blocks["fc2"]["w"]]
+    emb = params["decoder"]["token_emb"]
+    if not all(is_quantized(w) and getattr(w, "kpack", False)
+               for w in leaves):
+        return False
+    return is_quantized(emb) and not emb.int4
+
+
+def prepare_q4k_decode(params: dict, config: ModelConfig) -> Optional[dict]:
+    """qdecode preparation for planar Q4_K params (reference fused path:
+    QuantizedLinearQ4K::forward_fused, quantized.rs:355).
+
+    Returns the same qd structure as :func:`prepare_qdecode` but with
+    (packed, scale, zero) TRIPLES in ``lin``/``ffn`` — consumed by
+    ops/q4k.q4k_matvec_stacked inside decode_step_q — plus
+    ``mode='q4k'``. The megakernel (qf/ql) paths stay int8-only; the
+    engine keeps q4k on the scan step.
+    """
+    if not supports_q4k_decode(params, config):
+        return None
+    dec = params["decoder"]
+    blocks = dec["blocks"]
+    sa, ca = blocks["self_attn"], blocks["cross_attn"]
+
+    def tri(qt: QTensor):
+        return qt.q, jnp.asarray(qt.scale, jnp.float32), \
+            jnp.asarray(qt.zero, jnp.float32)
+
+    def cat(qts):
+        return (jnp.concatenate([t.q for t in qts], axis=2),
+                jnp.concatenate(
+                    [jnp.asarray(t.scale, jnp.float32) for t in qts],
+                    axis=2),
+                jnp.concatenate(
+                    [jnp.asarray(t.zero, jnp.float32) for t in qts],
+                    axis=2))
+
+    lin = {
+        "qkv": cat([sa["q_w"], sa["k_w"], sa["v_w"]]),
+        "self_o": tri(sa["o_w"]),
+        "cross_q": tri(ca["q_w"]),
+        "cross_o": tri(ca["o_w"]),
+    }
+    ffn = {
+        "fc1": tri(blocks["fc1"]["w"]),
+        "fc2": tri(blocks["fc2"]["w"]),
+    }
+    bias = {
+        "qkv": jnp.concatenate([sa["q_b"], sa["k_b"], sa["v_b"]], axis=1),
+        "self_o": sa["o_b"],
+        "cross_q": ca["q_b"],
+        "cross_o": ca["o_b"],
+        "fc1": blocks["fc1"]["b"],
+        "fc2": blocks["fc2"]["b"],
+    }
+    rest = {
+        "ln1": blocks["ln1"], "ln2": blocks["ln2"], "ln3": blocks["ln3"],
+        "bias": bias,
+    }
+
+    emb = dec["token_emb"]
+    V, D = emb.q.shape
+    v_pad = (-V) % _LANE
+    qT = jnp.transpose(emb.q)
+    if v_pad:
+        qT = jnp.pad(qT, ((0, 0), (0, v_pad)))
+    ones = jnp.ones((1, 1, V + v_pad), jnp.float32)
+    k_scale = jnp.asarray(emb.scale, jnp.float32).reshape(1, D)
+
+    return {
+        "mode": "q4k",
+        "lin": lin,
+        "ffn": ffn,
+        "rest": rest,
+        "vocab_qT": qT[None],
+        "vocab_ones": ones,
+        "vocab_k_scale": k_scale,
+    }
+
+
 def add_layer_operands(qd: dict) -> dict:
     """Augment ``qd['blk']`` with the whole-layer kernel's stacked operands
     (ops/decode_layer.py): the six LayerNorm rows as one [L, 6, D] stack
@@ -265,8 +352,13 @@ def decode_step_ql(params: dict, qd: dict, token: jnp.ndarray,
 
 
 def _qmv(x2: jnp.ndarray, lin, l, b, interpret: bool) -> jnp.ndarray:
-    q, s = lin
-    y = qmatvec_stacked(x2, q, s, l, interpret=interpret)
+    if len(lin) == 3:                 # planar Q4_K (packed, scale, zero)
+        from ..ops.q4k import q4k_matvec_stacked
+        q, s, z = lin
+        y = q4k_matvec_stacked(x2, q, s, z, l, interpret=interpret)
+    else:                             # int8 (q, scale)
+        q, s = lin
+        y = qmatvec_stacked(x2, q, s, l, interpret=interpret)
     return y + b.astype(y.dtype)
 
 
@@ -298,11 +390,15 @@ def decode_step_q(params: dict, qd: dict, token: jnp.ndarray,
         x = embed(params, token[:, None], pos, compute_dtype)  # [B,1,D]
     n_heads = config.n_text_head
     lin, ffn, rest = qd["lin"], qd["ffn"], qd["rest"]
+    q4k_mode = qd.get("mode") == "q4k"
     L = config.n_text_layer
     D = config.n_text_state
-    H = ffn["w1"].shape[2]
-    block_h = max(bh for bh in range(_LANE, min(H, 512) + 1, _LANE)
-                  if H % bh == 0)
+    if q4k_mode:
+        block_h = None
+    else:
+        H = ffn["w1"].shape[2]
+        block_h = max(bh for bh in range(_LANE, min(H, 512) + 1, _LANE)
+                      if H % bh == 0)
     T_max = cache.self_k.shape[2]
     if multi_pos:
         valid = (jnp.arange(T_max)[None, :]
@@ -336,10 +432,14 @@ def decode_step_q(params: dict, qd: dict, token: jnp.ndarray,
                      b["cross_o"], interpret)[:, None, :]
 
         h = layer_norm(x, r["ln3"]["w"], r["ln3"]["b"])
-        y = ffn_fused(h[:, 0, :], ffn["w1"], ffn["s1"], ffn["b1"],
-                      ffn["w2"], l, block_h=block_h, interpret=interpret)
-        y = (y.astype(jnp.float32) * r["fc2_scale"]
-             + b["fc2"].astype(jnp.float32)).astype(x.dtype)
+        if q4k_mode:
+            t1 = _qmv(h[:, 0, :], ffn["fc1"], l, b["fc1"], interpret)
+            y = _qmv(gelu(t1), ffn["fc2"], l, b["fc2"], interpret)
+        else:
+            y = ffn_fused(h[:, 0, :], ffn["w1"], ffn["s1"], ffn["b1"],
+                          ffn["w2"], l, block_h=block_h, interpret=interpret)
+            y = (y.astype(jnp.float32) * r["fc2_scale"]
+                 + b["fc2"].astype(jnp.float32)).astype(x.dtype)
         x = x + y[:, None, :]
         return x, (k_c, v_c)
 

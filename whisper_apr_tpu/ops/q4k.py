@@ -213,3 +213,134 @@ def q4k_bytes(n_elements: int) -> int:
     if n_elements % QK_K:
         raise ValueError("not a Q4_K-aligned element count")
     return n_elements // QK_K * BLOCK_BYTES
+
+
+# ---------------------------------------------------------------------------
+# Decode-specialized fused dequant matvec (the k-quant answer to
+# ops/qmatvec.py). Reference semantics: QuantizedLinearQ4K::forward_fused,
+# src/model/quantized.rs:355.
+# ---------------------------------------------------------------------------
+#
+# The group structure (a scale AND zero per 32 K-values per output) breaks
+# the "fold scales after the dot" trick: S depends on both the K-group and
+# the output column. Per-group loops are Mosaic poison (40 skinny matmuls
+# per tile). Instead the kernel uses a BLOCK-DIAGONAL GROUP-EXPANSION of
+# the activation — the same move the decode megakernels use for heads:
+#
+#     Xg [M*G, K/2],  Xg[m*G+g, r] = x[m, r-th even/odd k]  iff r//16 == g
+#
+# so the per-group partial dots become ONE MXU matmul per nibble plane:
+#
+#     P = Xg_even @ W_lo + Xg_odd @ W_hi          [M*G, bn]
+#     y = SelT @ (S_exp * P) - xsum @ Z           [M, bn]
+#
+# with S_exp the group scales row-expanded by a second tiny matmul and
+# xsum[m, g] the per-group activation sums (the zero-point term — exact:
+# sum_k x_k * (S*q - Z) = S * sum(x q) - Z * sum(x)). The extra FLOPs are
+# G x the matvec's — noise for the MXU — while HBM traffic halves vs int8.
+# The planar even/odd split avoids sub-32-bit lane interleaves entirely
+# (round-1 Mosaic rule) and the unpack is 4 int32 VPU ops per byte.
+
+import functools
+
+import jax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANE = 128
+_TILE_BYTES = 2 * 1024 * 1024
+
+
+def _pick_block_n(k_half: int, n: int) -> int:
+    best = _LANE
+    for cand in range(_LANE, n + 1, _LANE):
+        if n % cand:
+            continue
+        if k_half * cand > _TILE_BYTES:
+            break
+        best = cand
+    if best == n and n // 2 % _LANE == 0:
+        best = n // 2
+    return best
+
+
+def _q4k_kernel(layer_ref, xe_ref, xo_ref, xsum_ref, wq_ref, s_ref, z_ref,
+                o_ref, *, m: int, g: int):
+    cdt = xe_ref.dtype
+    rows = m * g
+    kh = xe_ref.shape[1]
+    # row i of the expansion serves (sequence i//g, group i%g)
+    gi = jax.lax.broadcasted_iota(jnp.int32, (rows, kh), 0) % g
+    col = jax.lax.broadcasted_iota(jnp.int32, (rows, kh), 1)
+    mask = (col // (SUB // 2) == gi).astype(cdt)
+    sel_rows = (jax.lax.broadcasted_iota(jnp.int32, (rows, m), 0) // g
+                == jax.lax.broadcasted_iota(jnp.int32, (rows, m), 1)
+                ).astype(cdt)                                # [M*G, M]
+    xe = jax.lax.dot(sel_rows, xe_ref[...],
+                     preferred_element_type=jnp.float32).astype(cdt) * mask
+    xo = jax.lax.dot(sel_rows, xo_ref[...],
+                     preferred_element_type=jnp.float32).astype(cdt) * mask
+
+    wi = wq_ref[0].astype(jnp.int32)                         # [K/2, bn]
+    lo = (wi & 0xF).astype(cdt)
+    hi = ((wi >> 4) & 0xF).astype(cdt)
+    p = jax.lax.dot(xe, lo, preferred_element_type=jnp.float32) \
+        + jax.lax.dot(xo, hi, preferred_element_type=jnp.float32)
+
+    # expand group scales over the M copies: [M*G, G] 0/1 selector
+    gsel = (jax.lax.broadcasted_iota(jnp.int32, (rows, g), 0) % g
+            == jax.lax.broadcasted_iota(jnp.int32, (rows, g), 1)
+            ).astype(jnp.float32)
+    s_t = jax.lax.dot(gsel, s_ref[0].astype(jnp.float32),
+                      preferred_element_type=jnp.float32)    # [M*G, bn]
+    weighted = s_t * p
+    sel_t = jnp.transpose(sel_rows).astype(jnp.float32)      # [M, M*G]
+    pos_term = jax.lax.dot(sel_t, weighted,
+                           preferred_element_type=jnp.float32)
+    neg_term = jax.lax.dot(xsum_ref[...].astype(jnp.float32),
+                           z_ref[0].astype(jnp.float32),
+                           preferred_element_type=jnp.float32)
+    o_ref[...] = (pos_term - neg_term).astype(o_ref.dtype)
+
+
+def q4k_matvec_stacked(x: jnp.ndarray, wq: jnp.ndarray, scale: jnp.ndarray,
+                       zero: jnp.ndarray, layer,
+                       block_n=None, interpret: bool = False,
+                       out_dtype=None) -> jnp.ndarray:
+    """x [M, K] @ planar-Q4_K weight stack, layer picked on device.
+
+    wq: [L, K/2, N] packed nibbles (even K rows low); scale/zero:
+    [L, K/32, N] f32 effective per-group values. Returns [M, N].
+    """
+    M, K = x.shape
+    L, KH, N = wq.shape
+    assert K == 2 * KH and K % SUB == 0, (x.shape, wq.shape)
+    assert N % _LANE == 0
+    G = K // SUB
+    bn = block_n or _pick_block_n(KH, N)
+    grid = (N // bn,)
+    layer = jnp.asarray(layer, jnp.int32).reshape((1,))
+
+    xe = x[:, 0::2]
+    xo = x[:, 1::2]
+    xsum = jnp.sum(x.reshape(M, G, SUB).astype(jnp.float32), axis=-1)
+
+    kernel = functools.partial(_q4k_kernel, m=M, g=G)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype or x.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((M, KH), lambda j, l: (0, 0)),
+                pl.BlockSpec((M, KH), lambda j, l: (0, 0)),
+                pl.BlockSpec((M, G), lambda j, l: (0, 0)),
+                pl.BlockSpec((1, KH, bn), lambda j, l: (l[0], 0, j)),
+                pl.BlockSpec((1, G, bn), lambda j, l: (l[0], 0, j)),
+                pl.BlockSpec((1, G, bn), lambda j, l: (l[0], 0, j)),
+            ],
+            out_specs=pl.BlockSpec((M, bn), lambda j, l: (0, j)),
+        ),
+        interpret=interpret,
+    )(layer, xe.astype(x.dtype), xo.astype(x.dtype), xsum, wq, scale, zero)

@@ -113,6 +113,44 @@ class TestBatchScheduler:
             # scheduler pads token list with trailing EOT; compare prefix
             assert comp.tokens[: len(exp)] == exp
 
+    def test_mesh_sharded_scheduler_matches_transcribe(self, engine):
+        """The dp-sharded scheduler tick (GSPMD over an 8-device mesh)
+        produces the same tokens as single-device transcribe — the
+        SURVEY §5.8 slice-wide serving requirement."""
+        import jax
+        from whisper_apr_tpu.parallel.mesh import make_mesh
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        mesh = make_mesh(8, tp=1)
+        rng = np.random.default_rng(7)
+        audios = [rng.normal(0, 0.1, 4000 + 500 * i).astype(np.float32)
+                  for i in range(10)]
+        opts = TranscribeOptions(language="en", max_tokens=8)
+        expected = [engine.transcribe(a, opts).tokens for a in audios]
+
+        sched = BatchScheduler(engine, n_slots=8, mesh=mesh)
+        from jax.sharding import PartitionSpec as P
+        # the slot caches really live sharded over dp
+        assert sched._cache.self_k.sharding.spec == P(None, "dp")
+        with mesh:
+            ids = [sched.submit(a, "en", max_tokens=8) for a in audios]
+            sched.run_until_drained()
+        for rid, exp in zip(ids, expected):
+            comp = sched.result(rid)
+            assert comp is not None
+            assert comp.tokens[: len(exp)] == exp
+
+    def test_mesh_rejects_bad_slot_count(self, engine):
+        import jax
+        from whisper_apr_tpu.parallel.mesh import make_mesh
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        mesh = make_mesh(8, tp=1)
+        with pytest.raises(ValueError):
+            BatchScheduler(engine, n_slots=3, mesh=mesh)
+        with pytest.raises(ValueError):
+            BatchScheduler(engine, n_slots=8, mesh=mesh, paged=True)
+
     def test_continuous_batching_slot_reuse(self, engine):
         rng = np.random.default_rng(4)
         sched = BatchScheduler(engine, n_slots=1)  # force serialization

@@ -61,13 +61,31 @@ class BatchScheduler:
                  max_len: Optional[int] = None,
                  steps_per_tick: int = 1,
                  paged: bool = False,
-                 n_pages: Optional[int] = None) -> None:
+                 n_pages: Optional[int] = None,
+                 mesh=None) -> None:
+        """``mesh``: a jax.sharding.Mesh with a ``dp`` axis — the slot
+        batch (and every KV cache) shards over it, params/bias replicate,
+        and GSPMD partitions the fused tick so one scheduler serves
+        dp x the streams of a single chip (SURVEY §5.8: the Worker
+        protocol becomes a slice-wide batched session dispatcher).
+        n_slots must divide evenly over dp. Dense scan path only (the
+        Pallas megakernel tick is per-device; see sharded_tick notes).
+        """
         self.engine = engine
         self.config: ModelConfig = engine.config
         self.n_slots = n_slots
         self.steps_per_tick = max(1, steps_per_tick)
         self.max_len = max_len or self.config.n_text_ctx
         self.paged = paged
+        self.mesh = mesh
+        if mesh is not None:
+            if paged:
+                raise ValueError("paged serving is per-device; use dense "
+                                 "slots with a mesh")
+            if n_slots % mesh.shape["dp"]:
+                raise ValueError(
+                    f"n_slots={n_slots} not divisible by dp="
+                    f"{mesh.shape['dp']}")
         self._queue: "queue.Queue[Request]" = queue.Queue()
         self._completions: Dict[int, Completion] = {}
         self._next_id = 0
@@ -101,8 +119,9 @@ class BatchScheduler:
             # all B sequences per kernel tile — B=8 large-v3 0.66 vs the
             # scan step's 0.95 ms/slot-token). kv_mode "int8" halves the
             # per-slot cache HBM (0.85 ms/slot-token — capacity option);
-            # "scan" opts out entirely.
-            self._qf = engine._qf_mode
+            # "scan" opts out entirely. On a mesh the tick is GSPMD-
+            # partitioned pure XLA, so the scan step serves all shards.
+            self._qf = None if mesh is not None else engine._qf_mode
             if self._qf:
                 # fused megakernel slots (model/qdecode.decode_step_qf):
                 # T padded to the kernel blocks; int8 mode halves slot HBM
@@ -142,6 +161,21 @@ class BatchScheduler:
         self._bias = jnp.asarray(WhisperTokenSuppressor(
             n_vocab=self.config.n_vocab,
             tokens=engine.specials).bias())
+
+        self._params = engine.params
+        if mesh is not None:
+            # slot axis over dp, params/bias replicated: GSPMD partitions
+            # the fused decode tick across the slice with no step changes
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            rep = NamedSharding(mesh, P())
+            self._rep = rep
+            self._slot_ax1 = NamedSharding(mesh, P(None, "dp"))
+            self._slot_ax0 = NamedSharding(mesh, P("dp"))
+            self._params = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, rep), engine.params)
+            self._bias = jax.device_put(self._bias, rep)
+            self._cache = KVCache(*[
+                jax.device_put(c, self._slot_ax1) for c in self._cache])
 
     # -- public API -----------------------------------------------------------
     def submit(self, audio: np.ndarray, language: str = "en",
@@ -222,6 +256,9 @@ class BatchScheduler:
                     cross_kq=c.cross_kq.at[:, slot, :S0].set(ck[:, 0]),
                     cross_vq=c.cross_vq.at[:, slot, :S0].set(cv[:, 0]))
             else:
+                if self.mesh is not None:
+                    one = KVCache(*[jax.device_put(c, self._rep)
+                                    for c in one])
                 self._cache = KVCache(
                     self._cache.self_k.at[:, slot].set(one.self_k[:, 0]),
                     self._cache.self_v.at[:, slot].set(one.self_v[:, 0]),
@@ -268,16 +305,21 @@ class BatchScheduler:
         token = jnp.asarray(self._tokens[np.arange(self.n_slots),
                                          self._pos])
         pos = jnp.asarray(self._pos)
+        if self.mesh is not None:
+            token = jax.device_put(token, self._slot_ax0)
+            pos = jax.device_put(pos, self._slot_ax0)
         K = self.steps_per_tick
         if self.paged:
             toks = self._paged_tick(token, pos, K)
         else:
-            # one fused dispatch advancing all slots by K tokens
+            # one fused dispatch advancing all slots by K tokens; on a
+            # mesh GSPMD splits the slot batch over dp automatically
             toks, self._cache = decode_steps_multi_jit(
-                self.engine.params, token, pos, self._bias, self._cache,
+                self._params, token, pos, self._bias, self._cache,
                 self.config, n_steps=K,
                 compute_dtype=self.engine._compute_dtype,
-                qd=self.engine._qdecode)
+                qd=None if self.mesh is not None
+                else self.engine._qdecode)
             toks = np.asarray(toks)  # [B, K]
 
         eot = self.engine.specials.eot

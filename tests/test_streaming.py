@@ -343,3 +343,78 @@ class TestPartialReady:
         kinds = [e.kind for e in events]
         assert kinds.count("partial_ready") >= 1
         assert "chunk_ready" in kinds
+
+
+class TestPrefixReuse:
+    """Token-level streaming reuse: partials decode only the new suffix
+    (the sound TPU realization of StreamingKVCache::warm_up,
+    reference: src/model/decoder.rs:739)."""
+
+    @pytest.fixture(scope="class")
+    def engine(self):
+        from helpers import make_hf_twin, small_config, small_specials
+        from whisper_apr_tpu import WhisperApr
+        cfg = small_config()
+        hf = make_hf_twin(cfg, seed=5)
+        return WhisperApr.from_hf_model(hf, cfg,
+                                        specials=small_specials(cfg))
+
+    def test_prefixed_continuation_is_exact(self, engine):
+        """Greedy continuation of the full decode's own prefix reproduces
+        the full decode token-for-token (the equivalence gate)."""
+        from whisper_apr_tpu import TranscribeOptions
+        rng = np.random.default_rng(0)
+        audio = rng.normal(0, 0.2, 16_000).astype(np.float32)
+        opts = TranscribeOptions(language="en", max_tokens=24)
+        full = engine.transcribe(audio, opts)
+        initial = engine.get_initial_tokens("en")
+        gen = [t for t in full.tokens[len(initial):]
+               if t != engine.specials.eot]
+        if len(gen) <= engine.PREFIX_BUCKET:
+            pytest.skip("decode too short to exercise a bucketed prefix")
+        pre = engine.transcribe_prefixed(audio, gen[:-2], opts)
+        assert pre.tokens == full.tokens
+
+    def test_prefix_bucket_truncation(self, engine):
+        from whisper_apr_tpu import TranscribeOptions
+        rng = np.random.default_rng(1)
+        audio = rng.normal(0, 0.2, 16_000).astype(np.float32)
+        opts = TranscribeOptions(language="en", max_tokens=20)
+        full = engine.transcribe(audio, opts)
+        initial = engine.get_initial_tokens("en")
+        gen = [t for t in full.tokens[len(initial):]
+               if t != engine.specials.eot]
+        # an unbucketed length must not produce a new compile shape: the
+        # call succeeds and still reproduces the full decode
+        pre = engine.transcribe_prefixed(audio, gen[:11], opts)
+        assert pre.tokens == full.tokens
+
+    def test_prefix_too_long_falls_back(self, engine):
+        from whisper_apr_tpu import TranscribeOptions
+        rng = np.random.default_rng(2)
+        audio = rng.normal(0, 0.2, 8_000).astype(np.float32)
+        opts = TranscribeOptions(language="en", max_tokens=8)
+        r = engine.transcribe_prefixed(audio, list(range(5, 5 + 32)), opts)
+        assert isinstance(r.text, str)
+
+    def test_session_partials_use_reuse(self, engine, monkeypatch):
+        from whisper_apr_tpu.inference.streaming import StreamingSession
+        sess = StreamingSession(engine, input_sample_rate=16_000,
+                                partial_reuse=True)
+        calls = {"prefixed": 0}
+        orig = engine.transcribe_prefixed
+
+        def spy(audio, prefix, options=None):
+            calls["prefixed"] += 1
+            return orig(audio, prefix, options)
+
+        monkeypatch.setattr(engine, "transcribe_prefixed", spy)
+        amp = speech_like(16_000)
+        for _ in range(3):
+            sess.push(amp)
+            if sess.has_partial():
+                p = sess.get_partial()
+                assert p is None or isinstance(p, str)
+        assert calls["prefixed"] >= 1
+        final = sess.finalize()
+        assert isinstance(final, str)

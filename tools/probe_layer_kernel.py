@@ -1,0 +1,209 @@
+"""TPU probe + measurement for the whole-layer decode megakernel.
+
+Stage 1 (seconds): compile/run layer_block at tiny dims on the real TPU —
+catches Mosaic lowering restrictions (dynamic 128-aligned lane slices on
+scratch values, input_output_aliases with row-write out specs, the phase
+grid) before paying a large-v3 compile. Checks logits against the scan
+step.
+
+Stage 2 (--large, ~10 min compile each): slope-timed large-v3 int8
+ms/step for decode_step_ql (alias / no-alias) vs the recorded
+decode_step_qf baseline (1.849 ms, BENCH_NOTES round-2c) and the HBM
+floor (1.322 ms).
+
+Stage 3 (--q4k): large-v3 q4k decode_step_q slope timing (capacity mode)
+vs int8.
+
+Usage: python -u tools/probe_layer_kernel.py [--large] [--q4k] [--lo N] [--hi N]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from tools.profile_decode import P, timeit  # noqa: E402
+
+
+def tiny_probe():
+    from whisper_apr_tpu.config import ModelConfig
+    from whisper_apr_tpu.model import qdecode
+    from whisper_apr_tpu.model.decoder import init_cache, prefill
+    from whisper_apr_tpu.model.params import init_params, quantize_params
+
+    cfg = ModelConfig(
+        model_type="tiny", n_vocab=700, n_audio_ctx=32, n_audio_state=128,
+        n_audio_head=4, n_audio_layer=2, n_text_ctx=24, n_text_state=128,
+        n_text_head=4, n_text_layer=3, n_mels=80)
+    params = quantize_params(init_params(cfg, seed=3), "int8")
+    qd = qdecode.add_layer_operands(qdecode.prepare_qdecode(params, cfg))
+    rng = np.random.default_rng(0)
+    enc = jnp.asarray(rng.normal(0, 0.5, (1, 32, 128)).astype(np.float32))
+    prompt = jnp.full((1, 2), 5, jnp.int32)
+
+    def fresh():
+        cache = init_cache(params, enc, cfg, max_len=12)
+        _, cache = prefill(params, prompt, enc, cache, cfg)
+        return cache
+
+    print("probe: prefill...", flush=True)
+    cache = fresh()
+    print("probe: scan-step reference...", flush=True)
+    la, _ = qdecode.decode_step_q(params, qd, jnp.array([7], jnp.int32),
+                                  jnp.int32(2), cache, cfg,
+                                  compute_dtype=jnp.float32)
+    a = np.asarray(la)
+    print("probe: reference done", flush=True)
+    for alias in (False, True):
+        qc = qdecode.quantize_cache(fresh(), kv_int8=False)
+        t0 = time.time()
+        try:
+            lb, qc2 = jax.jit(
+                lambda t, p, c: qdecode.decode_step_ql(
+                    params, qd, t, p, c, cfg, compute_dtype=jnp.float32,
+                    alias_kv=alias))(jnp.array([7], jnp.int32),
+                                     jnp.int32(2), qc)
+            b = np.asarray(lb)
+        except Exception as e:  # noqa: BLE001
+            print(f"PROBE alias_kv={alias}: FAILED after "
+                  f"{time.time()-t0:.1f}s\n  {type(e).__name__}: "
+                  f"{str(e)[:500]}")
+            continue
+        err = np.abs(a - b).max() / (np.abs(a).max() + 1e-9)
+        row = np.asarray(qc2.self_kq[:, :, 2])
+        row_ok = np.abs(row).max() > 0
+        print(f"PROBE alias_kv={alias}: OK ({time.time()-t0:.1f}s compile) "
+              f"logit relerr {err:.2e}  kv-row written: {row_ok}")
+        # int8 KV variant
+        qc = qdecode.quantize_cache(fresh(), kv_int8=True)
+        try:
+            lb, _ = jax.jit(
+                lambda t, p, c: qdecode.decode_step_ql(
+                    params, qd, t, p, c, cfg, compute_dtype=jnp.float32,
+                    alias_kv=alias))(jnp.array([7], jnp.int32),
+                                     jnp.int32(2), qc)
+            b = np.asarray(lb)
+            agree = int(a.argmax(-1)[0]) == int(b.argmax(-1)[0])
+            print(f"PROBE alias_kv={alias} int8-KV: OK argmax agree {agree}")
+        except Exception as e:  # noqa: BLE001
+            print(f"PROBE alias_kv={alias} int8-KV: FAILED "
+                  f"{type(e).__name__}: {str(e)[:300]}")
+
+
+def large_measure(lo, hi, which=("ql_alias",)):
+    from whisper_apr_tpu.config import ModelConfig
+    from whisper_apr_tpu.model import qdecode
+    from whisper_apr_tpu.model.decoder import init_cache
+    from whisper_apr_tpu.model.params import init_params, quantize_params
+
+    cfg = ModelConfig.from_name("large-v3")
+    params = quantize_params(init_params(cfg, seed=0), "int8")
+    params = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, params)
+    qd = qdecode.add_layer_operands(qdecode.prepare_qdecode(params, cfg))
+    D = cfg.n_text_state
+    enc = jnp.zeros((1, cfg.n_audio_ctx, D), jnp.bfloat16)
+    cache = init_cache(params, enc, cfg, max_len=448,
+                       compute_dtype=jnp.bfloat16)
+    qc = qdecode.quantize_cache(cache, kv_int8=False)
+    tok0 = jnp.zeros((1,), jnp.int32)
+    p = P(lo, hi)
+
+    results = {}
+    for name in which:
+        alias = name == "ql_alias"
+        step_fn = (qdecode.decode_step_ql if name.startswith("ql")
+                   else qdecode.decode_step_qf)
+
+        def body(i, env, carry, _alias=alias, _fn=step_fn):
+            prm, q_d, const = env
+            tok, c = carry
+            if _fn is qdecode.decode_step_ql:
+                logits, c = _fn(prm, q_d, tok, i, c, cfg,
+                                alias_kv=_alias)
+            else:
+                logits, c = _fn(prm, q_d, tok, i, c, cfg)
+            return (jnp.argmax(logits, -1).astype(jnp.int32), c)
+
+        t0 = time.time()
+        s = p.per_step(body, (params, qd, 0), (tok0, qc))
+        print(f"{name:<12}: {s*1e3:8.4f} ms/step  "
+              f"(compile+measure {time.time()-t0:.0f}s)", flush=True)
+        results[name] = s
+    return results
+
+
+def q4k_measure(lo, hi):
+    from whisper_apr_tpu.config import ModelConfig
+    from whisper_apr_tpu.model import qdecode
+    from whisper_apr_tpu.model.decoder import init_cache
+    from whisper_apr_tpu.model.params import init_params, quantize_params
+
+    cfg = ModelConfig.from_name("large-v3")
+    params = quantize_params(init_params(cfg, seed=0), "q4k")
+    params = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, params)
+    qd = qdecode.prepare_q4k_decode(params, cfg)
+    assert qd is not None
+    D = cfg.n_text_state
+    enc = jnp.zeros((1, cfg.n_audio_ctx, D), jnp.bfloat16)
+    cache = init_cache(params, enc, cfg, max_len=448,
+                       compute_dtype=jnp.bfloat16)
+    tok0 = jnp.zeros((1,), jnp.int32)
+    p = P(lo, hi)
+
+    def body(i, env, carry):
+        prm, q_d = env
+        tok, c = carry
+        logits, c = qdecode.decode_step_q(prm, q_d, tok, i, c, cfg)
+        return (jnp.argmax(logits, -1).astype(jnp.int32), c)
+
+    t0 = time.time()
+    s = p.per_step(body, (params, qd), (tok0, cache))
+    print(f"q4k scan step: {s*1e3:8.4f} ms/step "
+          f"(compile+measure {time.time()-t0:.0f}s)", flush=True)
+    # per-op: the fused q4k matvec on the qkv shape
+    from whisper_apr_tpu.ops.q4k import q4k_matvec_stacked
+    wq, sc, zr = qd["lin"]["qkv"]
+    x = jnp.zeros((1, D), jnp.bfloat16)
+
+    def mv_body(i, env, carry):
+        w, s_, z_ = env
+        y = q4k_matvec_stacked(carry, w, s_, z_, i % cfg.n_text_layer)
+        return y[:, :D].astype(carry.dtype)
+
+    s_mv = p.per_step(mv_body, (wq, sc, zr), x)
+    nbytes = wq.shape[1] * wq.shape[2] + sc.size // cfg.n_text_layer * 8
+    print(f"q4k qkv matvec: {s_mv*1e3:8.4f} ms/step "
+          f"({nbytes/s_mv/2**30:5.0f} GiB/s eff)", flush=True)
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--large", action="store_true")
+    ap.add_argument("--q4k", action="store_true")
+    ap.add_argument("--which", default="ql_alias",
+                    help="comma list: ql_alias,ql_noalias,qf")
+    ap.add_argument("--lo", type=int, default=16)
+    ap.add_argument("--hi", type=int, default=144)
+    args = ap.parse_args()
+    print("devices:", jax.devices(), flush=True)
+    if not (args.large or args.q4k):
+        tiny_probe()
+    if args.large:
+        large_measure(args.lo, args.hi, args.which.split(","))
+    if args.q4k:
+        q4k_measure(args.lo, args.hi)

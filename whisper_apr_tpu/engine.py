@@ -758,6 +758,73 @@ class WhisperApr:
         """Transcribe a growing prefix (reference: src/lib.rs:1482)."""
         return self.transcribe(audio, options)
 
+    PREFIX_BUCKET = 8  # prefix lengths round DOWN to this (compile reuse)
+
+    def transcribe_prefixed(self, audio: np.ndarray,
+                            prefix_tokens: Sequence[int],
+                            options: Optional[TranscribeOptions] = None
+                            ) -> TranscriptionResult:
+        """Greedy transcription continuing a forced text prefix.
+
+        The token-level streaming-reuse path (reference machinery:
+        StreamingKVCache::warm_up, src/model/decoder.rs:739). The
+        reference copies PREVIOUS-chunk decoder K/V into the new chunk's
+        cache; on this engine that would be unsound for partials — new
+        audio changes every encoder position, hence every cross-attention
+        read. The sound equivalent: force the previous partial's tokens as
+        a decode PREFIX. Their self-attention K/V rebuild against the new
+        encoder output in ONE prefill GEMM pass, so only the new suffix
+        decodes sequentially — partial latency stops growing linearly
+        with transcript length. Greedy continuation of a prefix the full
+        decode would itself produce is exactly the full decode's output.
+
+        The prefix is truncated DOWN to a PREFIX_BUCKET multiple so
+        repeated partials reuse a handful of compiled shapes.
+        """
+        options = options or TranscribeOptions()
+        lang = options.language or "en"
+        initial = self.get_initial_tokens(lang, options.task,
+                                          options.timestamps)
+        prefix = [int(t) for t in prefix_tokens]
+        keep = (len(prefix) // self.PREFIX_BUCKET) * self.PREFIX_BUCKET
+        prefix = prefix[:keep]
+        prompt_list = initial + prefix
+        max_tokens = min(options.max_tokens or self.config.n_text_ctx,
+                         self.config.n_text_ctx)
+        if len(prompt_list) + 1 >= max_tokens:
+            # no decode room left at this budget: fall back to a full pass
+            return self.transcribe(audio, options)
+
+        from .inference.processors import WhisperTokenSuppressor
+        from .pipeline import fused_transcribe_step, pad_audio_batch
+        suppressor = WhisperTokenSuppressor(
+            suppress_timestamps=not options.timestamps,
+            n_vocab=self.config.n_vocab, tokens=self.specials)
+        bias = jnp.asarray(suppressor.bias())
+        fb = self.mel_filters
+        n_samples = 2 * self.config.n_audio_ctx * 160
+        batch = jnp.asarray(pad_audio_batch([audio], n_samples))
+        prompt = jnp.asarray(np.asarray(prompt_list, np.int32)[None])
+        res = fused_transcribe_step(
+            self.params, batch, fb._window, fb._basis, fb._filters_t,
+            prompt, bias, self.specials.eot, self.config,
+            max_len=max_tokens, prompt_len=len(prompt_list),
+            compute_dtype=self._compute_dtype, fidelity=self._fidelity,
+            no_speech=(self.specials.no_speech
+                       if self.specials.no_speech < self.config.n_vocab
+                       else -1),
+            qd=self._qdecode, use_flash=self._use_flash,
+            qf_mode=self._qf_mode)
+        toks = np.asarray(res.tokens)[0, : int(np.asarray(res.lengths)[0])]
+        toks = toks.tolist()
+        gen = toks[len(initial):]            # prefix + new suffix
+        text = self.tokenizer.decode_with_options(gen, skip_special=True) \
+            if self.tokenizer else ""
+        segments = ([Segment(0.0, len(audio) / SAMPLE_RATE, text.strip(),
+                             gen)] if text.strip() else [])
+        return TranscriptionResult(text=text.strip(), language=lang,
+                                   segments=segments, tokens=toks)
+
     def transcribe_with_vad(self, audio: np.ndarray,
                             options: Optional[TranscribeOptions] = None
                             ) -> TranscriptionResult:

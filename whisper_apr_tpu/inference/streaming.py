@@ -126,19 +126,38 @@ class StreamingTranscriber:
 
 class StreamingSession:
     """Engine-level session facade (reference: src/lib.rs:1555
-    create_streaming_session / :1640 push / :1686 finalize)."""
+    create_streaming_session / :1640 push / :1686 finalize).
+
+    ``partial_reuse`` (default on) decodes each partial by forcing the
+    PREVIOUS partial's tokens (minus a small revision tail) as a prefix —
+    engine.transcribe_prefixed — so only the new suffix decodes
+    sequentially. The reference re-transcribes the whole growing prefix
+    per partial (SURVEY §3.3); its StreamingKVCache::warm_up machinery
+    (decoder.rs:739) is the intent this realizes soundly on TPU.
+    """
+
+    REVISE_TAIL = 5  # trailing tokens re-decoded each partial (frontier
+    #                  words may change as more audio arrives)
 
     def __init__(self, engine, options=None, input_sample_rate: int = 44_100,
-                 config: Optional[StreamingConfig] = None) -> None:
+                 config: Optional[StreamingConfig] = None,
+                 partial_reuse: bool = True) -> None:
         cfg = config or StreamingConfig.with_sample_rate(input_sample_rate)
         self._t = StreamingTranscriber(
             engine, cfg,
             language=getattr(options, "language", None) if options else None,
             emit_partials=True)
+        self.partial_reuse = partial_reuse
+        self._partial_tokens: List[int] = []
         self.results: List[StreamingResult] = []
 
     def push(self, samples: np.ndarray) -> List[StreamingResult]:
         res = self._t.push(samples)
+        for r in res:
+            if r.kind == "chunk":
+                # chunk boundary: the accumulating buffer restarts, so the
+                # partial prefix no longer describes the buffered audio
+                self._partial_tokens = []
         self.results.extend(res)
         return res
 
@@ -151,7 +170,17 @@ class StreamingSession:
         partial = self._t.processor.get_partial()
         if partial is None or len(partial) < 400:
             return None
-        return self._t.engine.transcribe(partial, self._t._opts).text
+        engine = self._t.engine
+        if not self.partial_reuse:
+            return engine.transcribe(partial, self._t._opts).text
+        initial = engine.get_initial_tokens(
+            self._t._opts.language or "en", self._t._opts.task)
+        prev_gen = [t for t in self._partial_tokens[len(initial):]
+                    if t != engine.specials.eot]
+        prefix = prev_gen[: max(0, len(prev_gen) - self.REVISE_TAIL)]
+        r = engine.transcribe_prefixed(partial, prefix, self._t._opts)
+        self._partial_tokens = list(r.tokens)
+        return r.text
 
     def finalize(self) -> str:
         return self._t.finalize()

@@ -145,3 +145,61 @@ class TestDecodeStepQL:
             compute_dtype=jnp.float32, interpret=True, enc_len=16)
         np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
                                    rtol=2e-5, atol=2e-5)
+
+
+class TestBatchedLayerKernel:
+    @pytest.fixture(scope="class")
+    def bsetup(self, cfg):
+        params = quantize_params(init_params(cfg, seed=3), "int8")
+        qd = qdecode.prepare_qdecode(params, cfg)
+        qd = qdecode.add_layer_operands(qd)
+        rng = np.random.default_rng(1)
+        enc = jnp.asarray(rng.normal(0, 0.5, (2, cfg.n_audio_ctx,
+                                              cfg.n_text_state)
+                                     ).astype(np.float32))
+        cache = init_cache(params, enc, cfg, max_len=12)
+        prompt = jnp.asarray(np.full((2, 2), 5, np.int32))
+        _, cache = prefill(params, prompt, enc, cache, cfg)
+        return params, qd, cache
+
+    @pytest.mark.parametrize("kv_int8", [False, True])
+    def test_matches_qf_batched(self, cfg, bsetup, kv_int8):
+        """B=2 aligned: the batched layer kernel vs the per-block fused
+        step (decode_step_qf), several steps."""
+        params, qd, cache = bsetup
+        qc1 = qdecode.quantize_cache(cache, kv_int8=kv_int8)
+        qc2 = qdecode.quantize_cache(cache, kv_int8=kv_int8)
+        tok = jnp.asarray(np.array([7, 11], np.int32))
+        for step in range(3):
+            pos = jnp.int32(2 + step)
+            la, qc1 = qdecode.decode_step_qf(
+                params, qd, tok, pos, qc1, cfg,
+                compute_dtype=jnp.float32, interpret=True)
+            lb, qc2 = qdecode.decode_step_ql(
+                params, qd, tok, pos, qc2, cfg,
+                compute_dtype=jnp.float32, interpret=True)
+            a, b = np.asarray(la), np.asarray(lb)
+            if kv_int8:
+                assert np.array_equal(a.argmax(-1), b.argmax(-1))
+            else:
+                np.testing.assert_allclose(a, b, rtol=3e-5, atol=3e-5)
+            tok = jnp.argmax(la, -1).astype(jnp.int32)
+
+    def test_multi_pos_matches_qf(self, cfg, bsetup):
+        """Per-slot positions (continuous batching contract)."""
+        params, qd, cache = bsetup
+        qc1 = qdecode.quantize_cache(cache, kv_int8=False)
+        qc2 = qdecode.quantize_cache(cache, kv_int8=False)
+        tok = jnp.asarray(np.array([7, 11], np.int32))
+        pos_v = jnp.asarray(np.array([2, 2], np.int32))
+        for _ in range(2):
+            la, qc1 = qdecode.decode_step_qf(
+                params, qd, tok, pos_v, qc1, cfg,
+                compute_dtype=jnp.float32, interpret=True)
+            lb, qc2 = qdecode.decode_step_ql(
+                params, qd, tok, pos_v, qc2, cfg,
+                compute_dtype=jnp.float32, interpret=True)
+            np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                       rtol=3e-5, atol=3e-5)
+            tok = jnp.argmax(la, -1).astype(jnp.int32)
+            pos_v = pos_v + 1

@@ -285,39 +285,66 @@ def decode_step_ql(params: dict, qd: dict, token: jnp.ndarray,
     input_output_aliases, so the XLA step body is just embed, the layer
     fori_loop, the final LayerNorm, and the vocab projection.
 
-    B must be 1 and ``pos`` scalar; same logits contract as
-    decode_step_qf."""
-    from ..ops.decode_layer import layer_block
+    B > 1 (or per-slot ``pos`` vectors — continuous batching) runs the
+    batched variant, layer_block_batched: all slots per tile, rows
+    scattered by the caller. Same logits contract as decode_step_qf."""
+    from ..ops.decode_layer import layer_block, layer_block_batched
 
     if interpret is None:
         interpret = INTERPRET
     if enc_len is None:
         enc_len = config.n_audio_ctx
     B = token.shape[0]
-    assert B == 1 and jnp.ndim(pos) == 0, \
-        "decode_step_ql is the single-stream (B=1, scalar pos) step"
+    multi_pos = jnp.ndim(pos) == 1
     dec = params["decoder"]
-    x = embed(params, token[:, None], pos, compute_dtype)[:, 0]
+    if multi_pos:
+        emb = dec["token_emb"]
+        if is_quantized(emb):
+            scale = emb.scale.astype(compute_dtype)
+            while scale.ndim > 1:
+                scale = scale[0]
+            tok = emb.q[token].astype(compute_dtype) * scale
+        else:
+            tok = emb[token].astype(compute_dtype)
+        x = tok + dec["pos_emb"][pos].astype(compute_dtype)      # [B, D]
+    else:
+        x = embed(params, token[:, None], pos, compute_dtype)[:, 0]
     n_heads = config.n_text_head
     blk = qd["blk"]
     assert "wo3" in blk, "call add_layer_operands(qd) at prepare time"
     L = config.n_text_layer
     qcache = cache
     kv_int8 = qcache.self_ks is not None
+    batched = B > 1 or multi_pos
+    if batched:
+        alias_kv = False
     self_bt = min(SELF_TILE_T, qcache.self_kq.shape[2])
     cross_bt = min(CROSS_TILE_T, qcache.cross_kq.shape[2])
 
     def row_write(stack, new, l):
+        if multi_pos:
+            return stack.at[l, jnp.arange(B), pos].set(new)
         return jax.lax.dynamic_update_slice(
-            stack, new[None, :, None, :], (l, 0, pos, 0))
+            stack, new[None, :, None, :] if new.ndim == 2
+            else new, (l, 0, pos, 0))
 
     def scale_write(scales, s, l):
+        if multi_pos:
+            return scales.at[l, jnp.arange(B), pos, 0].set(s)
         return jax.lax.dynamic_update_slice(
             scales, s[None, :, None, None], (l, 0, pos, 0))
 
     def body(l, carry):
         x, skq, sks, svq, svs = carry
-        if alias_kv:
+        if batched:
+            x, k8, ksc, v8, vsc = layer_block_batched(
+                x, blk, skq, sks, svq, svs,
+                qcache.cross_kq, qcache.cross_ks, qcache.cross_vq,
+                qcache.cross_vs, pos, enc_len, l, n_heads,
+                interpret=interpret)
+            skq = row_write(skq, k8, l)
+            svq = row_write(svq, v8, l)
+        elif alias_kv:
             x, skq, ksc, svq, vsc = layer_block(
                 x, blk, skq, sks, svq, svs,
                 qcache.cross_kq, qcache.cross_ks, qcache.cross_vq,

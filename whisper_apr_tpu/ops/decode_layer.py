@@ -562,3 +562,435 @@ def layer_block(x: jnp.ndarray, blk: dict,
     x_out, k8, ksc, v8, vsc = outs
     return (x_out[:, 0, :], k8[:, 0, :], ksc[:, 0, 0], v8[:, 0, :],
             vsc[:, 0, 0])
+
+
+# ---------------------------------------------------------------------------
+# Batched (B > 1) whole-layer kernel — serving slots
+# ---------------------------------------------------------------------------
+#
+# Same phase grid as ``layer_block`` but every tile carries ALL B
+# sequences: projections run as [B, D] @ tile MXU dots and the
+# per-sequence online-softmax bookkeeping stays 2-D via the block-diagonal
+# selector matrix of ops/decode_blocks.py (`_sel_matrix`). Self-attention
+# reads are dynamically bounded by the LARGEST slot position in the batch
+# (one prefetched scalar), so a freshly-admitted mix of short and long
+# sequences only pays for the longest one — dense-layout paged bandwidth.
+# KV rows come back as [B, D] outputs for the caller's per-slot scatter
+# (continuous batching needs per-slot positions, which a single aliased
+# block write cannot express).
+
+def _ln_rows(x32, w, b):
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    return (x32 - mean) * jax.lax.rsqrt(var + _LN_EPS) \
+        * w.astype(jnp.float32) + b.astype(jnp.float32)
+
+
+def _sel_matrix(n_rows: int, b: int, bt: int):
+    i = jax.lax.broadcasted_iota(jnp.int32, (n_rows, b), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (n_rows, b), 1)
+    return (i // bt == j).astype(jnp.float32)
+
+
+def _layer_kernel_b(lengths_ref, layer_ref, nt_ref, x_ref,
+                    ln_ref, wqkv_ref, sqkv_ref, bqkv_ref,
+                    skq_ref, sks_ref, svq_ref, svs_ref,
+                    ckq_ref, cks_ref, cvq_ref, cvs_ref,
+                    wo3_ref, so3_ref, bo3_ref,
+                    w1_ref, s1_ref, b1_ref, w2_ref, f2s_ref, f2b_ref,
+                    e_ref, et_ref, len_ref,
+                    xo_ref, k8_ref, ksc_ref, v8_ref, vsc_ref,
+                    x32_s, h_s, qkv_s, g_s, y_s, q_s, kc_s, vc_s,
+                    m_ref, l_ref, acc_ref,
+                    *, d: int, b_sz: int, ph: _Phases, scale: float,
+                    quantized: bool, enc_len: int):
+    i = pl.program_id(0)
+    e = e_ref[...]
+    et = et_ref[...]
+    cdt = x_ref.dtype
+    B = b_sz
+    bk, bh, bt_s, bt_c = ph.bk, ph.bh, ph.bt_s, ph.bt_c
+
+    def lane_rows(vec, j, width):
+        return jax.lax.dynamic_slice(vec, (0, j * width), (B, width))
+
+    # ---- P0 ----
+    @pl.when(i == ph.p0)
+    def _p0_head():
+        x32 = x_ref[...].astype(jnp.float32)             # [B, D]
+        x32_s[...] = x32
+        h_s[...] = _ln_rows(x32, ln_ref[0, 0:1, :], ln_ref[0, 1:2, :])
+        qkv_s[...] = jnp.zeros_like(qkv_s)
+
+    @pl.when(i < ph.p1)
+    def _p0_body():
+        hk = lane_rows(h_s[...], i - ph.p0, bk).astype(cdt)
+        w = wqkv_ref[0].astype(cdt)
+        qkv_s[...] += jax.lax.dot(hk, w, preferred_element_type=jnp.float32)
+
+    # ---- P1: qkv finalize + batched self attention ----
+    @pl.when(i == ph.p1)
+    def _p1_head():
+        qkv = qkv_s[...] * sqkv_ref[0].astype(jnp.float32) \
+            + bqkv_ref[0].astype(jnp.float32)            # [B, 3D]
+        q = qkv[:, :d]
+        k = qkv[:, d:2 * d]
+        v = qkv[:, 2 * d:]
+        q_s[...] = q * scale
+        if quantized:
+            ks = jnp.maximum(jnp.max(jnp.abs(k), axis=-1, keepdims=True),
+                             1e-12) / 127.0
+            k8 = jnp.clip(jnp.round(k / ks), -127, 127).astype(jnp.int8)
+            vs = jnp.maximum(jnp.max(jnp.abs(v), axis=-1, keepdims=True),
+                             1e-12) / 127.0
+            v8 = jnp.clip(jnp.round(v / vs), -127, 127).astype(jnp.int8)
+            k8_ref[...] = k8
+            v8_ref[...] = v8
+            ksc_ref[...] = jnp.broadcast_to(ks, ksc_ref.shape)
+            vsc_ref[...] = jnp.broadcast_to(vs, vsc_ref.shape)
+            kc_s[...] = k8.astype(jnp.float32) * ks
+            vc_s[...] = v8.astype(jnp.float32) * vs
+        else:
+            k8_ref[...] = k.astype(k8_ref.dtype)
+            v8_ref[...] = v.astype(v8_ref.dtype)
+            ksc_ref[...] = jnp.ones(ksc_ref.shape, jnp.float32)
+            vsc_ref[...] = jnp.ones(vsc_ref.shape, jnp.float32)
+            kc_s[...] = k.astype(k8_ref.dtype).astype(jnp.float32)
+            vc_s[...] = v.astype(v8_ref.dtype).astype(jnp.float32)
+        m_ref[...] = jnp.full(m_ref.shape, -jnp.inf, jnp.float32)
+        l_ref[...] = jnp.zeros(l_ref.shape, jnp.float32)
+        acc_ref[...] = jnp.zeros(acc_ref.shape, jnp.float32)
+
+    def _attn_tile_b(kq4, ks4, vq4, vs4, t_idx, bt, len_vec):
+        """One batched online-softmax tile over [1, B, bt, D] blocks.
+
+        len_vec [B]: per-sequence valid-length bound for this cache."""
+        n_rows = B * bt
+        sel = _sel_matrix(n_rows, B, bt)
+        selT = jnp.transpose(sel)
+        k_flat = kq4[0].reshape(n_rows, d).astype(cdt)
+        v_flat = vq4[0].reshape(n_rows, d).astype(cdt)
+        q_exp = jax.lax.dot(sel.astype(cdt), q_s[...].astype(cdt),
+                            preferred_element_type=jnp.float32).astype(cdt)
+        s = jax.lax.dot(k_flat * q_exp, e.astype(cdt),
+                        preferred_element_type=jnp.float32)  # [B*bt, H]
+        vs = None
+        if quantized:
+            s = s * ks4[0].reshape(n_rows, 1).astype(jnp.float32)
+            vs = vs4[0].reshape(n_rows, 1).astype(jnp.float32)
+        pos_in = t_idx * bt + jax.lax.broadcasted_iota(
+            jnp.int32, (n_rows, 1), 0) % bt
+        len_exp = jax.lax.dot(sel, len_vec.astype(jnp.float32),
+                              preferred_element_type=jnp.float32)  # [n,1]
+        s = jnp.where(pos_in.astype(jnp.float32) < len_exp, s, _NEG)
+        m_prev = m_ref[...]                              # [B, H]
+        m_cur = jnp.concatenate(
+            [jnp.max(s[b * bt: (b + 1) * bt, :], axis=0, keepdims=True)
+             for b in range(B)], axis=0)
+        m_next = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_next)
+        m_exp = jax.lax.dot(sel, m_next, preferred_element_type=jnp.float32)
+        p = jnp.exp(s - m_exp)
+        l_ref[...] = l_ref[...] * alpha + jax.lax.dot(
+            selT, p, preferred_element_type=jnp.float32)
+        m_ref[...] = m_next
+        if quantized:
+            p = p * vs
+        p_d = jax.lax.dot(p.astype(cdt), et.astype(cdt),
+                          preferred_element_type=jnp.float32).astype(cdt)
+        contrib = jax.lax.dot(selT.astype(cdt), p_d * v_flat,
+                              preferred_element_type=jnp.float32)
+        alpha_d = jax.lax.dot(alpha, et, preferred_element_type=jnp.float32)
+        acc_ref[...] = acc_ref[...] * alpha_d + contrib
+
+    @pl.when((i >= ph.p1) & (i < ph.p2) & (i - ph.p1 < nt_ref[0]))
+    def _p1_body():
+        _attn_tile_b(skq_ref, sks_ref, svq_ref, svs_ref, i - ph.p1, bt_s,
+                     len_ref[...].astype(jnp.float32))
+
+    @pl.when(i == ph.p2 - 1)
+    def _p1_tail():
+        s_c = jax.lax.dot(kc_s[...] * q_s[...], e,
+                          preferred_element_type=jnp.float32)  # [B, H]
+        m_prev = m_ref[...]
+        m_next = jnp.maximum(m_prev, s_c)
+        alpha = jnp.exp(m_prev - m_next)
+        p_c = jnp.exp(s_c - m_next)
+        l_f = l_ref[...] * alpha + p_c
+        alpha_d = jax.lax.dot(alpha, et, preferred_element_type=jnp.float32)
+        p_d = jax.lax.dot(p_c, et, preferred_element_type=jnp.float32)
+        acc = acc_ref[...] * alpha_d + p_d * vc_s[...]
+        l_d = jax.lax.dot(jnp.maximum(l_f, 1e-30), et,
+                          preferred_element_type=jnp.float32)
+        h_s[...] = acc / l_d
+        y_s[...] = jnp.zeros_like(y_s)
+
+    # ---- P2: self o-proj ----
+    @pl.when((i >= ph.p2) & (i < ph.p3))
+    def _p2_body():
+        ak = lane_rows(h_s[...], i - ph.p2, bk).astype(cdt)
+        w = wo3_ref[0].astype(cdt)
+        y_s[...] += jax.lax.dot(ak, w, preferred_element_type=jnp.float32)
+
+    @pl.when(i == ph.p3 - 1)
+    def _p2_tail():
+        y = y_s[...] * so3_ref[0].astype(jnp.float32) \
+            + bo3_ref[0].astype(jnp.float32)
+        x32 = x32_s[...] + y
+        x32_s[...] = x32
+        h_s[...] = _ln_rows(x32, ln_ref[0, 2:3, :], ln_ref[0, 3:4, :])
+        q_s[...] = jnp.zeros_like(q_s)
+
+    # ---- P3: cross-q ----
+    @pl.when((i >= ph.p3) & (i < ph.p4))
+    def _p3_body():
+        hk = lane_rows(h_s[...], i - ph.p3, bk).astype(cdt)
+        w = wo3_ref[0].astype(cdt)
+        q_s[...] += jax.lax.dot(hk, w, preferred_element_type=jnp.float32)
+
+    # ---- P4: cross attention ----
+    @pl.when(i == ph.p4)
+    def _p4_head():
+        q = q_s[...] * so3_ref[0].astype(jnp.float32) \
+            + bo3_ref[0].astype(jnp.float32)
+        q_s[...] = q * scale
+        m_ref[...] = jnp.full(m_ref.shape, -jnp.inf, jnp.float32)
+        l_ref[...] = jnp.zeros(l_ref.shape, jnp.float32)
+        acc_ref[...] = jnp.zeros(acc_ref.shape, jnp.float32)
+
+    @pl.when((i >= ph.p4) & (i < ph.p5))
+    def _p4_body():
+        enc_lens = jnp.full((B, 1), enc_len, jnp.float32)
+        _attn_tile_b(ckq_ref, cks_ref, cvq_ref, cvs_ref, i - ph.p4, bt_c,
+                     enc_lens)
+
+    @pl.when(i == ph.p5 - 1)
+    def _p4_tail():
+        l_d = jax.lax.dot(jnp.maximum(l_ref[...], 1e-30), et,
+                          preferred_element_type=jnp.float32)
+        h_s[...] = acc_ref[...] / l_d
+        y_s[...] = jnp.zeros_like(y_s)
+
+    # ---- P5: cross o-proj ----
+    @pl.when((i >= ph.p5) & (i < ph.p6))
+    def _p5_body():
+        ak = lane_rows(h_s[...], i - ph.p5, bk).astype(cdt)
+        w = wo3_ref[0].astype(cdt)
+        y_s[...] += jax.lax.dot(ak, w, preferred_element_type=jnp.float32)
+
+    # ---- P6: residual + LN3 + fc1 ----
+    @pl.when(i == ph.p6)
+    def _p6_head():
+        y = y_s[...] * so3_ref[0].astype(jnp.float32) \
+            + bo3_ref[0].astype(jnp.float32)
+        x32 = x32_s[...] + y
+        x32_s[...] = x32
+        h_s[...] = _ln_rows(x32, ln_ref[0, 4:5, :], ln_ref[0, 5:6, :])
+        g_s[...] = jnp.zeros_like(g_s)
+
+    @pl.when((i >= ph.p6) & (i < ph.p7))
+    def _p6_body():
+        hk = lane_rows(h_s[...], i - ph.p6, bk).astype(cdt)
+        w = w1_ref[0].astype(cdt)
+        g_s[...] += jax.lax.dot(hk, w, preferred_element_type=jnp.float32)
+
+    # ---- P7: GELU + fc2 ----
+    @pl.when(i == ph.p7)
+    def _p7_head():
+        t1 = g_s[...] * s1_ref[0].astype(jnp.float32) \
+            + b1_ref[0].astype(jnp.float32)
+        g_s[...] = _gelu_exact(t1)
+        y_s[...] = jnp.zeros_like(y_s)
+
+    @pl.when(i >= ph.p7)
+    def _p7_body():
+        gk = lane_rows(g_s[...], i - ph.p7, bh).astype(cdt)
+        w = w2_ref[0].astype(cdt)
+        y_s[...] += jax.lax.dot(gk, w, preferred_element_type=jnp.float32)
+
+    @pl.when(i == ph.n - 1)
+    def _final():
+        y = y_s[...] * f2s_ref[0].astype(jnp.float32) \
+            + f2b_ref[0].astype(jnp.float32)
+        xo_ref[...] = (x32_s[...] + y).astype(xo_ref.dtype)
+
+
+def layer_block_batched(x: jnp.ndarray, blk: dict,
+                        skq: jnp.ndarray, sks, svq: jnp.ndarray, svs,
+                        ckq: jnp.ndarray, cks, cvq: jnp.ndarray, cvs,
+                        pos: jnp.ndarray, enc_len: int, layer,
+                        n_heads: int,
+                        bk: Optional[int] = None, bh: Optional[int] = None,
+                        bt_s: int = 64, bt_c: int = 64,
+                        interpret: bool = False):
+    """Whole decoder layer for B slots per tile (continuous batching).
+
+    Same operands as ``layer_block`` (blk needs add_layer_operands);
+    ``pos`` is [B] per-slot valid history lengths. Returns
+    ``(x_out [B, D], k_row [B, D], k_scale [B], v_row, v_scale)`` — the
+    caller scatters rows at each slot's own position. Self-attention reads
+    are bounded by ``max(pos)`` tiles.
+    """
+    B, D = x.shape
+    L = skq.shape[0]
+    T_s = skq.shape[2]
+    T_c = ckq.shape[2]
+    H_ffn = blk["w1"].shape[2]
+    quantized = sks is not None
+    hd = D // n_heads
+    scale = float(hd) ** -0.5
+    if bk is None:
+        bk = _pick_tile(D, 384)
+    if bh is None:
+        bh = _pick_tile(H_ffn, 512)
+    # VMEM: [B, bt, D] cache tiles double-buffered must stay under budget
+    # (measured round-2d: B=8 tiles at bt=128 overflow) — scale by B
+    def fit(bt, t):
+        bt = min(bt, max(8, 64 * 8 // max(B, 8)))
+        while bt > 8 and t % bt:
+            bt //= 2
+        return max(bt, 8)
+
+    bt_s = fit(bt_s, T_s)
+    bt_c = fit(bt_c, T_c)
+    ph = _Phases(D, H_ffn, T_s, T_c, bk, bh, bt_s, bt_c)
+
+    layer = jnp.asarray(layer, jnp.int32).reshape((1,))
+    pos = jnp.broadcast_to(jnp.asarray(pos, jnp.int32), (B,))
+    lengths = pos[:, None]                        # [B, 1] scalar-prefetch
+    nt = jnp.maximum((jnp.max(pos) + bt_s - 1) // bt_s, 0).reshape((1,))
+
+    e_mat = jnp.asarray(head_expand_matrix(n_heads, hd))
+    et_mat = jnp.transpose(e_mat)
+    row_dtype = jnp.int8 if quantized else x.dtype
+    kernel = functools.partial(_layer_kernel_b, d=D, b_sz=B, ph=ph,
+                               scale=scale, quantized=quantized,
+                               enc_len=int(enc_len))
+
+    p1, p4 = ph.p1, ph.p4
+    n_sa = ph.p2 - ph.p1
+    n_ca = ph.p5 - ph.p4
+
+    def clamp(v, lo, hi):
+        return jnp.minimum(jnp.maximum(v, lo), hi)
+
+    def im(f):
+        return lambda i, lens, lyr, nt_r: f(i, lens, lyr, nt_r)
+
+    def j_sa(i, nt_r):
+        return clamp(clamp(i - p1, 0, n_sa - 1), 0,
+                     jnp.maximum(nt_r[0] - 1, 0))
+
+    def j_ca(i):
+        return clamp(i - p4, 0, n_ca - 1)
+
+    const_l = im(lambda i, lens, lyr, nt_r: (lyr[0], 0, 0))
+    cache_s = pl.BlockSpec(
+        (1, B, bt_s, D),
+        im(lambda i, lens, lyr, nt_r: (lyr[0], 0, j_sa(i, nt_r), 0)))
+    cache_c = pl.BlockSpec(
+        (1, B, bt_c, D),
+        im(lambda i, lens, lyr, nt_r: (lyr[0], 0, j_ca(i), 0)))
+    if quantized:
+        sks_in, svs_in, cks_in, cvs_in = sks, svs, cks, cvs
+        ss_s = pl.BlockSpec(
+            (1, B, bt_s, 1),
+            im(lambda i, lens, lyr, nt_r: (lyr[0], 0, j_sa(i, nt_r), 0)))
+        ss_c = pl.BlockSpec(
+            (1, B, bt_c, 1),
+            im(lambda i, lens, lyr, nt_r: (lyr[0], 0, j_ca(i), 0)))
+    else:
+        sks_in = svs_in = jnp.zeros((L, B, bt_s, 1), jnp.float32)
+        cks_in = cvs_in = jnp.zeros((L, B, bt_c, 1), jnp.float32)
+        ss_s = pl.BlockSpec(
+            (1, B, bt_s, 1),
+            im(lambda i, lens, lyr, nt_r: (lyr[0], 0, 0, 0)))
+        ss_c = pl.BlockSpec(
+            (1, B, bt_c, 1),
+            im(lambda i, lens, lyr, nt_r: (lyr[0], 0, 0, 0)))
+
+    def o3_spec(shape_tail):
+        def _map(i, lens, lyr, nt_r):
+            row = 3 * lyr[0] + jnp.where(i < ph.p3, 0,
+                                         jnp.where(i < ph.p5, 1, 2))
+            if shape_tail[0] == bk:
+                tile = jnp.where(
+                    i < ph.p3, clamp(i - ph.p2, 0, D // bk - 1),
+                    jnp.where(i < ph.p5, clamp(i - ph.p3, 0, D // bk - 1),
+                              clamp(i - ph.p5, 0, D // bk - 1)))
+                return (row, tile, 0)
+            return (row, 0, 0)
+        return pl.BlockSpec((1,) + shape_tail, _map)
+
+    full2 = lambda shp: pl.BlockSpec(
+        shp, im(lambda i, lens, lyr, nt_r: (0, 0)))
+
+    in_specs = [
+        full2((B, D)),                                             # x
+        pl.BlockSpec((1, 6, D), const_l),                          # ln6
+        pl.BlockSpec((1, bk, 3 * D),
+                     im(lambda i, lens, lyr, nt_r:
+                        (lyr[0], clamp(i - ph.p0, 0, D // bk - 1), 0))),
+        pl.BlockSpec((1, 1, 3 * D), const_l),                      # sqkv
+        pl.BlockSpec((1, 1, 3 * D), const_l),                      # bqkv
+        cache_s, ss_s, cache_s, ss_s,
+        cache_c, ss_c, cache_c, ss_c,
+        o3_spec((bk, D)),
+        o3_spec((1, D)),
+        o3_spec((1, D)),
+        pl.BlockSpec((1, bk, H_ffn),
+                     im(lambda i, lens, lyr, nt_r:
+                        (lyr[0], clamp(i - ph.p6, 0, D // bk - 1), 0))),
+        pl.BlockSpec((1, 1, H_ffn), const_l),
+        pl.BlockSpec((1, 1, H_ffn), const_l),
+        pl.BlockSpec((1, bh, D),
+                     im(lambda i, lens, lyr, nt_r:
+                        (lyr[0], clamp(i - ph.p7, 0, H_ffn // bh - 1), 0))),
+        pl.BlockSpec((1, 1, D), const_l),
+        pl.BlockSpec((1, 1, D), const_l),
+        pl.BlockSpec((D, n_heads), im(lambda i, lens, lyr, nt_r: (0, 0))),
+        pl.BlockSpec((n_heads, D), im(lambda i, lens, lyr, nt_r: (0, 0))),
+        full2((B, 1)),                                     # lengths (VMEM)
+    ]
+    out_shapes = (
+        jax.ShapeDtypeStruct((B, D), x.dtype),
+        jax.ShapeDtypeStruct((B, D), row_dtype),
+        jax.ShapeDtypeStruct((B, _LANES), jnp.float32),
+        jax.ShapeDtypeStruct((B, D), row_dtype),
+        jax.ShapeDtypeStruct((B, _LANES), jnp.float32),
+    )
+    out_specs = (full2((B, D)), full2((B, D)), full2((B, _LANES)),
+                 full2((B, D)), full2((B, _LANES)))
+
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=out_shapes,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(ph.n,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=[
+                pltpu.VMEM((B, D), jnp.float32),       # x32
+                pltpu.VMEM((B, D), jnp.float32),       # h
+                pltpu.VMEM((B, 3 * D), jnp.float32),   # qkv acc
+                pltpu.VMEM((B, H_ffn), jnp.float32),   # g
+                pltpu.VMEM((B, D), jnp.float32),       # y acc
+                pltpu.VMEM((B, D), jnp.float32),       # q
+                pltpu.VMEM((B, D), jnp.float32),       # k current
+                pltpu.VMEM((B, D), jnp.float32),       # v current
+                pltpu.VMEM((B, n_heads), jnp.float32),
+                pltpu.VMEM((B, n_heads), jnp.float32),
+                pltpu.VMEM((B, D), jnp.float32),
+            ],
+        ),
+        interpret=interpret,
+    )(lengths, layer, nt, x, blk["ln6"],
+      blk["wqkv"], blk["sqkv"], blk["bqkv"],
+      skq, sks_in, svq, svs_in, ckq, cks_in, cvq, cvs_in,
+      blk["wo3"], blk["so3"], blk["bo3"],
+      blk["w1"], blk["s1"], blk["b1"], blk["w2"],
+      blk["fc2_s"], blk["fc2_b"], e_mat, et_mat,
+      pos[:, None].astype(jnp.int32))
+    x_out, k8, ksc, v8, vsc = outs
+    return x_out, k8, ksc[:, 0], v8, vsc[:, 0]

@@ -81,3 +81,40 @@ def test_engine_speculative_matches_plain(cfg, setup):
         language="en", max_tokens=12, speculative=True, draft_tokens=3))
     assert spec.tokens == plain.tokens
     assert spec.text == plain.text
+
+
+def test_engine_speculative_gate_metrics(cfg, setup):
+    """The speculative path accumulates the same quality-gate signals as
+    plain greedy (round-2 weak item: it skipped them)."""
+    from helpers import small_specials
+    from whisper_apr_tpu import TranscribeOptions, WhisperApr
+    params, _ = setup
+    eng = WhisperApr(cfg, params, specials=small_specials(cfg))
+    audio = np.random.default_rng(11).normal(0, 0.1, 4000).astype(np.float32)
+    plain = eng.transcribe(audio, TranscribeOptions(language="en",
+                                                    max_tokens=12))
+    spec = eng.transcribe(audio, TranscribeOptions(
+        language="en", max_tokens=12, speculative=True, draft_tokens=3))
+    assert spec.tokens == plain.tokens
+    assert spec.avg_logprob != 0.0
+    assert abs(spec.avg_logprob - plain.avg_logprob) < 0.05, \
+        (spec.avg_logprob, plain.avg_logprob)
+
+
+def test_spec_study_acceptance_rises_with_structure():
+    """The value-study harness: acceptance increases monotonically as late
+    layers matter less (the early-exit premise)."""
+    import sys
+    sys.path.insert(0, "tools")
+    from spec_study import measure_acceptance, structured_params
+    from whisper_apr_tpu.config import ModelConfig
+    cfg = ModelConfig(
+        model_type="tiny", n_vocab=256, n_audio_ctx=16, n_audio_state=64,
+        n_audio_head=4, n_audio_layer=1, n_text_ctx=32, n_text_state=64,
+        n_text_head=4, n_text_layer=4, n_mels=80)
+    e_flat, _ = measure_acceptance(
+        cfg, structured_params(cfg, 1.0, 1), 3, 1, n_clips=2, max_len=24)
+    e_struct, _ = measure_acceptance(
+        cfg, structured_params(cfg, 0.05, 1), 3, 1, n_clips=2, max_len=24)
+    assert e_struct >= e_flat - 0.2, (e_flat, e_struct)
+    assert e_struct > 1.0

@@ -452,14 +452,19 @@ class WhisperApr:
                 audios[0], n_frames=2 * self.config.n_audio_ctx)
             enc = self.encode(mel)
             ld = options.draft_layers or max(1, self.config.n_text_layer // 4)
+            ns_id_s = (self.specials.no_speech
+                       if self.specials.no_speech < self.config.n_vocab
+                       else -1)
             spec = speculative_greedy_generate(
                 self.params, enc, prompt, bias, self.specials.eot,
                 self.config, max_len=max_tokens,
                 prompt_len=len(prompt_list),
                 draft_tokens=options.draft_tokens, draft_layers=ld,
-                compute_dtype=self._compute_dtype, fidelity=self._fidelity)
-            # token-exact greedy output; gate metrics are not accumulated on
-            # this path (use the plain path when fallback gating is needed)
+                compute_dtype=self._compute_dtype, fidelity=self._fidelity,
+                no_speech=ns_id_s)
+            # token-exact greedy output WITH the quality-gate signals the
+            # plain path accumulates (sum logprob over emitted tokens,
+            # no-speech prob at SOT)
             tokens_np = np.asarray(spec.tokens)
             lengths_np = np.asarray(spec.lengths)
             toks = tokens_np[0, : lengths_np[0]].tolist()
@@ -467,9 +472,13 @@ class WhisperApr:
             text = self.tokenizer.decode_with_options(gen, skip_special=True)
             segments = ([Segment(0.0, len(audios[0]) / SAMPLE_RATE,
                                  text, gen)] if text.strip() else [])
+            gen_n = max(len(gen), 1)
             return BatchTranscriptionResult([TranscriptionResult(
                 text=text.strip(), language=lang, segments=segments,
-                tokens=toks)], time.time() - t0)
+                tokens=toks,
+                avg_logprob=float(np.asarray(spec.sum_logprob)[0]) / gen_n,
+                no_speech_prob=float(np.asarray(spec.no_speech_prob)[0]),
+            )], time.time() - t0)
 
         if options.strategy == "sampling" or (
                 options.strategy == "greedy" and options.temperature > 0):

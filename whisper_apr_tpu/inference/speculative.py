@@ -131,12 +131,15 @@ class SpecResult(NamedTuple):
     lengths: jnp.ndarray     # [1]
     n_verify_passes: jnp.ndarray  # [] int32 — full-model forwards used
     n_accepted: jnp.ndarray  # [] int32 — draft tokens accepted
+    sum_logprob: jnp.ndarray      # [1] — emitted tokens incl. EOT
+    no_speech_prob: jnp.ndarray   # [1] — at the SOT position
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("config", "max_len", "prompt_len", "draft_tokens",
-                     "draft_layers", "compute_dtype", "fidelity"))
+                     "draft_layers", "compute_dtype", "fidelity",
+                     "no_speech"))
 def speculative_greedy_generate(params: dict, enc_out: jnp.ndarray,
                                 prompt: jnp.ndarray,
                                 suppress_bias: jnp.ndarray, eot: int,
@@ -144,7 +147,8 @@ def speculative_greedy_generate(params: dict, enc_out: jnp.ndarray,
                                 prompt_len: int = 4, draft_tokens: int = 4,
                                 draft_layers: int = 1,
                                 compute_dtype=jnp.float32,
-                                fidelity: bool = False) -> SpecResult:
+                                fidelity: bool = False,
+                                no_speech: int = -1) -> SpecResult:
     """Single-stream (B=1) speculative greedy decode, fully on device.
 
     Token-exact vs ``greedy_generate``: every emitted token is the full
@@ -157,22 +161,26 @@ def speculative_greedy_generate(params: dict, enc_out: jnp.ndarray,
     k = draft_tokens
     cache = init_cache(params, enc_out, config, max_len, precision,
                        compute_dtype)
-    logits, cache = prefill(params, prompt, enc_out, cache, config,
-                            compute_dtype, precision)
+    logits_all, cache = prefill(params, prompt, enc_out, cache, config,
+                                compute_dtype, precision, all_logits=True)
+    from ..model.decoder import _no_speech_prob
+    ns_prob = _no_speech_prob(logits_all, no_speech)
+    logits = logits_all[:, -1, :]
     tokens = jnp.full((B, max_len), eot, dtype=jnp.int32)
     tokens = jax.lax.dynamic_update_slice(tokens, prompt.astype(jnp.int32),
                                           (0, 0))
-    first = jnp.argmax(logits + suppress_bias[None, :], axis=-1
-                       ).astype(jnp.int32)
+    biased0 = logits + suppress_bias[None, :]
+    first = jnp.argmax(biased0, axis=-1).astype(jnp.int32)
+    lp0 = jax.nn.log_softmax(biased0.astype(jnp.float32))[0, first[0]]
     tokens = tokens.at[:, prompt_len].set(first)
     done0 = (first == eot)[0]
 
     def cond(state):
-        pos, _, done, _, _, _ = state
+        pos, _, done, _, _, _, _ = state
         return jnp.logical_and(pos + 1 < max_len - (k + 1), ~done)
 
     def body(state):
-        pos, tokens, done, cache, n_ver, n_acc = state
+        pos, tokens, done, cache, n_ver, n_acc, sum_lp = state
         # ---- draft k tokens with the shallow head --------------------------
         def draft_body(i, dstate):
             dtoks, dcache = dstate
@@ -209,38 +217,51 @@ def speculative_greedy_generate(params: dict, enc_out: jnp.ndarray,
         tokens = jax.lax.dynamic_update_slice(tokens, emit[None, :],
                                               (0, pos + 1))
         hit_eot = jnp.any(jnp.where(idx <= m, emit == eot, False))
+        # quality-gate accumulation (matches the plain greedy path):
+        # log-probs of emitted tokens up to and INCLUDING the first EOT
+        lp = jax.nn.log_softmax(v_logits.astype(jnp.float32), axis=-1)[0]
+        chosen = jnp.take_along_axis(lp, argmax[:, None], axis=1)[:, 0]
+        prev_eot = jnp.cumsum(
+            jnp.concatenate([jnp.zeros(1, jnp.int32),
+                             (emit == eot).astype(jnp.int32)[:-1]])) == 0
+        valid = (idx <= m) & prev_eot
+        sum_lp = sum_lp + jnp.sum(jnp.where(valid, chosen, 0.0))
         new_pos = pos + 1 + m
         return (new_pos, tokens, done | hit_eot, cache,
-                n_ver + 1, n_acc + m)
+                n_ver + 1, n_acc + m, sum_lp)
 
     pos0 = jnp.int32(prompt_len)
-    pos, tokens, done, cache, n_ver, n_acc = jax.lax.while_loop(
-        cond, body, (pos0, tokens, done0, cache, jnp.int32(0), jnp.int32(0)))
+    pos, tokens, done, cache, n_ver, n_acc, sum_lp = jax.lax.while_loop(
+        cond, body,
+        (pos0, tokens, done0, cache, jnp.int32(0), jnp.int32(0), lp0))
 
     # tail: finish sequentially if the window ended near max_len
     def tail_cond(state):
-        pos, _, done, _ = state
+        pos, _, done, _, _ = state
         return jnp.logical_and(pos + 1 < max_len, ~done)
 
     def tail_body(state):
-        pos, tokens, done, cache = state
+        pos, tokens, done, cache, sum_lp = state
         from ..model.decoder import decode_step
         tok = jax.lax.dynamic_slice(tokens, (0, pos), (1, 1))[:, 0]
         logits, cache = decode_step(params, tok, pos, cache, config,
                                     compute_dtype, precision)
-        nxt = jnp.argmax(logits + suppress_bias[None, :], axis=-1
-                         ).astype(jnp.int32)
+        biased = logits + suppress_bias[None, :]
+        nxt = jnp.argmax(biased, axis=-1).astype(jnp.int32)
         nxt = jnp.where(done, jnp.int32(eot), nxt)
+        lp = jax.nn.log_softmax(biased.astype(jnp.float32))[0, nxt[0]]
+        sum_lp = sum_lp + jnp.where(done, 0.0, lp)
         tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None],
                                               (0, pos + 1))
-        return pos + 1, tokens, done | (nxt[0] == eot), cache
+        return pos + 1, tokens, done | (nxt[0] == eot), cache, sum_lp
 
-    _, tokens, _, _ = jax.lax.while_loop(
-        tail_cond, tail_body, (pos, tokens, done, cache))
+    _, tokens, _, _, sum_lp = jax.lax.while_loop(
+        tail_cond, tail_body, (pos, tokens, done, cache, sum_lp))
 
     idx = jnp.arange(max_len)[None, :]
     is_eot = jnp.logical_and(tokens == eot, idx >= prompt_len)
     has_eot = jnp.any(is_eot, axis=1)
     first_eot = jnp.argmax(is_eot, axis=1)
     lengths = jnp.where(has_eot, first_eot + 1, max_len)
-    return SpecResult(tokens, lengths, n_ver, n_acc)
+    return SpecResult(tokens, lengths, n_ver, n_acc,
+                      sum_lp[None], ns_prob)

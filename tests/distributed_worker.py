@@ -10,6 +10,9 @@ def main() -> None:
     coord, n_proc, pid = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    # record package-line coverage for the parent harness (tools/coverage)
+    from tools.subproc_coverage import maybe_enable
+    maybe_enable()
     from whisper_apr_tpu.parallel.distributed import (
         host_local_batch_to_global, init_distributed, make_multihost_mesh,
         process_slice, shard_params)

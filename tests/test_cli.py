@@ -225,3 +225,66 @@ class TestTuiRendering:
     def test_progress_bar(self):
         from whisper_apr_tpu.cli.tui import render_progress
         assert render_progress(0.5, 10).startswith("[#####-----]")
+
+
+class TestTuiLiveDashboard:
+    """Round-3 TUI depth: per-stage panel, live decode, stage timings
+    (reference: src/tui/app.rs:152 live pipeline dashboard)."""
+
+    def test_stage_panel_states(self):
+        from whisper_apr_tpu.cli.tui import (PipelineState, StageTimings,
+                                             render_stage_panel)
+        t = StageTimings(mel_s=0.002, encode_s=0.01, decode_s=0.5,
+                         tokens=25, max_tokens=100, audio_s=5.0)
+        rows = render_stage_panel(PipelineState.DECODE, t)
+        joined = "\n".join(rows)
+        assert "x computing mel" in joined     # finished
+        assert "> decoding" in joined          # current
+        assert "tok/s" in joined
+        assert "[" in joined                   # progress bar while decoding
+        done = "\n".join(render_stage_panel(PipelineState.COMPLETE, t))
+        assert "RTF" in done and ">" not in done
+
+    def test_stage_timings_derived(self):
+        from whisper_apr_tpu.cli.tui import StageTimings
+        t = StageTimings(mel_s=0.1, encode_s=0.4, decode_s=0.5,
+                         tokens=50, audio_s=10.0)
+        assert t.tokens_per_s == pytest.approx(100.0)
+        assert t.rtf == pytest.approx(0.1)
+
+    def test_dashboard_includes_stage_panel(self):
+        from whisper_apr_tpu.cli.tui import (PipelineState, StageTimings,
+                                             render_dashboard)
+        lines = render_dashboard(
+            PipelineState.ENCODE, np.zeros(100, np.float32), None, "",
+            0.5, timings=StageTimings(mel_s=0.003))
+        joined = "\n".join(lines)
+        assert "pipeline" in joined
+        assert "> encoding" in joined
+
+    def test_live_decode_streams_tokens(self):
+        """live_decode emits each token through the callback and matches
+        the engine's own greedy output."""
+        from helpers import make_hf_twin, small_config, small_specials
+        from whisper_apr_tpu import TranscribeOptions, WhisperApr
+        from whisper_apr_tpu.cli.tui import live_decode
+        from whisper_apr_tpu.inference.processors import \
+            WhisperTokenSuppressor
+        cfg = small_config()
+        eng = WhisperApr.from_hf_model(make_hf_twin(cfg, seed=8), cfg,
+                                       specials=small_specials(cfg))
+        audio = np.random.default_rng(3).normal(0, 0.2, 8000) \
+            .astype(np.float32)
+        plain = eng.transcribe(audio, TranscribeOptions(language="en",
+                                                        max_tokens=12))
+        enc = eng.encode(eng.compute_mel(audio))
+        prompt = eng.get_initial_tokens("en")
+        bias = np.asarray(WhisperTokenSuppressor(
+            n_vocab=cfg.n_vocab, tokens=eng.specials).bias())
+        seen = []
+        gen = live_decode(eng, enc, prompt, bias, 12,
+                          on_token=lambda g: seen.append(len(g)))
+        assert seen == list(range(1, len(gen) + 1))   # one event per token
+        want = [t for t in plain.tokens[len(prompt):]
+                if t != eng.specials.eot]
+        assert gen == want

@@ -227,3 +227,18 @@ class TestCompressedApr:
         plain.add_tensor("encoder.conv1.weight", z)
         comp.add_tensor("encoder.conv1.weight", z)
         assert len(comp.to_bytes()) < len(plain.to_bytes()) // 10
+
+
+class TestIncrementalCrc32:
+    def test_chunked_matches_oneshot(self):
+        """Mutation survivor (mutate.py: finalize's & -> |): the
+        incremental class must equal the one-shot function."""
+        from whisper_apr_tpu.format.checksum import Crc32, crc32
+        data = bytes(range(256)) * 11
+        c = Crc32()
+        for i in range(0, len(data), 97):
+            c.update(data[i:i + 97])
+        assert c.finalize() == crc32(data)
+        assert 0 <= c.finalize() <= 0xFFFFFFFF
+        # a fresh instance over empty data matches too
+        assert Crc32().finalize() == crc32(b"")

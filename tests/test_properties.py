@@ -150,3 +150,111 @@ class TestRingBufferProperties:
                 for _ in range(want_k):
                     model.popleft()
             assert len(rb) == len(model)
+
+
+class TestTimestampGrammarProperties:
+    """Hypothesis sweep of the in-loop timestamp grammar
+    (inference/timestamp_rules.py; OpenAI ApplyTimestampRules semantics).
+
+    For arbitrary logits the masked-argmax decode must satisfy the
+    grammar invariants: first token is a capped timestamp, timestamps
+    never decrease, runs of timestamps never exceed a pair, and a lone
+    segment-closing timestamp is always followed by a timestamp or EOT.
+    """
+
+    TS_BASE = 40
+    EOT = 39
+    V = 80
+
+    def _decode(self, logits_seq):
+        import jax.numpy as jnp
+        from whisper_apr_tpu.inference import timestamp_rules as tsr
+        state = tsr.init_state(1)
+        toks = []
+        for i, row in enumerate(logits_seq):
+            logits = jnp.asarray(np.asarray(row, np.float32)[None])
+            masked = tsr.apply_rules(
+                logits, state, self.TS_BASE, self.EOT,
+                is_first=jnp.asarray([i == 0]))
+            tok = int(np.asarray(jnp.argmax(masked, -1))[0])
+            toks.append(tok)
+            if tok == self.EOT:
+                break
+            state = tsr.update_state(state, jnp.asarray([tok]),
+                                     self.TS_BASE)
+        return toks
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(
+        st.lists(st.floats(-4, 4, allow_nan=False, width=32),
+                 min_size=80, max_size=80),
+        min_size=2, max_size=10))
+    def test_grammar_invariants(self, logits_seq):
+        toks = self._decode(logits_seq)
+        ts = [t for t in toks if t >= self.TS_BASE]
+        # rule 1: first sampled token is a timestamp within the cap
+        assert toks[0] >= self.TS_BASE
+        assert toks[0] <= self.TS_BASE + 50
+        # rule 3: timestamps never decrease
+        assert all(a <= b for a, b in zip(ts, ts[1:]))
+        # rule 2: never three consecutive timestamps
+        run = 0
+        for t in toks:
+            run = run + 1 if t >= self.TS_BASE else 0
+            assert run <= 2
+        # rule 2a: text -> lone ts -> text is illegal
+        for i in range(1, len(toks) - 1):
+            if (toks[i] >= self.TS_BASE
+                    and toks[i - 1] < self.TS_BASE
+                    and toks[i - 1] != self.EOT):
+                nxt = toks[i + 1]
+                assert nxt >= self.TS_BASE or nxt == self.EOT, toks
+
+
+class TestPagedAllocatorProperties:
+    """alloc/extend/free invariants of the paged KV pool
+    (model/kv_variants.PagedKVCache; reference: decoder.rs:880-961)."""
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(
+        st.tuples(st.sampled_from(["alloc", "extend", "free"]),
+                  st.integers(0, 5), st.integers(0, 40)),
+        min_size=1, max_size=40))
+    def test_invariants(self, ops):
+        from whisper_apr_tpu.config import ModelConfig
+        from whisper_apr_tpu.errors import InferenceError
+        from whisper_apr_tpu.model.kv_variants import (PAGE_SIZE,
+                                                       PagedKVCache)
+        cfg = ModelConfig(
+            model_type="tiny", n_vocab=64, n_audio_ctx=8, n_audio_state=64,
+            n_audio_head=2, n_audio_layer=1, n_text_ctx=8, n_text_state=64,
+            n_text_head=2, n_text_layer=1, n_mels=80)
+        pool = PagedKVCache(cfg, n_pages=8)
+        live = {}
+        for op, seq, n in ops:
+            before_free = pool.free_pages
+            before_tables = {s: list(p) for s, p in pool._tables.items()}
+            try:
+                if op == "alloc":
+                    pool.alloc(seq, n)
+                    live[seq] = n
+                elif op == "extend":
+                    pool.extend(seq, max(n, 1))
+                    live[seq] += max(n, 1)
+                else:
+                    pool.free(seq)
+                    live.pop(seq, None)
+            except InferenceError:
+                # failure must be a clean rollback: nothing changed
+                assert pool.free_pages == before_free
+                assert {s: list(p) for s, p in pool._tables.items()} \
+                    == before_tables
+                continue
+            # no page owned twice; free + owned partitions the pool
+            owned = [p for t in pool._tables.values() for p in t]
+            assert len(owned) == len(set(owned))
+            assert sorted(owned + pool._free) == list(range(8))
+            # capacity covers each sequence's length
+            for s, ln in live.items():
+                assert len(pool._tables[s]) * PAGE_SIZE >= ln
+                assert pool.seq_len(s) == ln

@@ -418,3 +418,31 @@ class TestPrefixReuse:
         assert calls["prefixed"] >= 1
         final = sess.finalize()
         assert isinstance(final, str)
+
+
+class TestRingBufferMutationGaps:
+    """Tests added for surviving mutants (tools/mutate.py run, round 3)."""
+
+    def test_is_full_boundary(self):
+        rb = RingBuffer(8)
+        rb.write_overwrite(np.arange(7, dtype=np.float32))
+        assert not rb.is_full()
+        rb.write_overwrite(np.arange(1, dtype=np.float32))
+        assert rb.is_full()
+
+    def test_overwrite_exact_capacity(self):
+        """A write of exactly `capacity` samples takes the bulk-replace
+        path (>= boundary) and reports the right drop count."""
+        rb = RingBuffer(8)
+        rb.write_overwrite(np.ones(3, np.float32))
+        dropped = rb.write_overwrite(np.arange(8, dtype=np.float32))
+        assert dropped == 3          # 3 live + 8 new - 8 capacity
+        np.testing.assert_array_equal(rb.read(8),
+                                      np.arange(8, dtype=np.float32))
+
+    def test_overwrite_drop_count_partial(self):
+        rb = RingBuffer(8)
+        rb.write_overwrite(np.ones(6, np.float32))
+        dropped = rb.write_overwrite(np.ones(4, np.float32))
+        assert dropped == 2          # 6 + 4 - 8
+        assert len(rb) == 8

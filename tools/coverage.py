@@ -72,12 +72,26 @@ def main():
     mon.set_events(TOOL_ID, mon.events.LINE)
     mon.register_callback(TOOL_ID, mon.events.LINE, _on_line)
 
+    # subprocess workers (the 2-process DCN test) dump their own executed
+    # lines here via tools/subproc_coverage.maybe_enable
+    import tempfile
+    sub_dir = tempfile.mkdtemp(prefix="aprcov-")
+    os.environ["APR_COVERAGE_OUT"] = sub_dir
+
     import pytest
     args = sys.argv[1:] or ["tests/", "-q", "-x"]
     rc = pytest.main(args)
 
     mon.set_events(TOOL_ID, 0)
     mon.free_tool_id(TOOL_ID)
+
+    for f in os.listdir(sub_dir):
+        try:
+            dump = json.load(open(os.path.join(sub_dir, f)))
+        except (OSError, json.JSONDecodeError):
+            continue
+        for fn, lines in dump.items():
+            executed[fn].update(lines)
 
     data = {}
     for dirpath, _, files in os.walk(PKG):

@@ -38,19 +38,36 @@ def conv_stem(mel: jnp.ndarray, conv1: dict, conv2: dict,
     conv1: n_mels->d, k=3, stride 1, pad 1, GELU
     conv2: d->d,     k=3, stride 2, pad 1, GELU  (halves 3000 -> 1500)
 
-    mel: [B, T, n_mels] -> [B, T//2, d]. Uses NHC/HIO layouts (TPU-friendly);
-    weights arrive in HF's [out, in, k] and are transposed here once.
+    mel: [B, T, n_mels] -> [B, T//2, d].
+
+    Each conv runs as ONE MXU GEMM: the k=3 taps are stitched with plain
+    slices into a ``[B, T_out, 3*C_in]`` tensor multiplied by the kernel
+    reshaped ``[3*C_in, C_out]`` — the same slice-stitch trick the mel
+    front-end uses (TPU gathers are pathological, slices are free, and a
+    1-D NHC conv leaves layout-pass overhead that a GEMM does not; the
+    round-2 encoder anatomy put the stem+glue at most of the 3x gap to
+    the encoder's compute floor). Weights arrive in HF's [out, in, k].
     """
-    def conv1d(x, w, b, stride):
-        # x: [B, T, C_in]; w: [C_out, C_in, K] -> [K, C_in, C_out]
-        kernel = jnp.transpose(w, (2, 1, 0)).astype(x.dtype)
-        y = jax.lax.conv_general_dilated(
-            x, kernel, window_strides=(stride,), padding=((1, 1),),
-            dimension_numbers=("NHC", "HIO", "NHC"), precision=precision)
+    def conv1d_gemm(x, w, b, stride):
+        B, T, C = x.shape
+        xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0)))
+        if stride == 1:
+            taps = [jax.lax.slice_in_dim(xp, j, j + T, axis=1)
+                    for j in range(3)]
+            t_out = T
+        else:
+            t_out = T // 2
+            taps = [jax.lax.slice(xp, (0, j, 0),
+                                  (B, j + 2 * t_out - 1, C), (1, 2, 1))
+                    for j in range(3)]
+        x3 = jnp.concatenate(taps, axis=-1)            # [B, T_out, 3C]
+        # w [C_out, C_in, K] -> [K, C_in, C_out] -> [3*C_in, C_out]
+        kernel = jnp.transpose(w, (2, 1, 0)).reshape(3 * C, -1)
+        y = jnp.matmul(x3, kernel.astype(x.dtype), precision=precision)
         return y + b.astype(x.dtype)
 
-    x = gelu(conv1d(mel, conv1["w"], conv1["b"], 1))
-    x = gelu(conv1d(x, conv2["w"], conv2["b"], 2))
+    x = gelu(conv1d_gemm(mel, conv1["w"], conv1["b"], 1))
+    x = gelu(conv1d_gemm(x, conv2["w"], conv2["b"], 2))
     return x
 
 

@@ -216,3 +216,192 @@ class TestCrc32Incremental:
             c.update(p)
         whole = b"".join(parts)
         assert c.finalize() == crc32(whole) == zlib.crc32(whole) & 0xFFFFFFFF
+
+
+class TestEngineDarkPaths:
+    """Round-3 coverage push: fallback batching, n-best, VAD transcribe,
+    prompt/special validation."""
+
+    @pytest.fixture(scope="class")
+    def eng(self):
+        from helpers import make_hf_twin, small_config, small_specials
+        from whisper_apr_tpu import WhisperApr
+        cfg = small_config()
+        return WhisperApr.from_hf_model(make_hf_twin(cfg, seed=4), cfg,
+                                        specials=small_specials(cfg))
+
+    def test_batch_with_fallback_retries_and_skips(self, eng):
+        from whisper_apr_tpu import TranscribeOptions
+        rng = np.random.default_rng(0)
+        audios = [rng.normal(0, 0.1, 3200).astype(np.float32)
+                  for _ in range(2)]
+        # impossible logprob threshold -> every temperature retries, the
+        # pending loop runs to exhaustion, silence skip evaluated at end
+        opts = TranscribeOptions(language="en", max_tokens=6,
+                                 logprob_thold=100.0)
+        out = eng.transcribe_batch_with_fallback(
+            audios, opts, temperatures=(0.0, 0.5))
+        assert len(out.results) == 2
+        for r in out.results:
+            assert isinstance(r.text, str)
+
+    def test_transcribe_nbest(self, eng):
+        from whisper_apr_tpu import TranscribeOptions
+        rng = np.random.default_rng(1)
+        audio = rng.normal(0, 0.1, 3200).astype(np.float32)
+        opts = TranscribeOptions(language="en", strategy="beam",
+                                 beam_size=3, max_tokens=8)
+        out = eng.transcribe_nbest(audio, n=2, options=opts)
+        assert 1 <= len(out) <= 2
+        # ranked by normalized score
+        assert all(isinstance(r.text, str) for r in out)
+        assert out[0].avg_logprob >= out[-1].avg_logprob - 1e-6
+
+    def test_transcribe_with_vad_speech_and_silence(self, eng):
+        from whisper_apr_tpu import TranscribeOptions
+        t = np.arange(16_000) / 16_000
+        rng = np.random.default_rng(2)
+        speech = (0.5 * np.sin(2 * np.pi * 220 * t)
+                  + 0.1 * rng.normal(size=16_000)).astype(np.float32)
+        opts = TranscribeOptions(language="en", max_tokens=6)
+        r = eng.transcribe_with_vad(speech, opts)
+        assert isinstance(r.text, str)
+        silence = (1e-5 * rng.normal(size=8000)).astype(np.float32)
+        r2 = eng.transcribe_with_vad(silence, opts)
+        assert r2.text == "" and r2.segments == []
+
+    def test_prompt_token_out_of_range(self):
+        """get_initial_tokens rejects prompt ids beyond the vocabulary
+        (XLA gathers clamp silently, so the host must validate)."""
+        from helpers import make_hf_twin, small_config
+        from whisper_apr_tpu import WhisperApr
+        from whisper_apr_tpu.errors import ModelError
+        from whisper_apr_tpu.tokenizer import SpecialTokens
+        cfg = small_config()
+        sp = SpecialTokens(eot=cfg.n_vocab - 1, sot=cfg.n_vocab - 2,
+                           lang_base=10, transcribe=cfg.n_vocab + 7,
+                           no_timestamps=12, timestamp_base=10_000,
+                           is_multilingual=False, translate=13)
+        eng2 = WhisperApr.from_hf_model(make_hf_twin(cfg, seed=0), cfg,
+                                        specials=sp)
+        with pytest.raises(ModelError):
+            eng2.get_initial_tokens("en")
+
+    def test_specials_out_of_range_raises(self):
+        from helpers import make_hf_twin, small_config
+        from whisper_apr_tpu import WhisperApr
+        from whisper_apr_tpu.errors import ModelError
+        from whisper_apr_tpu.tokenizer import SpecialTokens
+        cfg = small_config()
+        bad = SpecialTokens(eot=99_999, sot=99_998, lang_base=10,
+                            transcribe=11, no_timestamps=12,
+                            timestamp_base=10_000, is_multilingual=False,
+                            translate=13)
+        with pytest.raises(ModelError):
+            WhisperApr.from_hf_model(make_hf_twin(cfg, seed=0), cfg,
+                                     specials=bad)
+
+
+class TestConfigPresets:
+    def test_all_named_presets(self):
+        from whisper_apr_tpu.config import ModelConfig
+        for name in ("tiny", "base", "small", "medium", "large-v3",
+                     "large-v3-turbo"):
+            cfg = ModelConfig.from_name(name)
+            assert cfg.n_audio_state % cfg.n_audio_head == 0
+            assert cfg.audio_head_dim * cfg.n_audio_head \
+                == cfg.n_audio_state
+            assert cfg.text_head_dim > 0
+            assert isinstance(cfg.model_type_code, int)
+        from whisper_apr_tpu.errors import ConfigError
+        with pytest.raises((ConfigError, KeyError, ValueError)):
+            ModelConfig.from_name("nonexistent-model")
+
+    def test_divisibility_validation(self):
+        from whisper_apr_tpu.config import ModelConfig
+        from whisper_apr_tpu.errors import ConfigError
+        with pytest.raises(ConfigError):
+            ModelConfig(model_type="tiny", n_vocab=100, n_audio_ctx=8,
+                        n_audio_state=65, n_audio_head=4, n_audio_layer=1,
+                        n_text_ctx=8, n_text_state=64, n_text_head=4,
+                        n_text_layer=1, n_mels=80)
+
+
+class TestTuiRunLoop:
+    def test_run_tui_with_stub_curses(self, tmp_path, monkeypatch):
+        """Drive run_tui end-to-end with a stubbed curses screen."""
+        import wave
+        from helpers import make_hf_twin, small_config, small_specials
+        import whisper_apr_tpu.cli.tui as tui_mod
+
+        # build a tiny apr + wav like the CLI E2E fixture but smaller
+        from whisper_apr_tpu.audio.mel import mel_filterbank
+        from whisper_apr_tpu.format import AprWriter, MelFilterbankData
+        from whisper_apr_tpu.tokenizer import Vocabulary
+        from whisper_apr_tpu.tools.convert import hf_state_dict_to_apr_tensors
+        # full vocab so the default SpecialTokens table fits the model
+        cfg = small_config(n_vocab=51_865)
+        hf = make_hf_twin(cfg, seed=0)
+        sd = {k: v.detach().cpu().numpy() for k, v in hf.state_dict().items()}
+        w = AprWriter.from_config(cfg)
+        for name, arr in hf_state_dict_to_apr_tensors(sd).items():
+            w.add_tensor(name, arr)
+        vocab = Vocabulary.with_base_tokens()
+        while len(vocab) < cfg.n_vocab:
+            vocab.add_token(b"<|t%d|>" % len(vocab))
+        w.set_vocabulary(vocab.to_bytes())
+        w.set_mel_filterbank(MelFilterbankData(80, 201, mel_filterbank(80)))
+        model = str(tmp_path / "m.apr")
+        w.write_file(model)
+        clip = str(tmp_path / "c.wav")
+        pcm = (np.clip(np.random.default_rng(0).normal(0, 0.1, 4000), -1, 1)
+               * 32767).astype(np.int16)
+        with wave.open(clip, "wb") as f:
+            f.setnchannels(1)
+            f.setsampwidth(2)
+            f.setframerate(16000)
+            f.writeframes(pcm.tobytes())
+
+        class StubScreen:
+            def __init__(self):
+                self.frames = 0
+
+            def nodelay(self, *_):
+                pass
+
+            def erase(self):
+                pass
+
+            def getmaxyx(self):
+                return (40, 100)
+
+            def addnstr(self, *_):
+                self.frames += 1
+
+            def refresh(self):
+                pass
+
+            def getch(self):
+                return ord("q")
+
+        stub = StubScreen()
+
+        class StubCurses:
+            error = Exception
+
+            @staticmethod
+            def wrapper(fn):
+                return fn(stub)
+
+            @staticmethod
+            def curs_set(*_):
+                pass
+
+        monkeypatch.setitem(__import__("sys").modules, "curses", StubCurses)
+
+        import argparse
+        args = argparse.Namespace(model=model, audio=clip, language="en",
+                                  max_tokens=4, verbose=False, quiet=True)
+        rc = tui_mod.run_tui(args)
+        assert rc == 0
+        assert stub.frames > 0

@@ -67,3 +67,36 @@ class TestNative:
         y = SincResampler(48_000, 16_000).resample(
             np.ones(4800, np.float32))
         assert len(y) == 1600
+
+
+class TestNativeLz4:
+    def test_matches_python_decoder(self):
+        """C++ block decoder vs the Python reference on round-trips."""
+        from whisper_apr_tpu import native
+        from whisper_apr_tpu.format.compress import compress_block
+        if not native.available():
+            pytest.skip("no native library")
+        rng = np.random.default_rng(0)
+        for data in (b"", b"abc", b"ab" * 4000,
+                     rng.integers(0, 8, 5000).astype(np.uint8).tobytes(),
+                     rng.integers(0, 256, 3000).astype(np.uint8).tobytes()):
+            comp = compress_block(data)
+            out = native.lz4_decompress_block(comp, max(len(data), 1))
+            assert out == data, (len(data), len(out or b""))
+
+    def test_malformed_returns_none(self):
+        from whisper_apr_tpu import native
+        if not native.available():
+            pytest.skip("no native library")
+        # match offset pointing before the start of output
+        import struct
+        bad = bytes([0x14]) + b"a" + struct.pack("<H", 9) + b"\0\0"
+        assert native.lz4_decompress_block(bad, 64) is None
+
+    def test_python_decoder_used_when_native_rejects(self):
+        """decompress_block still raises exact FormatErrors via the
+        Python fallback when input is malformed."""
+        from whisper_apr_tpu.errors import FormatError
+        from whisper_apr_tpu.format.compress import decompress_block
+        with pytest.raises(FormatError):
+            decompress_block(b"\xff\xff\xff", 10)

@@ -55,11 +55,51 @@ def _executable_lines(path):
     return lines
 
 
+def _report_from_executed():
+    data = {}
+    for dirpath, _, files in os.walk(PKG):
+        for f in sorted(files):
+            if not f.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, f)
+            rel = os.path.relpath(path, ROOT)
+            exe = _executable_lines(path)
+            hit = executed.get(path, set()) & exe
+            data[rel] = {"executable": len(exe), "covered": len(hit),
+                         "pct": round(100.0 * len(hit) / len(exe), 1)
+                         if exe else 100.0}
+    total_e = sum(v["executable"] for v in data.values())
+    total_c = sum(v["covered"] for v in data.values())
+    data["__total__"] = {"executable": total_e, "covered": total_c,
+                         "pct": round(100.0 * total_c / max(total_e, 1), 1)}
+    return data
+
+
 def main():
     if len(sys.argv) > 2 and sys.argv[1] == "--report":
         data = json.load(open(sys.argv[2]))
         _print_table(data)
         return
+
+    if len(sys.argv) > 2 and sys.argv[1] == "--merge":
+        # merge raw executed-line dumps (from --dump shards and subprocess
+        # workers) into one report — long single runs can die to flaky XLA
+        # CPU compiler segfaults, so the suite is shardable
+        for path in sys.argv[2:]:
+            dump = json.load(open(path))
+            for fn, lines in dump.items():
+                executed[fn].update(lines)
+        data = _report_from_executed()
+        with open(os.path.join(ROOT, "COVERAGE.json"), "w") as f:
+            json.dump(data, f, indent=1, sort_keys=True)
+        _print_table(data)
+        return
+
+    dump_path = None
+    if "--dump" in sys.argv:
+        i = sys.argv.index("--dump")
+        dump_path = sys.argv[i + 1]
+        del sys.argv[i: i + 2]
 
     show_missing = None
     if "--missing" in sys.argv:
@@ -93,22 +133,11 @@ def main():
         for fn, lines in dump.items():
             executed[fn].update(lines)
 
-    data = {}
-    for dirpath, _, files in os.walk(PKG):
-        for f in sorted(files):
-            if not f.endswith(".py"):
-                continue
-            path = os.path.join(dirpath, f)
-            rel = os.path.relpath(path, ROOT)
-            exe = _executable_lines(path)
-            hit = executed.get(path, set()) & exe
-            data[rel] = {"executable": len(exe), "covered": len(hit),
-                         "pct": round(100.0 * len(hit) / len(exe), 1)
-                         if exe else 100.0}
-    total_e = sum(v["executable"] for v in data.values())
-    total_c = sum(v["covered"] for v in data.values())
-    data["__total__"] = {"executable": total_e, "covered": total_c,
-                         "pct": round(100.0 * total_c / max(total_e, 1), 1)}
+    if dump_path:
+        with open(dump_path, "w") as f:
+            json.dump({k: sorted(v) for k, v in executed.items()}, f)
+
+    data = _report_from_executed()
     with open(os.path.join(ROOT, "COVERAGE.json"), "w") as f:
         json.dump(data, f, indent=1, sort_keys=True)
     _print_table(data)

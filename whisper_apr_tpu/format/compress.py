@@ -36,7 +36,13 @@ def decompress_block(compressed: bytes, decompressed_size: int) -> bytes:
 
 def _decode_block(compressed: bytes, max_size: int = MAX_BLOCK_SIZE) -> bytes:
     """Decode a raw LZ4 block until the input is consumed (output size may
-    be unknown, as in standard LZ4 frames)."""
+    be unknown, as in standard LZ4 frames). Prefers the native C++ decoder
+    (native/aprcore.cpp — the byte loop Python is worst at); the Python
+    path remains the exact-error fallback."""
+    from ..native import lz4_decompress_block
+    fast = lz4_decompress_block(compressed, max_size)
+    if fast is not None:
+        return fast
     src = compressed
     n = len(src)
     out = bytearray()

@@ -68,6 +68,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.aprcore_frame_energy_zcr.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int32,
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float)]
+        lib.aprcore_lz4_decompress_block.restype = ctypes.c_int64
+        lib.aprcore_lz4_decompress_block.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_char), ctypes.c_int64]
         _lib = lib
         return _lib
 
@@ -115,6 +119,20 @@ def pcm16_to_f32_mono(pcm: np.ndarray, n_channels: int) -> Optional[np.ndarray]:
         pcm.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), len(pcm),
         n_channels, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
     return out[:n] if n >= 0 else None
+
+
+def lz4_decompress_block(src: bytes, dst_cap: int) -> Optional[bytes]:
+    """Native LZ4 block decode (the .apr load hot path; reference keeps a
+    pure-Rust decompressor, compress.rs). None if unavailable or malformed
+    — the caller falls back to the Python decoder for exact errors."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    dst = ctypes.create_string_buffer(dst_cap)
+    n = lib.aprcore_lz4_decompress_block(src, len(src), dst, dst_cap)
+    if n < 0:
+        return None
+    return dst.raw[:n]
 
 
 def frame_energy_zcr(audio: np.ndarray, frame_size: int):

@@ -143,4 +143,59 @@ void aprcore_frame_energy_zcr(const float* in, int64_t n, int32_t frame_size,
     }
 }
 
+// ---------------------------------------------------------------------------
+// LZ4 block decompression (the .apr load hot path; reference: the pure-Rust
+// decompressor in src/format/compress.rs:1-60 — here native C++, the byte
+// loop Python is worst at)
+// ---------------------------------------------------------------------------
+
+// Decodes one LZ4 BLOCK (no frame header) into dst. Returns bytes written,
+// or -1 on malformed input / capacity overflow.
+int64_t aprcore_lz4_decompress_block(const uint8_t* src, int64_t src_len,
+                                     uint8_t* dst, int64_t dst_cap) {
+    int64_t si = 0, di = 0;
+    while (si < src_len) {
+        const uint8_t token = src[si++];
+        // literals
+        int64_t lit = token >> 4;
+        if (lit == 15) {
+            uint8_t b;
+            do {
+                if (si >= src_len) return -1;
+                b = src[si++];
+                lit += b;
+            } while (b == 255);
+        }
+        if (si + lit > src_len || di + lit > dst_cap) return -1;
+        std::memcpy(dst + di, src + si, (size_t)lit);
+        si += lit;
+        di += lit;
+        if (si >= src_len) break;  // last sequence has no match part
+        // match
+        if (si + 2 > src_len) return -1;
+        const int64_t offset = (int64_t)src[si] | ((int64_t)src[si + 1] << 8);
+        si += 2;
+        if (offset == 0 || offset > di) return -1;
+        int64_t mlen = (token & 0x0F) + 4;
+        if ((token & 0x0F) == 15) {
+            uint8_t b;
+            do {
+                if (si >= src_len) return -1;
+                b = src[si++];
+                mlen += b;
+            } while (b == 255);
+        }
+        if (di + mlen > dst_cap) return -1;
+        // overlapping copies must run byte-by-byte (offset < mlen repeats)
+        const uint8_t* from = dst + di - offset;
+        if (offset >= mlen) {
+            std::memcpy(dst + di, from, (size_t)mlen);
+            di += mlen;
+        } else {
+            for (int64_t i = 0; i < mlen; ++i, ++di) dst[di] = from[i];
+        }
+    }
+    return di;
+}
+
 }  // extern "C"

@@ -405,3 +405,74 @@ class TestTuiRunLoop:
         rc = tui_mod.run_tui(args)
         assert rc == 0
         assert stub.frames > 0
+
+
+class TestTranscribeServerSingleThread:
+    def test_single_thread_mode_and_bad_body(self, engine):
+        """single_thread=True pumps the device loop inside the handler
+        (the required mode on remotely-tunneled devices); malformed
+        bodies answer 400."""
+        from whisper_apr_tpu.cli.serve import TranscribeServer
+        port = 18741
+        server = TranscribeServer(engine, port=port, n_slots=1,
+                                  single_thread=True)
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        try:
+            for _ in range(100):
+                try:
+                    with urllib.request.urlopen(
+                            f"http://127.0.0.1:{port}/healthz",
+                            timeout=2) as r:
+                        assert json.loads(r.read())["status"] == "ok"
+                    break
+                except OSError:
+                    time.sleep(0.1)
+            else:
+                pytest.fail("server did not come up")
+            rng = np.random.default_rng(1)
+            audio = rng.normal(0, 0.1, 3200).astype("<f4")
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/v1/transcribe?language=en"
+                f"&max_tokens=4",
+                data=audio.tobytes(),
+                headers={"X-Sample-Format": "f32le"})
+            with urllib.request.urlopen(req, timeout=120) as r:
+                out = json.loads(r.read())
+            assert "text" in out
+            # malformed WAV body -> 400
+            bad = urllib.request.Request(
+                f"http://127.0.0.1:{port}/v1/transcribe",
+                data=b"not-a-wav")
+            try:
+                urllib.request.urlopen(bad, timeout=30)
+                pytest.fail("expected 400")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+        finally:
+            server.shutdown()
+            t.join(timeout=10)
+
+    def test_run_serve_entry(self, engine, monkeypatch, tmp_path):
+        """run_serve wires args -> server; KeyboardInterrupt shuts down."""
+        import argparse
+        from whisper_apr_tpu.cli import serve as serve_mod
+
+        called = {}
+
+        def fake_load(args):
+            return engine
+
+        def fake_forever(self):
+            called["up"] = True
+            raise KeyboardInterrupt
+
+        monkeypatch.setattr("whisper_apr_tpu.cli.commands._load_engine",
+                            fake_load)
+        monkeypatch.setattr(serve_mod.TranscribeServer, "serve_forever",
+                            fake_forever)
+        args = argparse.Namespace(model="x.apr", host="127.0.0.1",
+                                  port=18790, slots=1, single_thread=False,
+                                  verbose=False, quiet=True)
+        assert serve_mod.run_serve(args) == 0
+        assert called["up"]

@@ -242,3 +242,55 @@ class TestIncrementalCrc32:
         assert 0 <= c.finalize() <= 0xFFFFFFFF
         # a fresh instance over empty data matches too
         assert Crc32().finalize() == crc32(b"")
+
+
+class TestLz4FrameErrorPaths:
+    """Frame-parser failure branches (round-3 coverage push)."""
+
+    def _frame(self, data=b"hello world " * 10):
+        from whisper_apr_tpu.format.compress import lz4_frame_compress
+        return lz4_frame_compress(data), data
+
+    def test_roundtrip_sanity(self):
+        from whisper_apr_tpu.format.compress import lz4_frame_decompress
+        frame, data = self._frame()
+        assert lz4_frame_decompress(frame) == data
+
+    def test_truncated_and_bad_magic(self):
+        from whisper_apr_tpu.errors import FormatError
+        from whisper_apr_tpu.format.compress import lz4_frame_decompress
+        frame, _ = self._frame()
+        with pytest.raises(FormatError):
+            lz4_frame_decompress(frame[:5])
+        with pytest.raises(FormatError):
+            lz4_frame_decompress(b"\x00\x00\x00\x00" + frame[4:])
+
+    def test_header_checksum_mismatch(self):
+        from whisper_apr_tpu.errors import FormatError
+        from whisper_apr_tpu.format.compress import lz4_frame_decompress
+        frame, _ = self._frame()
+        # flip the header-checksum byte (offset 6: magic 4 + FLG + BD)
+        bad = bytearray(frame)
+        bad[6] ^= 0xFF
+        with pytest.raises(FormatError):
+            lz4_frame_decompress(bytes(bad))
+
+    def test_truncated_block(self):
+        from whisper_apr_tpu.errors import FormatError
+        from whisper_apr_tpu.format.compress import lz4_frame_decompress
+        frame, _ = self._frame(b"abcabcabc" * 50)
+        with pytest.raises(FormatError):
+            lz4_frame_decompress(frame[:-6])  # cut inside the last block
+
+    def test_bad_version_bits(self):
+        from whisper_apr_tpu.errors import FormatError
+        from whisper_apr_tpu.format.compress import (lz4_frame_decompress,
+                                                     xxh32)
+        frame, _ = self._frame()
+        bad = bytearray(frame)
+        bad[4] = (bad[4] & 0x3F) | 0x80          # version bits 0b10
+        # refresh the header checksum so the version check is what trips
+        desc = bytes(bad[4:6])
+        bad[6] = (xxh32(desc) >> 8) & 0xFF
+        with pytest.raises(FormatError):
+            lz4_frame_decompress(bytes(bad))

@@ -191,18 +191,74 @@ def q4k_measure(lo, hi):
           f"({nbytes/s_mv/2**30:5.0f} GiB/s eff)", flush=True)
 
 
+def int8dot_probe():
+    """Does Mosaic lower int8 x int8 MXU dots? (the VERDICT-6 lever: B=8
+    int8-KV serving pays 1.47 ms/step of VPU casts; native int8 dots with
+    row/column scale commutation would remove them — the reference's
+    quantized-domain accumulate, quantized.rs:2501.)"""
+    import functools
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    M, K, N = 256, 256, 256
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.integers(-127, 128, (M, K), dtype=np.int8))
+    b = jnp.asarray(rng.integers(-127, 128, (K, N), dtype=np.int8))
+
+    def kern(a_ref, b_ref, o_ref):
+        o_ref[...] = jax.lax.dot(
+            a_ref[...], b_ref[...], preferred_element_type=jnp.int32)
+
+    try:
+        t0 = time.time()
+        out = pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((M, N), jnp.int32),
+        )(a, b)
+        got = np.asarray(out)
+        want = np.asarray(a, np.int32) @ np.asarray(b, np.int32)
+        print(f"int8xint8 dot: OK ({time.time()-t0:.1f}s) exact="
+              f"{np.array_equal(got, want)}")
+    except Exception as e:  # noqa: BLE001
+        print(f"int8xint8 dot: FAILED {type(e).__name__}: {str(e)[:300]}")
+
+    # mixed int8 x bf16 (would avoid quantizing the q/p side)
+    bb = jnp.asarray(rng.normal(0, 1, (K, N)).astype(np.float32)
+                     ).astype(jnp.bfloat16)
+
+    def kern2(a_ref, b_ref, o_ref):
+        o_ref[...] = jax.lax.dot(
+            a_ref[...], b_ref[...], preferred_element_type=jnp.float32)
+
+    try:
+        out = pl.pallas_call(
+            kern2,
+            out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
+        )(a, bb)
+        got = np.asarray(out)
+        want = np.asarray(a, np.float32) @ np.asarray(bb, np.float32)
+        rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+        print(f"int8xbf16 dot: OK relerr {rel:.2e}")
+    except Exception as e:  # noqa: BLE001
+        print(f"int8xbf16 dot: FAILED {type(e).__name__}: {str(e)[:300]}")
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--large", action="store_true")
     ap.add_argument("--q4k", action="store_true")
+    ap.add_argument("--int8dot", action="store_true")
     ap.add_argument("--which", default="ql_alias",
                     help="comma list: ql_alias,ql_noalias,qf")
     ap.add_argument("--lo", type=int, default=16)
     ap.add_argument("--hi", type=int, default=144)
     args = ap.parse_args()
     print("devices:", jax.devices(), flush=True)
-    if not (args.large or args.q4k):
+    if not (args.large or args.q4k or args.int8dot):
         tiny_probe()
+    if args.int8dot:
+        int8dot_probe()
     if args.large:
         large_measure(args.lo, args.hi, args.which.split(","))
     if args.q4k:

@@ -294,3 +294,62 @@ class TestLz4FrameErrorPaths:
         bad[6] = (xxh32(desc) >> 8) & 0xFF
         with pytest.raises(FormatError):
             lz4_frame_decompress(bytes(bad))
+
+
+class TestValidatorFailureBranches:
+    """Corrupted-model checks must FAIL, not silently pass (round-3
+    coverage push; reference: validation.rs per-check failure paths)."""
+
+    def _bad_model_report(self, corrupt):
+        """Build a tiny real-shaped model, corrupt it, validate."""
+        import sys
+        sys.path.insert(0, "tests")
+        from helpers import make_hf_twin, small_config
+        from whisper_apr_tpu.format.container import AprWriter
+        from whisper_apr_tpu.format.validation import AprValidator
+        from whisper_apr_tpu.tools.convert import hf_state_dict_to_apr_tensors
+        cfg = small_config()
+        hf = make_hf_twin(cfg, seed=0)
+        sd = {k: v.detach().cpu().numpy()
+              for k, v in hf.state_dict().items()}
+        tensors = hf_state_dict_to_apr_tensors(sd)
+        corrupt(tensors)
+        w = AprWriter.from_config(cfg)
+        for name, arr in tensors.items():
+            w.add_tensor(name, arr)
+        r = AprReader(w.to_bytes())
+        return AprValidator(r).validate_all()
+
+    def test_nan_ln_and_bad_means_fail(self):
+        def corrupt(t):
+            for name in list(t):
+                if name.endswith("self_attn_layer_norm.weight"):
+                    t[name] = t[name] * 0 + 100.0      # out-of-range mean
+                if name.endswith("final_layer_norm.bias"):
+                    bad = t[name].copy()
+                    bad[0] = np.nan
+                    t[name] = bad
+        rep = self._bad_model_report(corrupt)
+        assert not rep.passed
+        failed = {c.id for c in rep.checks if not c.passed}
+        assert 8 in failed or 9 in failed      # LN mean checks
+        assert 10 in failed                    # NaN in LN
+
+    def test_zero_embedding_fails(self):
+        def corrupt(t):
+            for name in list(t):
+                if "embed_tokens" in name:
+                    t[name] = np.zeros_like(t[name])
+        rep = self._bad_model_report(corrupt)
+        failed = {c.id for c in rep.checks if not c.passed}
+        assert 17 in failed                    # token embedding stats
+
+    def test_inf_attention_weight_fails(self):
+        def corrupt(t):
+            for name in list(t):
+                if name.endswith("0.self_attn.q_proj.weight"):
+                    bad = t[name].copy()
+                    bad[0, 0] = np.inf
+                    t[name] = bad
+        rep = self._bad_model_report(corrupt)
+        assert not rep.passed

@@ -243,12 +243,20 @@ class AprValidator:
         for desc in r.tensors:
             if desc.name.endswith(".weight") and desc.n_dims >= 2:
                 stats = self._stats(desc.name)
-                if stats is not None and (stats.std > 20.0 or
-                                          (stats.std == 0.0 and not stats.all_zero)):
+                if stats is None:
+                    continue
+                # NaN/Inf anywhere in a weight matrix is disqualifying —
+                # the mean/std fields cover FINITE values only, so without
+                # this an Inf in e.g. q_proj escaped every check (found by
+                # the round-3 corrupted-model tests)
+                if stats.has_nan or stats.has_inf:
+                    std_bad.append(f"{desc.name} has NaN/Inf")
+                elif stats.std > 20.0 or (stats.std == 0.0
+                                          and not stats.all_zero):
                     std_bad.append(f"{desc.name} std={stats.std:.3f}")
-        out.append(ValidationCheck.ok(13, "C", "Weight std reasonable", "all within range")
+        out.append(ValidationCheck.ok(13, "C", "Weight std/finite", "all within range")
                    if not std_bad else
-                   ValidationCheck.fail(13, "C", "Weight std reasonable", "; ".join(std_bad[:5])))
+                   ValidationCheck.fail(13, "C", "Weight std/finite", "; ".join(std_bad[:5])))
 
         zero = []
         for desc in r.tensors:

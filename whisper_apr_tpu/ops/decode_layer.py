@@ -101,9 +101,23 @@ class _Phases:
         self.n_sa, self.n_ca = n_sa, n_ca
 
 
-def _lane_slice(vec, j, width: int):
-    """[1, X] f32 value -> [1, width] starting at lane j*width (aligned)."""
-    return jax.lax.dynamic_slice(vec, (0, j * width), (1, width))
+def _tile_rows(dst_ref, vec, width: int):
+    """Mirror a [1, X] value into an [X/width, width] scratch with STATIC
+    slices (one per tile, at a phase-head step).
+
+    Mosaic cannot lower ``dynamic_slice`` on the LANE axis of a value, so
+    per-tile activation reads go through this row-tiled mirror instead:
+    writing uses static lane slices, and the per-step read is a dynamic
+    SUBLANE index (``ref[pl.ds(j, 1)]``), which lowers fine.
+    """
+    n = vec.shape[1] // width
+    for t in range(n):
+        dst_ref[t: t + 1, :] = vec[:, t * width: (t + 1) * width]
+
+
+def _row(tref, j):
+    """[1, width] row j (traced) of a row-tiled scratch."""
+    return tref[pl.ds(j, 1), :]
 
 
 def _layer_kernel(lengths_ref, layer_ref, nt_ref, x_ref,
@@ -112,11 +126,11 @@ def _layer_kernel(lengths_ref, layer_ref, nt_ref, x_ref,
                   ckq_ref, cks_ref, cvq_ref, cvs_ref,
                   wo3_ref, so3_ref, bo3_ref,
                   w1_ref, s1_ref, b1_ref, w2_ref, f2s_ref, f2b_ref,
-                  e_ref, et_ref,
+                  e_ref, et_ref, kgrp_ref, vgrp_ref,
                   # outputs
                   xo_ref, k8_ref, ksc_ref, v8_ref, vsc_ref,
                   # scratch
-                  x32_s, h_s, qkv_s, g_s, y_s, q_s, kc_s, vc_s,
+                  x32_s, h_s, ht_s, gt_s, qkv_s, g_s, y_s, q_s, kc_s, vc_s,
                   m_ref, l_ref, acc_ref,
                   *, d: int, ph: _Phases, scale: float, quantized: bool,
                   alias_kv: bool):
@@ -131,12 +145,14 @@ def _layer_kernel(lengths_ref, layer_ref, nt_ref, x_ref,
     def _p0_head():
         x32 = x_ref[0].astype(jnp.float32)
         x32_s[...] = x32
-        h_s[...] = _ln1(x32, ln_ref[0, 0:1, :], ln_ref[0, 1:2, :])
+        h = _ln1(x32, ln_ref[0, 0:1, :], ln_ref[0, 1:2, :])
+        h_s[...] = h
+        _tile_rows(ht_s, h, bk)
         qkv_s[...] = jnp.zeros_like(qkv_s)
 
     @pl.when(i < ph.p1)
     def _p0_body():
-        hk = _lane_slice(h_s[...], i - ph.p0, bk).astype(cdt)
+        hk = _row(ht_s, i - ph.p0).astype(cdt)
         w = wqkv_ref[0].astype(cdt)                      # [bk, 3D]
         qkv_s[...] += jax.lax.dot(hk, w, preferred_element_type=jnp.float32)
 
@@ -156,29 +172,31 @@ def _layer_kernel(lengths_ref, layer_ref, nt_ref, x_ref,
             amax_v = jnp.max(jnp.abs(v), axis=-1, keepdims=True)
             vsc = jnp.maximum(amax_v, 1e-12) / 127.0
             v8 = jnp.clip(jnp.round(v / vsc), -127, 127).astype(jnp.int8)
-            if alias_kv:
-                k8_ref[...] = k8[None, None]
-                v8_ref[...] = v8[None, None]
-            else:
-                k8_ref[...] = k8[None]
-                v8_ref[...] = v8[None]
+            k_row, v_row = k8, v8
             ksc_ref[...] = jnp.broadcast_to(ks, ksc_ref.shape)
             vsc_ref[...] = jnp.broadcast_to(vsc, vsc_ref.shape)
             kc_s[...] = k8.astype(jnp.float32) * ks
             vc_s[...] = v8.astype(jnp.float32) * vsc
         else:
-            kb = k.astype(cdt)
-            vb = v.astype(cdt)
-            if alias_kv:
-                k8_ref[...] = kb[None, None]
-                v8_ref[...] = vb[None, None]
-            else:
-                k8_ref[...] = kb[None]
-                v8_ref[...] = vb[None]
+            k_row = k.astype(cdt)
+            v_row = v.astype(cdt)
             ksc_ref[...] = jnp.ones(ksc_ref.shape, jnp.float32)
             vsc_ref[...] = jnp.ones(vsc_ref.shape, jnp.float32)
-            kc_s[...] = kb.astype(jnp.float32)
-            vc_s[...] = vb.astype(jnp.float32)
+            kc_s[...] = k_row.astype(jnp.float32)
+            vc_s[...] = v_row.astype(jnp.float32)
+        if alias_kv:
+            # Mosaic forbids single-row output blocks (sublane dim must be
+            # a multiple of 8): the output is the 8-row GROUP holding
+            # ``pos`` — copy the current group in, overwrite row pos % 8
+            # with a dynamic-sublane store
+            sub = lengths_ref[0] % 8
+            k8_ref[...] = kgrp_ref[...]
+            v8_ref[...] = vgrp_ref[...]
+            k8_ref[0, 0, pl.ds(sub, 1), :] = k_row.astype(k8_ref.dtype)
+            v8_ref[0, 0, pl.ds(sub, 1), :] = v_row.astype(v8_ref.dtype)
+        else:
+            k8_ref[...] = k_row[None]
+            v8_ref[...] = v_row[None]
         m_ref[...] = jnp.full(m_ref.shape, -jnp.inf, jnp.float32)
         l_ref[...] = jnp.zeros(l_ref.shape, jnp.float32)
         acc_ref[...] = jnp.zeros(acc_ref.shape, jnp.float32)
@@ -235,13 +253,15 @@ def _layer_kernel(lengths_ref, layer_ref, nt_ref, x_ref,
         acc = acc_ref[...] * alpha_d + p_d * vc_s[...]
         l_d = jax.lax.dot(jnp.maximum(l_f, 1e-30), et,
                           preferred_element_type=jnp.float32)
-        h_s[...] = acc / l_d                             # attn out -> h_s
+        attn = acc / l_d                                 # attn out -> h
+        h_s[...] = attn
+        _tile_rows(ht_s, attn, bk)
         y_s[...] = jnp.zeros_like(y_s)
 
     # ---- P2: self o-proj (stream over K) --------------------------------
     @pl.when((i >= ph.p2) & (i < ph.p3))
     def _p2_body():
-        ak = _lane_slice(h_s[...], i - ph.p2, bk).astype(cdt)
+        ak = _row(ht_s, i - ph.p2).astype(cdt)
         w = wo3_ref[0].astype(cdt)                       # [bk, D]
         y_s[...] += jax.lax.dot(ak, w, preferred_element_type=jnp.float32)
 
@@ -253,13 +273,15 @@ def _layer_kernel(lengths_ref, layer_ref, nt_ref, x_ref,
             + bo3_ref[0].astype(jnp.float32)
         x32 = x32_s[...] + y
         x32_s[...] = x32
-        h_s[...] = _ln1(x32, ln_ref[0, 2:3, :], ln_ref[0, 3:4, :])
+        h = _ln1(x32, ln_ref[0, 2:3, :], ln_ref[0, 3:4, :])
+        h_s[...] = h
+        _tile_rows(ht_s, h, bk)
         q_s[...] = jnp.zeros_like(q_s)
 
     # ---- P3: cross-q (stream over K) ------------------------------------
     @pl.when((i >= ph.p3) & (i < ph.p4))
     def _p3_body():
-        hk = _lane_slice(h_s[...], i - ph.p3, bk).astype(cdt)
+        hk = _row(ht_s, i - ph.p3).astype(cdt)
         w = wo3_ref[0].astype(cdt)                       # wcq tile [bk, D]
         q_s[...] += jax.lax.dot(hk, w, preferred_element_type=jnp.float32)
 
@@ -282,13 +304,15 @@ def _layer_kernel(lengths_ref, layer_ref, nt_ref, x_ref,
     def _p4_tail():
         l_d = jax.lax.dot(jnp.maximum(l_ref[...], 1e-30), et,
                           preferred_element_type=jnp.float32)
-        h_s[...] = acc_ref[...] / l_d
+        attn = acc_ref[...] / l_d
+        h_s[...] = attn
+        _tile_rows(ht_s, attn, bk)
         y_s[...] = jnp.zeros_like(y_s)
 
     # ---- P5: cross o-proj ------------------------------------------------
     @pl.when((i >= ph.p5) & (i < ph.p6))
     def _p5_body():
-        ak = _lane_slice(h_s[...], i - ph.p5, bk).astype(cdt)
+        ak = _row(ht_s, i - ph.p5).astype(cdt)
         w = wo3_ref[0].astype(cdt)                       # cross_wo tile
         y_s[...] += jax.lax.dot(ak, w, preferred_element_type=jnp.float32)
 
@@ -299,12 +323,14 @@ def _layer_kernel(lengths_ref, layer_ref, nt_ref, x_ref,
             + bo3_ref[0].astype(jnp.float32)
         x32 = x32_s[...] + y
         x32_s[...] = x32
-        h_s[...] = _ln1(x32, ln_ref[0, 4:5, :], ln_ref[0, 5:6, :])
+        h = _ln1(x32, ln_ref[0, 4:5, :], ln_ref[0, 5:6, :])
+        h_s[...] = h
+        _tile_rows(ht_s, h, bk)
         g_s[...] = jnp.zeros_like(g_s)
 
     @pl.when((i >= ph.p6) & (i < ph.p7))
     def _p6_body():
-        hk = _lane_slice(h_s[...], i - ph.p6, bk).astype(cdt)
+        hk = _row(ht_s, i - ph.p6).astype(cdt)
         w = w1_ref[0].astype(cdt)                        # [bk, H]
         g_s[...] += jax.lax.dot(hk, w, preferred_element_type=jnp.float32)
 
@@ -313,12 +339,14 @@ def _layer_kernel(lengths_ref, layer_ref, nt_ref, x_ref,
     def _p7_head():
         t1 = g_s[...] * s1_ref[0].astype(jnp.float32) \
             + b1_ref[0].astype(jnp.float32)
-        g_s[...] = _gelu_exact(t1)
+        g = _gelu_exact(t1)
+        g_s[...] = g
+        _tile_rows(gt_s, g, bh)
         y_s[...] = jnp.zeros_like(y_s)
 
     @pl.when(i >= ph.p7)
     def _p7_body():
-        gk = _lane_slice(g_s[...], i - ph.p7, bh).astype(cdt)
+        gk = _row(gt_s, i - ph.p7).astype(cdt)
         w = w2_ref[0].astype(cdt)                        # [bh, D]
         y_s[...] += jax.lax.dot(gk, w, preferred_element_type=jnp.float32)
 
@@ -483,15 +511,24 @@ def layer_block(x: jnp.ndarray, blk: dict,
                      im(lambda i, lens, lyr, nt_r: (0, 0))),       # e
         pl.BlockSpec((n_heads, D),
                      im(lambda i, lens, lyr, nt_r: (0, 0))),       # et
+        # 8-row cache group holding `pos` (alias mode reads it to preserve
+        # the 7 sibling rows when writing the whole output block)
+        pl.BlockSpec((1, 1, 8, D),
+                     im(lambda i, lens, lyr, nt_r:
+                        (lyr[0], 0, lens[0] // 8, 0))),            # kgrp
+        pl.BlockSpec((1, 1, 8, D),
+                     im(lambda i, lens, lyr, nt_r:
+                        (lyr[0], 0, lens[0] // 8, 0))),            # vgrp
     ]
 
     out_row = pl.BlockSpec((1, 1, D),
                            im(lambda i, lens, lyr, nt_r: (0, 0, 0)))
     if alias_kv:
-        # k/v rows written straight into the cache stacks (row `pos`)
+        # k/v rows land in the cache stacks via the 8-row group block
+        # (Mosaic requires sublane-dim blocks in multiples of 8)
         kv_out = pl.BlockSpec(
-            (1, 1, 1, D),
-            im(lambda i, lens, lyr, nt_r: (lyr[0], 0, lens[0], 0)))
+            (1, 1, 8, D),
+            im(lambda i, lens, lyr, nt_r: (lyr[0], 0, lens[0] // 8, 0)))
         out_shapes = (
             jax.ShapeDtypeStruct((1, 1, D), x.dtype),              # x_out
             jax.ShapeDtypeStruct(skq.shape, skq.dtype),            # skq'
@@ -536,6 +573,8 @@ def layer_block(x: jnp.ndarray, blk: dict,
             scratch_shapes=[
                 pltpu.VMEM((1, D), jnp.float32),       # x32 residual
                 pltpu.VMEM((1, D), jnp.float32),       # h (post-LN / attn)
+                pltpu.VMEM((D // bk, bk), jnp.float32),      # h row-tiled
+                pltpu.VMEM((H_ffn // bh, bh), jnp.float32),  # g row-tiled
                 pltpu.VMEM((1, 3 * D), jnp.float32),   # qkv acc
                 pltpu.VMEM((1, H_ffn), jnp.float32),   # g (fc1 out)
                 pltpu.VMEM((1, D), jnp.float32),       # y acc
@@ -554,7 +593,7 @@ def layer_block(x: jnp.ndarray, blk: dict,
       skq, sks_in, svq, svs_in, ckq, cks_in, cvq, cvs_in,
       blk["wo3"], blk["so3"], blk["bo3"],
       blk["w1"], blk["s1"], blk["b1"], blk["w2"],
-      blk["fc2_s"], blk["fc2_b"], e_mat, et_mat)
+      blk["fc2_s"], blk["fc2_b"], e_mat, et_mat, skq, svq)
 
     if alias_kv:
         x_out, skq2, ksc, svq2, vsc = outs
@@ -600,8 +639,8 @@ def _layer_kernel_b(lengths_ref, layer_ref, nt_ref, x_ref,
                     w1_ref, s1_ref, b1_ref, w2_ref, f2s_ref, f2b_ref,
                     e_ref, et_ref, len_ref,
                     xo_ref, k8_ref, ksc_ref, v8_ref, vsc_ref,
-                    x32_s, h_s, qkv_s, g_s, y_s, q_s, kc_s, vc_s,
-                    m_ref, l_ref, acc_ref,
+                    x32_s, h_s, ht_s, gt_s, qkv_s, g_s, y_s, q_s, kc_s,
+                    vc_s, m_ref, l_ref, acc_ref,
                     *, d: int, b_sz: int, ph: _Phases, scale: float,
                     quantized: bool, enc_len: int):
     i = pl.program_id(0)
@@ -611,20 +650,27 @@ def _layer_kernel_b(lengths_ref, layer_ref, nt_ref, x_ref,
     B = b_sz
     bk, bh, bt_s, bt_c = ph.bk, ph.bh, ph.bt_s, ph.bt_c
 
-    def lane_rows(vec, j, width):
-        return jax.lax.dynamic_slice(vec, (0, j * width), (B, width))
+    def tile3(dst_ref, mat, width):
+        # [B, X] value -> [X/width, B, width] scratch via static slices
+        for t in range(mat.shape[1] // width):
+            dst_ref[t: t + 1] = mat[None, :, t * width: (t + 1) * width]
+
+    def row3(tref, j):
+        return tref[pl.ds(j, 1)][0]                    # [B, width]
 
     # ---- P0 ----
     @pl.when(i == ph.p0)
     def _p0_head():
         x32 = x_ref[...].astype(jnp.float32)             # [B, D]
         x32_s[...] = x32
-        h_s[...] = _ln_rows(x32, ln_ref[0, 0:1, :], ln_ref[0, 1:2, :])
+        h = _ln_rows(x32, ln_ref[0, 0:1, :], ln_ref[0, 1:2, :])
+        h_s[...] = h
+        tile3(ht_s, h, bk)
         qkv_s[...] = jnp.zeros_like(qkv_s)
 
     @pl.when(i < ph.p1)
     def _p0_body():
-        hk = lane_rows(h_s[...], i - ph.p0, bk).astype(cdt)
+        hk = row3(ht_s, i - ph.p0).astype(cdt)
         w = wqkv_ref[0].astype(cdt)
         qkv_s[...] += jax.lax.dot(hk, w, preferred_element_type=jnp.float32)
 
@@ -722,13 +768,15 @@ def _layer_kernel_b(lengths_ref, layer_ref, nt_ref, x_ref,
         acc = acc_ref[...] * alpha_d + p_d * vc_s[...]
         l_d = jax.lax.dot(jnp.maximum(l_f, 1e-30), et,
                           preferred_element_type=jnp.float32)
-        h_s[...] = acc / l_d
+        attn = acc / l_d
+        h_s[...] = attn
+        tile3(ht_s, attn, bk)
         y_s[...] = jnp.zeros_like(y_s)
 
     # ---- P2: self o-proj ----
     @pl.when((i >= ph.p2) & (i < ph.p3))
     def _p2_body():
-        ak = lane_rows(h_s[...], i - ph.p2, bk).astype(cdt)
+        ak = row3(ht_s, i - ph.p2).astype(cdt)
         w = wo3_ref[0].astype(cdt)
         y_s[...] += jax.lax.dot(ak, w, preferred_element_type=jnp.float32)
 
@@ -738,13 +786,15 @@ def _layer_kernel_b(lengths_ref, layer_ref, nt_ref, x_ref,
             + bo3_ref[0].astype(jnp.float32)
         x32 = x32_s[...] + y
         x32_s[...] = x32
-        h_s[...] = _ln_rows(x32, ln_ref[0, 2:3, :], ln_ref[0, 3:4, :])
+        h = _ln_rows(x32, ln_ref[0, 2:3, :], ln_ref[0, 3:4, :])
+        h_s[...] = h
+        tile3(ht_s, h, bk)
         q_s[...] = jnp.zeros_like(q_s)
 
     # ---- P3: cross-q ----
     @pl.when((i >= ph.p3) & (i < ph.p4))
     def _p3_body():
-        hk = lane_rows(h_s[...], i - ph.p3, bk).astype(cdt)
+        hk = row3(ht_s, i - ph.p3).astype(cdt)
         w = wo3_ref[0].astype(cdt)
         q_s[...] += jax.lax.dot(hk, w, preferred_element_type=jnp.float32)
 
@@ -768,13 +818,15 @@ def _layer_kernel_b(lengths_ref, layer_ref, nt_ref, x_ref,
     def _p4_tail():
         l_d = jax.lax.dot(jnp.maximum(l_ref[...], 1e-30), et,
                           preferred_element_type=jnp.float32)
-        h_s[...] = acc_ref[...] / l_d
+        attn = acc_ref[...] / l_d
+        h_s[...] = attn
+        tile3(ht_s, attn, bk)
         y_s[...] = jnp.zeros_like(y_s)
 
     # ---- P5: cross o-proj ----
     @pl.when((i >= ph.p5) & (i < ph.p6))
     def _p5_body():
-        ak = lane_rows(h_s[...], i - ph.p5, bk).astype(cdt)
+        ak = row3(ht_s, i - ph.p5).astype(cdt)
         w = wo3_ref[0].astype(cdt)
         y_s[...] += jax.lax.dot(ak, w, preferred_element_type=jnp.float32)
 
@@ -785,12 +837,14 @@ def _layer_kernel_b(lengths_ref, layer_ref, nt_ref, x_ref,
             + bo3_ref[0].astype(jnp.float32)
         x32 = x32_s[...] + y
         x32_s[...] = x32
-        h_s[...] = _ln_rows(x32, ln_ref[0, 4:5, :], ln_ref[0, 5:6, :])
+        h = _ln_rows(x32, ln_ref[0, 4:5, :], ln_ref[0, 5:6, :])
+        h_s[...] = h
+        tile3(ht_s, h, bk)
         g_s[...] = jnp.zeros_like(g_s)
 
     @pl.when((i >= ph.p6) & (i < ph.p7))
     def _p6_body():
-        hk = lane_rows(h_s[...], i - ph.p6, bk).astype(cdt)
+        hk = row3(ht_s, i - ph.p6).astype(cdt)
         w = w1_ref[0].astype(cdt)
         g_s[...] += jax.lax.dot(hk, w, preferred_element_type=jnp.float32)
 
@@ -799,12 +853,14 @@ def _layer_kernel_b(lengths_ref, layer_ref, nt_ref, x_ref,
     def _p7_head():
         t1 = g_s[...] * s1_ref[0].astype(jnp.float32) \
             + b1_ref[0].astype(jnp.float32)
-        g_s[...] = _gelu_exact(t1)
+        g = _gelu_exact(t1)
+        g_s[...] = g
+        tile3(gt_s, g, bh)
         y_s[...] = jnp.zeros_like(y_s)
 
     @pl.when(i >= ph.p7)
     def _p7_body():
-        gk = lane_rows(g_s[...], i - ph.p7, bh).astype(cdt)
+        gk = row3(gt_s, i - ph.p7).astype(cdt)
         w = w2_ref[0].astype(cdt)
         y_s[...] += jax.lax.dot(gk, w, preferred_element_type=jnp.float32)
 
@@ -973,6 +1029,8 @@ def layer_block_batched(x: jnp.ndarray, blk: dict,
             scratch_shapes=[
                 pltpu.VMEM((B, D), jnp.float32),       # x32
                 pltpu.VMEM((B, D), jnp.float32),       # h
+                pltpu.VMEM((D // bk, B, bk), jnp.float32),      # h tiled
+                pltpu.VMEM((H_ffn // bh, B, bh), jnp.float32),  # g tiled
                 pltpu.VMEM((B, 3 * D), jnp.float32),   # qkv acc
                 pltpu.VMEM((B, H_ffn), jnp.float32),   # g
                 pltpu.VMEM((B, D), jnp.float32),       # y acc

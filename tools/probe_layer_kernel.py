@@ -42,6 +42,11 @@ def tiny_probe():
     from whisper_apr_tpu.model.decoder import init_cache, prefill
     from whisper_apr_tpu.model.params import init_params, quantize_params
 
+    # fidelity comparison: without this, f32 matmuls run at bf16-class
+    # default precision on TPU and the scan-vs-kernel diff reads ~4e-3
+    # from dot-order alone (CLAUDE.md)
+    jax.config.update("jax_default_matmul_precision", "highest")
+
     cfg = ModelConfig(
         model_type="tiny", n_vocab=700, n_audio_ctx=32, n_audio_state=128,
         n_audio_head=4, n_audio_layer=2, n_text_ctx=24, n_text_state=128,
@@ -191,6 +196,50 @@ def q4k_measure(lo, hi):
           f"({nbytes/s_mv/2**30:5.0f} GiB/s eff)", flush=True)
 
 
+def batched_measure(lo, hi, b=8, which=("qf", "ql")):
+    """B-slot serving tick: batched layer kernel vs per-block kernels.
+
+    Round-2d baseline: fused bf16 BATCHED 5.30 ms/step at B=8 large-v3
+    (0.663 ms/slot-token); scan 7.59.
+    """
+    from whisper_apr_tpu.config import ModelConfig
+    from whisper_apr_tpu.model import qdecode
+    from whisper_apr_tpu.model.decoder import init_cache
+    from whisper_apr_tpu.model.params import init_params, quantize_params
+
+    cfg = ModelConfig.from_name("large-v3")
+    params = quantize_params(init_params(cfg, seed=0), "int8")
+    params = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, params)
+    qd = qdecode.add_layer_operands(qdecode.prepare_qdecode(params, cfg))
+    D = cfg.n_text_state
+    enc = jnp.zeros((b, cfg.n_audio_ctx, D), jnp.bfloat16)
+    cache = init_cache(params, enc, cfg, max_len=448,
+                       compute_dtype=jnp.bfloat16)
+    qc = qdecode.quantize_cache(cache, kv_int8=False)
+    tok0 = jnp.zeros((b,), jnp.int32)
+    # mixed per-slot positions (the serving reality)
+    pos0 = jnp.asarray(np.arange(b, dtype=np.int32) * 16)
+    p = P(lo, hi)
+
+    for name in which:
+        step = (qdecode.decode_step_ql if name == "ql"
+                else qdecode.decode_step_qf)
+
+        def body(i, env, carry, _step=step):
+            prm, q_d = env
+            tok, pos, c = carry
+            logits, c = _step(prm, q_d, tok, pos, c, cfg)
+            return (jnp.argmax(logits, -1).astype(jnp.int32), pos + 1, c)
+
+        t0 = time.time()
+        s = p.per_step(body, (params, qd), (tok0, pos0, qc))
+        print(f"B={b} {name:<4}: {s*1e3:8.4f} ms/step  "
+              f"{s*1e3/b:6.4f} ms/slot-token  "
+              f"(compile+measure {time.time()-t0:.0f}s)", flush=True)
+
+
 def int8dot_probe():
     """Does Mosaic lower int8 x int8 MXU dots? (the VERDICT-6 lever: B=8
     int8-KV serving pays 1.47 ms/step of VPU casts; native int8 dots with
@@ -249,16 +298,20 @@ if __name__ == "__main__":
     ap.add_argument("--large", action="store_true")
     ap.add_argument("--q4k", action="store_true")
     ap.add_argument("--int8dot", action="store_true")
+    ap.add_argument("--batched", action="store_true")
+    ap.add_argument("--b", type=int, default=8)
     ap.add_argument("--which", default="ql_alias",
                     help="comma list: ql_alias,ql_noalias,qf")
     ap.add_argument("--lo", type=int, default=16)
     ap.add_argument("--hi", type=int, default=144)
     args = ap.parse_args()
     print("devices:", jax.devices(), flush=True)
-    if not (args.large or args.q4k or args.int8dot):
+    if not (args.large or args.q4k or args.int8dot or args.batched):
         tiny_probe()
     if args.int8dot:
         int8dot_probe()
+    if args.batched:
+        batched_measure(args.lo, args.hi, b=args.b)
     if args.large:
         large_measure(args.lo, args.hi, args.which.split(","))
     if args.q4k:

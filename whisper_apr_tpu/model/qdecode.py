@@ -316,7 +316,10 @@ def decode_step_ql(params: dict, qd: dict, token: jnp.ndarray,
     qcache = cache
     kv_int8 = qcache.self_ks is not None
     batched = B > 1 or multi_pos
-    if batched:
+    if batched or kv_int8:
+        # batched rows scatter per-slot; int8 aliased group writes crash
+        # the Mosaic compiler (observed server-side INTERNAL) and the
+        # scale rows are XLA-written anyway — alias only bf16 B=1
         alias_kv = False
     self_bt = min(SELF_TILE_T, qcache.self_kq.shape[2])
     cross_bt = min(CROSS_TILE_T, qcache.cross_kq.shape[2])

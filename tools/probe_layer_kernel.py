@@ -293,11 +293,100 @@ def int8dot_probe():
         print(f"int8xbf16 dot: FAILED {type(e).__name__}: {str(e)[:300]}")
 
 
+def tricks_probe():
+    """Mosaic lowering checks for the int8-KV MXU restructure (VERDICT-6).
+
+    The plan replaces the per-tile int8->bf16 VPU casts with MXU dots:
+      scores:  s = dot(k8 [bt,D], qe [D,H]) * ks   (k never cast)
+      values:  out = dot_general(p_s [bt,H], v8 [bt,D], contract dim0)
+               contrib = ones_h @ (out * et)       (v never cast)
+    Both need (a) a transposed-LHS dot_general and/or (b) a small 2-D
+    transpose to build qe = q_col * e. This probes what lowers.
+    """
+    from jax.experimental import pallas as pl
+
+    rng = np.random.default_rng(0)
+    bt, D, H = 128, 1280, 32
+    p_f = jnp.asarray(rng.normal(0, 1, (bt, H)).astype(np.float32))
+    v8 = jnp.asarray(rng.integers(-127, 128, (bt, D), dtype=np.int8))
+
+    def try_kernel(name, kern, out_shape, *args):
+        try:
+            t0 = time.time()
+            out = pl.pallas_call(kern, out_shape=out_shape)(*args)
+            got = np.asarray(out)
+            print(f"{name}: OK ({time.time()-t0:.1f}s)", flush=True)
+            return got
+        except Exception as e:  # noqa: BLE001
+            print(f"{name}: FAILED {type(e).__name__}: {str(e)[:300]}",
+                  flush=True)
+            return None
+
+    # (a) transposed-LHS dot_general, f32 x f32
+    dn0 = (((0,), (0,)), ((), ()))
+    v_f = v8.astype(jnp.float32)
+
+    def k_tf(a_ref, b_ref, o_ref):
+        o_ref[...] = jax.lax.dot_general(
+            a_ref[...], b_ref[...], dn0,
+            preferred_element_type=jnp.float32)
+
+    got = try_kernel("dotT f32xf32", k_tf,
+                     jax.ShapeDtypeStruct((H, D), jnp.float32), p_f, v_f)
+    if got is not None:
+        want = np.asarray(p_f).T @ np.asarray(v_f)
+        print(f"  relerr {np.abs(got-want).max()/np.abs(want).max():.2e}")
+
+    # (b) transposed-LHS dot_general, bf16 lhs x int8 rhs
+    p_b = p_f.astype(jnp.bfloat16)
+
+    def k_tb(a_ref, b_ref, o_ref):
+        o_ref[...] = jax.lax.dot_general(
+            a_ref[...], b_ref[...], dn0,
+            preferred_element_type=jnp.float32)
+
+    got = try_kernel("dotT bf16xint8", k_tb,
+                     jax.ShapeDtypeStruct((H, D), jnp.float32), p_b, v8)
+    if got is not None:
+        want = np.asarray(p_b, np.float32).T @ np.asarray(v8, np.float32)
+        print(f"  relerr {np.abs(got-want).max()/np.abs(want).max():.2e}")
+
+    # (c) int8 lhs x f32 rhs plain dot (qe could stay f32)
+    qe = jnp.asarray(rng.normal(0, 1, (D, H)).astype(np.float32))
+
+    def k_if(a_ref, b_ref, o_ref):
+        o_ref[...] = jax.lax.dot(
+            a_ref[...], b_ref[...], preferred_element_type=jnp.float32)
+
+    got = try_kernel("dot int8xf32", k_if,
+                     jax.ShapeDtypeStruct((bt, H), jnp.float32), v8[:, :D],
+                     qe)
+    if got is not None:
+        want = np.asarray(v8, np.float32) @ np.asarray(qe)
+        print(f"  relerr {np.abs(got-want).max()/np.abs(want).max():.2e}")
+
+    # (d) small 2-D transposes ([1,D]->[D,1] builds qe = q_col * e)
+    q_row = jnp.asarray(rng.normal(0, 1, (8, D)).astype(np.float32))
+
+    def k_tr(a_ref, o_ref):
+        o_ref[...] = jnp.transpose(a_ref[...])
+
+    try_kernel("transpose [8,D]->[D,8] f32", k_tr,
+               jax.ShapeDtypeStruct((D, 8), jnp.float32), q_row)
+
+    def k_tr2(a_ref, o_ref):
+        o_ref[...] = jnp.transpose(a_ref[...])
+
+    try_kernel("transpose [bt,H]->[H,bt] f32", k_tr2,
+               jax.ShapeDtypeStruct((H, bt), jnp.float32), p_f)
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--large", action="store_true")
     ap.add_argument("--q4k", action="store_true")
     ap.add_argument("--int8dot", action="store_true")
+    ap.add_argument("--tricks", action="store_true")
     ap.add_argument("--batched", action="store_true")
     ap.add_argument("--b", type=int, default=8)
     ap.add_argument("--which", default="ql_alias",
@@ -310,6 +399,8 @@ if __name__ == "__main__":
         tiny_probe()
     if args.int8dot:
         int8dot_probe()
+    if args.tricks:
+        tricks_probe()
     if args.batched:
         batched_measure(args.lo, args.hi, b=args.b)
     if args.large:

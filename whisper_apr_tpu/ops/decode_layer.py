@@ -187,13 +187,18 @@ def _layer_kernel(lengths_ref, layer_ref, nt_ref, x_ref,
         if alias_kv:
             # Mosaic forbids single-row output blocks (sublane dim must be
             # a multiple of 8): the output is the 8-row GROUP holding
-            # ``pos`` — copy the current group in, overwrite row pos % 8
-            # with a dynamic-sublane store
+            # ``pos``. A dynamic-sublane store into the group fails to
+            # lower at D=1280 ("index in dimension 2 is a multiple of 8"),
+            # so build the whole group with an iota-mask select instead —
+            # one static [1,1,8,D] store.
             sub = lengths_ref[0] % 8
-            k8_ref[...] = kgrp_ref[...]
-            v8_ref[...] = vgrp_ref[...]
-            k8_ref[0, 0, pl.ds(sub, 1), :] = k_row.astype(k8_ref.dtype)
-            v8_ref[0, 0, pl.ds(sub, 1), :] = v_row.astype(v8_ref.dtype)
+            rowid = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 8, 1), 2)
+            k8_ref[...] = jnp.where(rowid == sub,
+                                    k_row[None, None].astype(k8_ref.dtype),
+                                    kgrp_ref[...])
+            v8_ref[...] = jnp.where(rowid == sub,
+                                    v_row[None, None].astype(v8_ref.dtype),
+                                    vgrp_ref[...])
         else:
             k8_ref[...] = k_row[None]
             v8_ref[...] = v_row[None]

@@ -380,6 +380,93 @@ def tricks_probe():
     try_kernel("transpose [bt,H]->[H,bt] f32", k_tr2,
                jax.ShapeDtypeStruct((H, bt), jnp.float32), p_f)
 
+    # (e) transposed-LHS dot_general, f32 lhs x int8 rhs (values, 1-stream)
+    def k_tf8(a_ref, b_ref, o_ref):
+        o_ref[...] = jax.lax.dot_general(
+            a_ref[...], b_ref[...], dn0,
+            preferred_element_type=jnp.float32)
+
+    got = try_kernel("dotT f32xint8", k_tf8,
+                     jax.ShapeDtypeStruct((H, D), jnp.float32), p_f, v8)
+    if got is not None:
+        want = np.asarray(p_f).T @ np.asarray(v8, np.float32)
+        print(f"  relerr {np.abs(got-want).max()/np.abs(want).max():.2e}")
+
+    # (f) plain dot, f32 lhs x int8 rhs
+    def k_f8(a_ref, b_ref, o_ref):
+        o_ref[...] = jax.lax.dot(
+            a_ref[...], b_ref[...], preferred_element_type=jnp.float32)
+
+    pT = jnp.transpose(p_f)                              # [H, bt]
+    got = try_kernel("dot f32xint8", k_f8,
+                     jax.ShapeDtypeStruct((H, D), jnp.float32), pT, v8)
+    if got is not None:
+        want = np.asarray(pT) @ np.asarray(v8, np.float32)
+        print(f"  relerr {np.abs(got-want).max()/np.abs(want).max():.2e}")
+
+    # (g) batched dot_general [B,bt,D] int8 x [B,D,H] f32 (batched scores)
+    B = 8
+    k8b = jnp.asarray(rng.integers(-127, 128, (B, bt, D), dtype=np.int8))
+    qeb = jnp.asarray(rng.normal(0, 1, (B, D, H)).astype(np.float32))
+    dnb = (((2,), (1,)), ((0,), (0,)))
+
+    def k_bg(a_ref, b_ref, o_ref):
+        o_ref[...] = jax.lax.dot_general(
+            a_ref[...], b_ref[...], dnb,
+            preferred_element_type=jnp.float32)
+
+    got = try_kernel("bdot int8xf32 [B,bt,D]x[B,D,H]", k_bg,
+                     jax.ShapeDtypeStruct((B, bt, H), jnp.float32), k8b, qeb)
+    if got is not None:
+        want = np.einsum("btd,bdh->bth", np.asarray(k8b, np.float32),
+                         np.asarray(qeb))
+        print(f"  relerr {np.abs(got-want).max()/np.abs(want).max():.2e}")
+
+    # (h) batched transposed dot_general [B,bt,H] f32 x [B,bt,D] int8,
+    #     contract bt (batched values)
+    pb = jnp.asarray(rng.normal(0, 1, (B, bt, H)).astype(np.float32))
+    v8b = jnp.asarray(rng.integers(-127, 128, (B, bt, D), dtype=np.int8))
+    dnt = (((1,), (1,)), ((0,), (0,)))
+
+    def k_bt(a_ref, b_ref, o_ref):
+        o_ref[...] = jax.lax.dot_general(
+            a_ref[...], b_ref[...], dnt,
+            preferred_element_type=jnp.float32)
+
+    got = try_kernel("bdotT f32xint8 [B,bt,H]x[B,bt,D]", k_bt,
+                     jax.ShapeDtypeStruct((B, H, D), jnp.float32), pb, v8b)
+    if got is not None:
+        want = np.einsum("bth,btd->bhd", np.asarray(pb),
+                         np.asarray(v8b, np.float32))
+        print(f"  relerr {np.abs(got-want).max()/np.abs(want).max():.2e}")
+
+    # (i) same two, int8 promoted to bf16 IN-KERNEL on the small operand
+    #     side only if mixed fails: f32 lhs cast to bf16, int8 rhs
+    p_bb = p_f.astype(jnp.bfloat16)
+
+    def k_b8(a_ref, b_ref, o_ref):
+        o_ref[...] = jax.lax.dot(
+            a_ref[...].astype(jnp.bfloat16), b_ref[...],
+            preferred_element_type=jnp.float32)
+
+    got = try_kernel("dot bf16(cast)xint8", k_b8,
+                     jax.ShapeDtypeStruct((H, D), jnp.float32), pT, v8)
+    if got is not None:
+        want = np.asarray(pT, np.float32) @ np.asarray(v8, np.float32)
+        print(f"  relerr {np.abs(got-want).max()/np.abs(want).max():.2e}")
+
+    # (j) transposed-LHS dot_general, int8 lhs x f32 rhs -> O^T [D, H]
+    def k_t8f(a_ref, b_ref, o_ref):
+        o_ref[...] = jax.lax.dot_general(
+            a_ref[...], b_ref[...], dn0,
+            preferred_element_type=jnp.float32)
+
+    got = try_kernel("dotT int8xf32", k_t8f,
+                     jax.ShapeDtypeStruct((D, H), jnp.float32), v8, p_f)
+    if got is not None:
+        want = np.asarray(v8, np.float32).T @ np.asarray(p_f)
+        print(f"  relerr {np.abs(got-want).max()/np.abs(want).max():.2e}")
+
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()

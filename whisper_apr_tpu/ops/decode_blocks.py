@@ -63,11 +63,12 @@ def _attn_tile(s, valid, e_t, v, vs, m_ref, l_ref, acc_ref, quantized):
 
     s: [bt, H] raw scores (f32, K-row scales already folded in by the
     caller — they ride the small [bt, H] matrix, never the [bt, D] tile);
-    valid: [bt, 1] bool; v: [bt, D] in the tile's compute dtype (bf16 on
-    the fast path — the heavy elementwise ops stay bf16 and the dots run
-    bf16 x bf16 -> f32 on the MXU); vs: [bt, 1] f32 row scales or None
-    (folded into the [bt, H] probabilities, which is exact: each row t of
-    P scales v[t, :] uniformly)."""
+    valid: [bt, 1] bool; v: [bt, D] — RAW int8 in quantized mode (the
+    value contraction runs as an f32 x int8 MXU dot, which Mosaic lowers
+    exactly; the int8 rows are never cast on the VPU), bf16 otherwise;
+    vs: [bt, 1] f32 row scales or None (folded into the [bt, H]
+    probabilities, which is exact: each row t of P scales v[t, :]
+    uniformly)."""
     s = jnp.where(valid, s, _NEG)
     m_prev = m_ref[...]
     m_cur = jnp.max(s, axis=0, keepdims=True)
@@ -77,13 +78,25 @@ def _attn_tile(s, valid, e_t, v, vs, m_ref, l_ref, acc_ref, quantized):
     l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=0, keepdims=True)
     m_ref[...] = m_next
     if quantized:
+        # int8 MXU value path: contract the tile's rows directly against
+        # the raw int8 values — O[h, d] = sum_t p[t, h] * v8[t, d] — then
+        # select each lane's own head via the 0/1 mask e_t ([H, D]):
+        # contrib[d] = sum_h O[h, d] * e_t[h, d] = O[head(d), d].
+        # f32 x int8 -> f32 is exact on the MXU (probed); no VPU casts.
         p = p * vs                                     # [bt, 1] row scales
-    # MXU accumulators must be f32; inputs stay bf16, result drops to bf16
-    p_d = jax.lax.dot(p.astype(v.dtype), e_t.astype(v.dtype),
-                      preferred_element_type=jnp.float32).astype(v.dtype)
-    ones = jnp.ones((1, p.shape[0]), v.dtype)
-    contrib = jax.lax.dot(ones, p_d * v,
-                          preferred_element_type=jnp.float32)  # [1, D]
+        o = jax.lax.dot_general(
+            p, v, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # [H, D] f32
+        ones_h = jnp.ones((1, o.shape[0]), jnp.float32)
+        contrib = jax.lax.dot(ones_h, o * e_t,
+                              preferred_element_type=jnp.float32)  # [1, D]
+    else:
+        # MXU accumulators must be f32; inputs stay bf16, result -> bf16
+        p_d = jax.lax.dot(p.astype(v.dtype), e_t.astype(v.dtype),
+                          preferred_element_type=jnp.float32).astype(v.dtype)
+        ones = jnp.ones((1, p.shape[0]), v.dtype)
+        contrib = jax.lax.dot(ones, p_d * v,
+                              preferred_element_type=jnp.float32)  # [1, D]
     alpha_d = jax.lax.dot(alpha, e_t, preferred_element_type=jnp.float32)
     acc_ref[...] = acc_ref[...] * alpha_d + contrib
 
@@ -110,7 +123,7 @@ def _self_kernel(lengths_ref, layer_ref, x_ref, lnw_ref, lnb_ref,
                  wqkv_ref, sqkv_ref, bqkv_ref, kq_ref, ks_ref, vq_ref,
                  vs_ref, wo_ref, wos_ref, wob_ref, e_ref, et_ref,
                  xo_ref, k8_ref, ksc_ref, v8_ref, vsc_ref,
-                 x32_s, q_s, kc_s, vc_s, m_ref, l_ref, acc_ref,
+                 x32_s, q_s, kc_s, vc_s, m_ref, l_ref, acc_ref, qe_s,
                  *, d: int, bt: int, scale: float, quantized: bool):
     b = pl.program_id(0)
     t = pl.program_id(1)
@@ -131,6 +144,12 @@ def _self_kernel(lengths_ref, layer_ref, x_ref, lnw_ref, lnb_ref,
         v = qkv[:, 2 * d:]
         q_s[...] = q * scale
         if quantized:
+            # qe[d, h] = q[d] * scale * e[d, h]: the score dot against the
+            # RAW int8 K tile becomes s = dot(k8, qe) * ks — the per-tile
+            # [bt, D] cast + multiply moves onto the MXU. [1, D] -> [D, 1]
+            # via a sublane broadcast + probed [8, D] transpose.
+            q8 = jnp.broadcast_to(q * scale, (8, d))
+            qe_s[...] = jnp.transpose(q8)[:, 0:1] * e
             k8, ks = _quantize_row(k)
             v8, vs = _quantize_row(v)
             k8_ref[...] = k8[None]
@@ -153,19 +172,24 @@ def _self_kernel(lengths_ref, layer_ref, x_ref, lnw_ref, lnb_ref,
         l_ref[...] = jnp.zeros(l_ref.shape, jnp.float32)
         acc_ref[...] = jnp.zeros(acc_ref.shape, jnp.float32)
 
-    # tiles stay in compute dtype: bf16 elementwise + bf16 MXU dots with
-    # f32 accumulation; the int8 row scales fold into the small [bt, H]
-    # score/prob matrices (exact), never the [bt, D] tiles
+    # int8 mode: both tile contractions run RAW int8 against f32 on the
+    # MXU (exact, probed) — no [bt, D] VPU casts or multiplies touch the
+    # KV tiles; the row scales ride the small [bt, H] matrices.
+    # bf16 mode: bf16 elementwise + bf16 MXU dots with f32 accumulation.
     cdt = x_ref.dtype
-    k = kq_ref[0, 0].astype(cdt)                       # [bt, D]
-    v = vq_ref[0, 0].astype(cdt)
-    qk = k * q_s[...].astype(cdt)
     vs = None
-    s = jax.lax.dot(qk, e.astype(cdt),
-                    preferred_element_type=jnp.float32)  # [bt, H]
     if quantized:
+        s = jax.lax.dot(kq_ref[0, 0], qe_s[...],
+                        preferred_element_type=jnp.float32)  # [bt, H]
         s = s * ks_ref[0, 0].astype(jnp.float32)       # [bt, 1] K scales
         vs = vs_ref[0, 0].astype(jnp.float32)
+        v = vq_ref[0, 0]                               # raw int8 [bt, D]
+    else:
+        k = kq_ref[0, 0].astype(cdt)                   # [bt, D]
+        v = vq_ref[0, 0].astype(cdt)
+        qk = k * q_s[...].astype(cdt)
+        s = jax.lax.dot(qk, e.astype(cdt),
+                        preferred_element_type=jnp.float32)  # [bt, H]
     pos = t * bt + jax.lax.broadcasted_iota(jnp.int32, (bt, 1), 0)
     valid = pos < lengths_ref[b]                       # excludes current
     _attn_tile(s, valid, et, v, vs, m_ref, l_ref, acc_ref, quantized)
@@ -291,6 +315,7 @@ def self_block(x: jnp.ndarray, blk: dict, kq: jnp.ndarray,
                 pltpu.VMEM((1, n_heads), jnp.float32),
                 pltpu.VMEM((1, n_heads), jnp.float32),
                 pltpu.VMEM((1, D), jnp.float32),
+                pltpu.VMEM((D, n_heads), jnp.float32),  # qe (int8 scores)
             ],
         ),
         interpret=interpret,
@@ -309,7 +334,7 @@ def self_block(x: jnp.ndarray, blk: dict, kq: jnp.ndarray,
 def _cross_kernel(lengths_ref, layer_ref, x_ref, lnw_ref, lnb_ref,
                   wq_ref, sq_ref, bq_ref, kq_ref, ks_ref, vq_ref, vs_ref,
                   wo_ref, wos_ref, wob_ref, e_ref, et_ref,
-                  xo_ref, x32_s, q_s, m_ref, l_ref, acc_ref,
+                  xo_ref, x32_s, q_s, m_ref, l_ref, acc_ref, qe_s,
                   *, bt: int, scale: float, quantized: bool):
     b = pl.program_id(0)
     t = pl.program_id(1)
@@ -325,20 +350,28 @@ def _cross_kernel(lengths_ref, layer_ref, x_ref, lnw_ref, lnb_ref,
         q = jax.lax.dot(h, w, preferred_element_type=jnp.float32)
         q = q * sq_ref[0].astype(jnp.float32) + bq_ref[0].astype(jnp.float32)
         q_s[...] = q * scale
+        if quantized:
+            # see _self_kernel: raw-int8 score dot needs qe = q_col * e
+            q8 = jnp.broadcast_to(q * scale, (8, q.shape[-1]))
+            qe_s[...] = jnp.transpose(q8)[:, 0:1] * e
         m_ref[...] = jnp.full(m_ref.shape, -jnp.inf, jnp.float32)
         l_ref[...] = jnp.zeros(l_ref.shape, jnp.float32)
         acc_ref[...] = jnp.zeros(acc_ref.shape, jnp.float32)
 
     cdt = x_ref.dtype
-    k = kq_ref[0, 0].astype(cdt)
-    v = vq_ref[0, 0].astype(cdt)
-    qk = k * q_s[...].astype(cdt)
     vs = None
-    s = jax.lax.dot(qk, e.astype(cdt),
-                    preferred_element_type=jnp.float32)
     if quantized:
+        s = jax.lax.dot(kq_ref[0, 0], qe_s[...],
+                        preferred_element_type=jnp.float32)
         s = s * ks_ref[0, 0].astype(jnp.float32)
         vs = vs_ref[0, 0].astype(jnp.float32)
+        v = vq_ref[0, 0]                               # raw int8 [bt, D]
+    else:
+        k = kq_ref[0, 0].astype(cdt)
+        v = vq_ref[0, 0].astype(cdt)
+        qk = k * q_s[...].astype(cdt)
+        s = jax.lax.dot(qk, e.astype(cdt),
+                        preferred_element_type=jnp.float32)
     pos = t * bt + jax.lax.broadcasted_iota(jnp.int32, (bt, 1), 0)
     valid = pos < lengths_ref[b]
     _attn_tile(s, valid, et, v, vs, m_ref, l_ref, acc_ref, quantized)
@@ -419,6 +452,7 @@ def cross_block(x: jnp.ndarray, blk: dict, kq: jnp.ndarray,
                 pltpu.VMEM((1, n_heads), jnp.float32),
                 pltpu.VMEM((1, n_heads), jnp.float32),
                 pltpu.VMEM((1, D), jnp.float32),
+                pltpu.VMEM((D, n_heads), jnp.float32),  # qe (int8 scores)
             ],
         ),
         interpret=interpret,
@@ -531,13 +565,15 @@ def _sel_matrix(n_rows: int, b: int, bt: int):
     return (i // bt == j).astype(jnp.float32)
 
 
-def _batched_attn_tile(s, valid, e_t, v_flat, vs, m_ref, l_ref, acc_ref,
+def _batched_attn_tile(s, valid, e_t, v_in, vs, m_ref, l_ref, acc_ref,
                        sel, selT, B, bt, quantized, cdt):
     """Online-softmax update for all B sequences in one tile.
 
     s [B*bt, H] raw scores (K scales folded); valid [B*bt, 1];
-    v_flat [B*bt, D] compute dtype; vs [B*bt, 1] f32 or None;
-    m/l [B, H] f32 scratch; acc [B, D] f32 scratch."""
+    v_in: RAW int8 [B, bt, D] in quantized mode (the value contraction
+    runs as a batched f32 x int8 MXU dot_general — no VPU cast ever
+    touches the tile), else [B*bt, D] compute dtype; vs [B*bt, 1] f32 or
+    None; m/l [B, H] f32 scratch; acc [B, D] f32 scratch."""
     s = jnp.where(valid, s, _NEG)
     m_prev = m_ref[...]                                # [B, H]
     # segmented max over each b's bt rows: static B loop over 2-D slices,
@@ -554,13 +590,32 @@ def _batched_attn_tile(s, valid, e_t, v_flat, vs, m_ref, l_ref, acc_ref,
     l_ref[...] = l_ref[...] * alpha + jax.lax.dot(
         selT, p, preferred_element_type=jnp.float32)   # [B, H]
     m_ref[...] = m_next
+    h_n = p.shape[-1]
     if quantized:
+        # batched int8 MXU value path (probed exact):
+        #   O[b, h, d] = sum_t p[b, t, h] * v8[b, t, d]
+        #   contrib[b, d] = sum_h O[b, h, d] * e_t[h, d]
+        # the h-reduction is one selH dot over the flattened [B*H, D] O
+        # with e_t's 0/1 head mask tiled across B.
         p = p * vs
-    p_d = jax.lax.dot(p.astype(cdt), e_t.astype(cdt),
-                      preferred_element_type=jnp.float32).astype(cdt)
-    pv = p_d * v_flat                                  # [B*bt, D]
-    contrib = jax.lax.dot(selT.astype(cdt), pv,
-                          preferred_element_type=jnp.float32)  # [B, D]
+        p3 = p.reshape(B, bt, h_n)
+        o3 = jax.lax.dot_general(
+            p3, v_in, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)        # [B, H, D] f32
+        of = o3.reshape(B * h_n, o3.shape[-1])
+        et_b = jnp.broadcast_to(
+            e_t[None], (B,) + e_t.shape).reshape(B * h_n, e_t.shape[-1])
+        bi = jax.lax.broadcasted_iota(jnp.int32, (B, B * h_n), 0)
+        ji = jax.lax.broadcasted_iota(jnp.int32, (B, B * h_n), 1)
+        sel_h = (ji // h_n == bi).astype(jnp.float32)
+        contrib = jax.lax.dot(sel_h, of * et_b,
+                              preferred_element_type=jnp.float32)  # [B, D]
+    else:
+        p_d = jax.lax.dot(p.astype(cdt), e_t.astype(cdt),
+                          preferred_element_type=jnp.float32).astype(cdt)
+        pv = p_d * v_in                                # [B*bt, D]
+        contrib = jax.lax.dot(selT.astype(cdt), pv,
+                              preferred_element_type=jnp.float32)  # [B, D]
     alpha_d = jax.lax.dot(alpha, e_t, preferred_element_type=jnp.float32)
     acc_ref[...] = acc_ref[...] * alpha_d + contrib
 
@@ -577,7 +632,7 @@ def _self_kernel_b(lengths_ref, layer_ref, x_ref, lnw_ref, lnb_ref,
                    wqkv_ref, sqkv_ref, bqkv_ref, kq_ref, ks_ref, vq_ref,
                    vs_ref, wo_ref, wos_ref, wob_ref, e_ref, et_ref, len_ref,
                    xo_ref, k8_ref, ksc_ref, v8_ref, vsc_ref,
-                   x32_s, q_s, kc_s, vc_s, m_ref, l_ref, acc_ref,
+                   x32_s, q_s, kc_s, vc_s, m_ref, l_ref, acc_ref, qe_s,
                    *, d: int, bt: int, B: int, scale: float,
                    quantized: bool):
     t = pl.program_id(0)
@@ -602,6 +657,13 @@ def _self_kernel_b(lengths_ref, layer_ref, x_ref, lnw_ref, lnb_ref,
         v = qkv[:, 2 * d:]
         q_s[...] = q * scale
         if quantized:
+            # per-sequence qe[b, d, h] = q[b, d] * scale * e[d, h] for the
+            # batched raw-int8 score dot_general; built once per call via
+            # a probed [B, D] transpose + static per-b lane broadcasts.
+            qT = jnp.transpose(q * scale)              # [D, B]
+            qe_s[...] = jnp.concatenate(
+                [(qT[:, b_i:b_i + 1] * e)[None] for b_i in range(B)],
+                axis=0)                                # [B, D, H]
             amax_k = jnp.max(jnp.abs(k), axis=-1, keepdims=True)
             ks = jnp.maximum(amax_k, 1e-12) / 127.0    # [B, 1]
             k8 = jnp.clip(jnp.round(k / ks), -127, 127).astype(jnp.int8)
@@ -625,22 +687,30 @@ def _self_kernel_b(lengths_ref, layer_ref, x_ref, lnw_ref, lnb_ref,
         l_ref[...] = jnp.zeros(l_ref.shape, jnp.float32)
         acc_ref[...] = jnp.zeros(acc_ref.shape, jnp.float32)
 
-    k_flat = kq_ref[0].reshape(n_rows, d).astype(cdt)  # [B*bt, D]
-    v_flat = vq_ref[0].reshape(n_rows, d).astype(cdt)
-    q_exp = jax.lax.dot(sel.astype(cdt), q_s[...].astype(cdt),
-                        preferred_element_type=jnp.float32).astype(cdt)
-    qk = k_flat * q_exp
-    s = jax.lax.dot(qk, e.astype(cdt), preferred_element_type=jnp.float32)
     vs = None
     if quantized:
+        # batched raw-int8 score dot (probed exact): no [B*bt, D] casts
+        s3 = jax.lax.dot_general(
+            kq_ref[0], qe_s[...], (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)        # [B, bt, H]
+        s = s3.reshape(n_rows, s3.shape[-1])
         s = s * ks_ref[0].reshape(n_rows, 1).astype(jnp.float32)
         vs = vs_ref[0].reshape(n_rows, 1).astype(jnp.float32)
+        v_in = vq_ref[0]                               # [B, bt, D] int8
+    else:
+        k_flat = kq_ref[0].reshape(n_rows, d).astype(cdt)  # [B*bt, D]
+        v_in = vq_ref[0].reshape(n_rows, d).astype(cdt)
+        q_exp = jax.lax.dot(sel.astype(cdt), q_s[...].astype(cdt),
+                            preferred_element_type=jnp.float32).astype(cdt)
+        qk = k_flat * q_exp
+        s = jax.lax.dot(qk, e.astype(cdt),
+                        preferred_element_type=jnp.float32)
     # per-b validity: row i covers cache position t*bt + i % bt of seq i//bt
     pos_in = t * bt + jax.lax.broadcasted_iota(jnp.int32, (n_rows, 1), 0) % bt
     len_exp = jax.lax.dot(sel, len_ref[...].astype(jnp.float32),
                           preferred_element_type=jnp.float32)  # [B*bt, 1]
     valid = pos_in.astype(jnp.float32) < len_exp
-    _batched_attn_tile(s, valid, et, v_flat, vs, m_ref, l_ref, acc_ref,
+    _batched_attn_tile(s, valid, et, v_in, vs, m_ref, l_ref, acc_ref,
                        sel, selT, B, bt, quantized, cdt)
 
     @pl.when(t == pl.num_programs(0) - 1)
@@ -745,6 +815,7 @@ def self_block_batched(x, blk, kq, ks, vq, vs, pos, layer, n_heads,
                 pltpu.VMEM((B, n_heads), jnp.float32),
                 pltpu.VMEM((B, n_heads), jnp.float32),
                 pltpu.VMEM((B, D), jnp.float32),
+                pltpu.VMEM((B, D, n_heads), jnp.float32),  # qe (int8)
             ],
         ),
         interpret=interpret,
@@ -759,7 +830,7 @@ def self_block_batched(x, blk, kq, ks, vq, vs, pos, layer, n_heads,
 def _cross_kernel_b(lengths_ref, layer_ref, x_ref, lnw_ref, lnb_ref,
                     wq_ref, sq_ref, bq_ref, kq_ref, ks_ref, vq_ref, vs_ref,
                     wo_ref, wos_ref, wob_ref, e_ref, et_ref,
-                    xo_ref, x32_s, q_s, m_ref, l_ref, acc_ref,
+                    xo_ref, x32_s, q_s, m_ref, l_ref, acc_ref, qe_s,
                     *, d: int, bt: int, B: int, enc_len: int, scale: float,
                     quantized: bool):
     t = pl.program_id(0)
@@ -779,24 +850,39 @@ def _cross_kernel_b(lengths_ref, layer_ref, x_ref, lnw_ref, lnb_ref,
         q = jax.lax.dot(h, w, preferred_element_type=jnp.float32)
         q = q * sq_ref[0].astype(jnp.float32) + bq_ref[0].astype(jnp.float32)
         q_s[...] = q * scale
+        if quantized:
+            # see _self_kernel_b: per-sequence qe[b, d, h] for the
+            # batched raw-int8 score dot_general
+            qT = jnp.transpose(q * scale)              # [D, B]
+            qe_s[...] = jnp.concatenate(
+                [(qT[:, b_i:b_i + 1] * e)[None] for b_i in range(B)],
+                axis=0)                                # [B, D, H]
         m_ref[...] = jnp.full(m_ref.shape, -jnp.inf, jnp.float32)
         l_ref[...] = jnp.zeros(l_ref.shape, jnp.float32)
         acc_ref[...] = jnp.zeros(acc_ref.shape, jnp.float32)
 
-    k_flat = kq_ref[0].reshape(n_rows, d).astype(cdt)
-    v_flat = vq_ref[0].reshape(n_rows, d).astype(cdt)
-    q_exp = jax.lax.dot(sel.astype(cdt), q_s[...].astype(cdt),
-                        preferred_element_type=jnp.float32).astype(cdt)
-    qk = k_flat * q_exp
-    s = jax.lax.dot(qk, e.astype(cdt), preferred_element_type=jnp.float32)
     vs = None
     if quantized:
+        # batched raw-int8 score dot (probed exact): no [B*bt, D] casts
+        s3 = jax.lax.dot_general(
+            kq_ref[0], qe_s[...], (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)        # [B, bt, H]
+        s = s3.reshape(n_rows, s3.shape[-1])
         s = s * ks_ref[0].reshape(n_rows, 1).astype(jnp.float32)
         vs = vs_ref[0].reshape(n_rows, 1).astype(jnp.float32)
+        v_in = vq_ref[0]                               # [B, bt, D] int8
+    else:
+        k_flat = kq_ref[0].reshape(n_rows, d).astype(cdt)
+        v_in = vq_ref[0].reshape(n_rows, d).astype(cdt)
+        q_exp = jax.lax.dot(sel.astype(cdt), q_s[...].astype(cdt),
+                            preferred_element_type=jnp.float32).astype(cdt)
+        qk = k_flat * q_exp
+        s = jax.lax.dot(qk, e.astype(cdt),
+                        preferred_element_type=jnp.float32)
     # every sequence shares the encoder length (same utter padding)
     pos_in = t * bt + jax.lax.broadcasted_iota(jnp.int32, (n_rows, 1), 0) % bt
     valid = pos_in < enc_len
-    _batched_attn_tile(s, valid, et, v_flat, vs, m_ref, l_ref, acc_ref,
+    _batched_attn_tile(s, valid, et, v_in, vs, m_ref, l_ref, acc_ref,
                        sel, selT, B, bt, quantized, cdt)
 
     @pl.when(t == pl.num_programs(0) - 1)
@@ -871,6 +957,7 @@ def cross_block_batched(x, blk, kq, ks, vq, vs, enc_len, layer, n_heads,
                 pltpu.VMEM((B, n_heads), jnp.float32),
                 pltpu.VMEM((B, n_heads), jnp.float32),
                 pltpu.VMEM((B, D), jnp.float32),
+                pltpu.VMEM((B, D, n_heads), jnp.float32),  # qe (int8)
             ],
         ),
         interpret=interpret,

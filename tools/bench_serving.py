@@ -60,9 +60,12 @@ def main():
         logits, c = decode_step_q(prm, q_d, tok, pos, c, cfg)
         return (jnp.argmax(logits, -1).astype(jnp.int32), pos + 1, c)
 
-    s = p.per_step(body_scan, (params, qd), (tok0, pos0, cache))
-    print(f"scan multi-slot B={B}   : {s*1e3:8.4f} ms/step "
-          f"({s*1e3/B:6.4f} ms/slot-token)", flush=True)
+    modes = [m for m in os.environ.get("MODES", "scan,bf16,int8").split(",")
+             if m]
+    if "scan" in modes:
+        s = p.per_step(body_scan, (params, qd), (tok0, pos0, cache))
+        print(f"scan multi-slot B={B}   : {s*1e3:8.4f} ms/step "
+              f"({s*1e3/B:6.4f} ms/slot-token)", flush=True)
 
     def body_fused(i, env, carry):
         prm, q_d = env
@@ -73,6 +76,8 @@ def main():
     import whisper_apr_tpu.model.qdecode as qdec
     bts = [int(x) for x in os.environ.get("BT_SWEEP", "").split(",") if x]
     for mode in ("bf16", "int8"):
+        if mode not in modes:
+            continue
         qc = quantize_cache(cache, kv_int8=(mode == "int8"))
         for bt in (bts or [None]):
             qdec.BATCHED_TILE_T = bt

@@ -570,10 +570,9 @@ def _batched_attn_tile(s, valid, e_t, v_in, vs, m_ref, l_ref, acc_ref,
     """Online-softmax update for all B sequences in one tile.
 
     s [B*bt, H] raw scores (K scales folded); valid [B*bt, 1];
-    v_in: RAW int8 [B, bt, D] in quantized mode (the value contraction
-    runs as a batched f32 x int8 MXU dot_general — no VPU cast ever
-    touches the tile), else [B*bt, D] compute dtype; vs [B*bt, 1] f32 or
-    None; m/l [B, H] f32 scratch; acc [B, D] f32 scratch."""
+    v_in [B*bt, D] compute dtype (int8 rows pre-cast by the caller);
+    vs [B*bt, 1] f32 or None; m/l [B, H] f32 scratch;
+    acc [B, D] f32 scratch."""
     s = jnp.where(valid, s, _NEG)
     m_prev = m_ref[...]                                # [B, H]
     # segmented max over each b's bt rows: static B loop over 2-D slices,
@@ -590,32 +589,18 @@ def _batched_attn_tile(s, valid, e_t, v_in, vs, m_ref, l_ref, acc_ref,
     l_ref[...] = l_ref[...] * alpha + jax.lax.dot(
         selT, p, preferred_element_type=jnp.float32)   # [B, H]
     m_ref[...] = m_next
-    h_n = p.shape[-1]
+    # int8 rows are cast to the compute dtype by the CALLER as one big
+    # [B*bt, D] VPU op — measured FASTER at B>1 than every raw-int8 MXU
+    # formulation tried (batched 3-D dot_generals: 0.886; per-sequence
+    # plain 2-D dots: 0.982; this cast path: 0.847 ms/slot-token at B=8
+    # large-v3 on v5e — the f32 x int8 MXU lowering is exact but slow)
     if quantized:
-        # batched int8 MXU value path (probed exact):
-        #   O[b, h, d] = sum_t p[b, t, h] * v8[b, t, d]
-        #   contrib[b, d] = sum_h O[b, h, d] * e_t[h, d]
-        # the h-reduction is one selH dot over the flattened [B*H, D] O
-        # with e_t's 0/1 head mask tiled across B.
         p = p * vs
-        p3 = p.reshape(B, bt, h_n)
-        o3 = jax.lax.dot_general(
-            p3, v_in, (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)        # [B, H, D] f32
-        of = o3.reshape(B * h_n, o3.shape[-1])
-        et_b = jnp.broadcast_to(
-            e_t[None], (B,) + e_t.shape).reshape(B * h_n, e_t.shape[-1])
-        bi = jax.lax.broadcasted_iota(jnp.int32, (B, B * h_n), 0)
-        ji = jax.lax.broadcasted_iota(jnp.int32, (B, B * h_n), 1)
-        sel_h = (ji // h_n == bi).astype(jnp.float32)
-        contrib = jax.lax.dot(sel_h, of * et_b,
-                              preferred_element_type=jnp.float32)  # [B, D]
-    else:
-        p_d = jax.lax.dot(p.astype(cdt), e_t.astype(cdt),
-                          preferred_element_type=jnp.float32).astype(cdt)
-        pv = p_d * v_in                                # [B*bt, D]
-        contrib = jax.lax.dot(selT.astype(cdt), pv,
-                              preferred_element_type=jnp.float32)  # [B, D]
+    p_d = jax.lax.dot(p.astype(cdt), e_t.astype(cdt),
+                      preferred_element_type=jnp.float32).astype(cdt)
+    pv = p_d * v_in                                    # [B*bt, D]
+    contrib = jax.lax.dot(selT.astype(cdt), pv,
+                          preferred_element_type=jnp.float32)  # [B, D]
     alpha_d = jax.lax.dot(alpha, e_t, preferred_element_type=jnp.float32)
     acc_ref[...] = acc_ref[...] * alpha_d + contrib
 
@@ -632,7 +617,7 @@ def _self_kernel_b(lengths_ref, layer_ref, x_ref, lnw_ref, lnb_ref,
                    wqkv_ref, sqkv_ref, bqkv_ref, kq_ref, ks_ref, vq_ref,
                    vs_ref, wo_ref, wos_ref, wob_ref, e_ref, et_ref, len_ref,
                    xo_ref, k8_ref, ksc_ref, v8_ref, vsc_ref,
-                   x32_s, q_s, kc_s, vc_s, m_ref, l_ref, acc_ref, qe_s,
+                   x32_s, q_s, kc_s, vc_s, m_ref, l_ref, acc_ref,
                    *, d: int, bt: int, B: int, scale: float,
                    quantized: bool):
     t = pl.program_id(0)
@@ -657,13 +642,6 @@ def _self_kernel_b(lengths_ref, layer_ref, x_ref, lnw_ref, lnb_ref,
         v = qkv[:, 2 * d:]
         q_s[...] = q * scale
         if quantized:
-            # per-sequence qe[b, d, h] = q[b, d] * scale * e[d, h] for the
-            # batched raw-int8 score dot_general; built once per call via
-            # a probed [B, D] transpose + static per-b lane broadcasts.
-            qT = jnp.transpose(q * scale)              # [D, B]
-            qe_s[...] = jnp.concatenate(
-                [(qT[:, b_i:b_i + 1] * e)[None] for b_i in range(B)],
-                axis=0)                                # [B, D, H]
             amax_k = jnp.max(jnp.abs(k), axis=-1, keepdims=True)
             ks = jnp.maximum(amax_k, 1e-12) / 127.0    # [B, 1]
             k8 = jnp.clip(jnp.round(k / ks), -127, 127).astype(jnp.int8)
@@ -687,24 +665,17 @@ def _self_kernel_b(lengths_ref, layer_ref, x_ref, lnw_ref, lnb_ref,
         l_ref[...] = jnp.zeros(l_ref.shape, jnp.float32)
         acc_ref[...] = jnp.zeros(acc_ref.shape, jnp.float32)
 
+    k_flat = kq_ref[0].reshape(n_rows, d).astype(cdt)  # [B*bt, D]
+    v_in = vq_ref[0].reshape(n_rows, d).astype(cdt)
+    q_exp = jax.lax.dot(sel.astype(cdt), q_s[...].astype(cdt),
+                        preferred_element_type=jnp.float32).astype(cdt)
+    qk = k_flat * q_exp
+    s = jax.lax.dot(qk, e.astype(cdt),
+                    preferred_element_type=jnp.float32)
     vs = None
     if quantized:
-        # batched raw-int8 score dot (probed exact): no [B*bt, D] casts
-        s3 = jax.lax.dot_general(
-            kq_ref[0], qe_s[...], (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)        # [B, bt, H]
-        s = s3.reshape(n_rows, s3.shape[-1])
         s = s * ks_ref[0].reshape(n_rows, 1).astype(jnp.float32)
         vs = vs_ref[0].reshape(n_rows, 1).astype(jnp.float32)
-        v_in = vq_ref[0]                               # [B, bt, D] int8
-    else:
-        k_flat = kq_ref[0].reshape(n_rows, d).astype(cdt)  # [B*bt, D]
-        v_in = vq_ref[0].reshape(n_rows, d).astype(cdt)
-        q_exp = jax.lax.dot(sel.astype(cdt), q_s[...].astype(cdt),
-                            preferred_element_type=jnp.float32).astype(cdt)
-        qk = k_flat * q_exp
-        s = jax.lax.dot(qk, e.astype(cdt),
-                        preferred_element_type=jnp.float32)
     # per-b validity: row i covers cache position t*bt + i % bt of seq i//bt
     pos_in = t * bt + jax.lax.broadcasted_iota(jnp.int32, (n_rows, 1), 0) % bt
     len_exp = jax.lax.dot(sel, len_ref[...].astype(jnp.float32),
@@ -815,7 +786,6 @@ def self_block_batched(x, blk, kq, ks, vq, vs, pos, layer, n_heads,
                 pltpu.VMEM((B, n_heads), jnp.float32),
                 pltpu.VMEM((B, n_heads), jnp.float32),
                 pltpu.VMEM((B, D), jnp.float32),
-                pltpu.VMEM((B, D, n_heads), jnp.float32),  # qe (int8)
             ],
         ),
         interpret=interpret,
@@ -830,7 +800,7 @@ def self_block_batched(x, blk, kq, ks, vq, vs, pos, layer, n_heads,
 def _cross_kernel_b(lengths_ref, layer_ref, x_ref, lnw_ref, lnb_ref,
                     wq_ref, sq_ref, bq_ref, kq_ref, ks_ref, vq_ref, vs_ref,
                     wo_ref, wos_ref, wob_ref, e_ref, et_ref,
-                    xo_ref, x32_s, q_s, m_ref, l_ref, acc_ref, qe_s,
+                    xo_ref, x32_s, q_s, m_ref, l_ref, acc_ref,
                     *, d: int, bt: int, B: int, enc_len: int, scale: float,
                     quantized: bool):
     t = pl.program_id(0)
@@ -850,35 +820,21 @@ def _cross_kernel_b(lengths_ref, layer_ref, x_ref, lnw_ref, lnb_ref,
         q = jax.lax.dot(h, w, preferred_element_type=jnp.float32)
         q = q * sq_ref[0].astype(jnp.float32) + bq_ref[0].astype(jnp.float32)
         q_s[...] = q * scale
-        if quantized:
-            # see _self_kernel_b: per-sequence qe[b, d, h] for the
-            # batched raw-int8 score dot_general
-            qT = jnp.transpose(q * scale)              # [D, B]
-            qe_s[...] = jnp.concatenate(
-                [(qT[:, b_i:b_i + 1] * e)[None] for b_i in range(B)],
-                axis=0)                                # [B, D, H]
         m_ref[...] = jnp.full(m_ref.shape, -jnp.inf, jnp.float32)
         l_ref[...] = jnp.zeros(l_ref.shape, jnp.float32)
         acc_ref[...] = jnp.zeros(acc_ref.shape, jnp.float32)
 
+    k_flat = kq_ref[0].reshape(n_rows, d).astype(cdt)
+    v_in = vq_ref[0].reshape(n_rows, d).astype(cdt)
+    q_exp = jax.lax.dot(sel.astype(cdt), q_s[...].astype(cdt),
+                        preferred_element_type=jnp.float32).astype(cdt)
+    qk = k_flat * q_exp
+    s = jax.lax.dot(qk, e.astype(cdt),
+                    preferred_element_type=jnp.float32)
     vs = None
     if quantized:
-        # batched raw-int8 score dot (probed exact): no [B*bt, D] casts
-        s3 = jax.lax.dot_general(
-            kq_ref[0], qe_s[...], (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)        # [B, bt, H]
-        s = s3.reshape(n_rows, s3.shape[-1])
         s = s * ks_ref[0].reshape(n_rows, 1).astype(jnp.float32)
         vs = vs_ref[0].reshape(n_rows, 1).astype(jnp.float32)
-        v_in = vq_ref[0]                               # [B, bt, D] int8
-    else:
-        k_flat = kq_ref[0].reshape(n_rows, d).astype(cdt)
-        v_in = vq_ref[0].reshape(n_rows, d).astype(cdt)
-        q_exp = jax.lax.dot(sel.astype(cdt), q_s[...].astype(cdt),
-                            preferred_element_type=jnp.float32).astype(cdt)
-        qk = k_flat * q_exp
-        s = jax.lax.dot(qk, e.astype(cdt),
-                        preferred_element_type=jnp.float32)
     # every sequence shares the encoder length (same utter padding)
     pos_in = t * bt + jax.lax.broadcasted_iota(jnp.int32, (n_rows, 1), 0) % bt
     valid = pos_in < enc_len
@@ -957,7 +913,6 @@ def cross_block_batched(x, blk, kq, ks, vq, vs, enc_len, layer, n_heads,
                 pltpu.VMEM((B, n_heads), jnp.float32),
                 pltpu.VMEM((B, n_heads), jnp.float32),
                 pltpu.VMEM((B, D), jnp.float32),
-                pltpu.VMEM((B, D, n_heads), jnp.float32),  # qe (int8)
             ],
         ),
         interpret=interpret,

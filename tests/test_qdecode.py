@@ -257,6 +257,34 @@ class TestFusedDecode:
             tok = jnp.argmax(la, -1).astype(jnp.int32)
             pos_v = pos_v + 1
 
+    def test_fp8_kv_mode(self, cfg, qsetup):
+        """kv_mode="fp8": float8_e4m3fn caches, no scales, same tokens.
+
+        fp8 reuses the bf16 kernel branch (tiles cast at read; rows
+        written in the cache dtype) — see qdecode.quantize_cache."""
+        import jax.numpy as jnp
+        params, qd, enc = qsetup
+        cache0 = init_cache(params, jnp.asarray(enc), cfg, max_len=16)
+        qc = qdecode.quantize_cache(cache0, mode="fp8")
+        assert qc.self_kq.dtype == jnp.float8_e4m3fn
+        assert qc.self_ks is None and qc.cross_ks is None
+        enc1 = enc[:1]
+        prompt = jnp.asarray(np.full((1, 2), 5, np.int32))
+        bias = jnp.zeros(cfg.n_vocab, jnp.float32)
+        eot = cfg.n_vocab - 1
+        qdecode.INTERPRET = True
+        try:
+            ref = greedy_generate(params, enc1, prompt, bias, eot=eot,
+                                  config=cfg, max_len=12, prompt_len=2,
+                                  qd=qd)
+            f8 = greedy_generate(params, enc1, prompt, bias, eot=eot,
+                                 config=cfg, max_len=12, prompt_len=2,
+                                 qd=qd, qf_mode="fp8")
+        finally:
+            qdecode.INTERPRET = False
+        # fp8 rows carry ~2% error; tokens must still agree on this rig
+        assert np.array_equal(np.asarray(ref.tokens), np.asarray(f8.tokens))
+
     def test_greedy_qf_bf16_token_exact(self, cfg, qsetup):
         params, qd, enc = qsetup
         enc = enc[:1]  # B=1: the drivers use the fused step only

@@ -75,10 +75,10 @@ def main():
 
     import whisper_apr_tpu.model.qdecode as qdec
     bts = [int(x) for x in os.environ.get("BT_SWEEP", "").split(",") if x]
-    for mode in ("bf16", "int8"):
+    for mode in ("bf16", "int8", "fp8"):
         if mode not in modes:
             continue
-        qc = quantize_cache(cache, kv_int8=(mode == "int8"))
+        qc = quantize_cache(cache, mode=mode)
         for bt in (bts or [None]):
             qdec.BATCHED_TILE_T = bt
             s = p.per_step(body_fused, (params, qd), (tok0, pos0, qc))

@@ -130,8 +130,10 @@ def main():
         logits, c = decode_step_qf(prm, q_d, tok, i, c, cfg)
         return (jnp.argmax(logits, -1).astype(jnp.int32), c)
 
-    for mode in ("bf16", "int8"):
-        qc = quantize_cache(cache, kv_int8=(mode == "int8"))
+    for mode in ("bf16", "int8", "fp8"):
+        if mode not in os.environ.get("MODES", "bf16,int8,fp8").split(","):
+            continue
+        qc = quantize_cache(cache, mode=mode)
         s = p.per_step(qf_body, (params, qd), (tok0, qc))
         report(f"fused step ({mode} KV)", s, part=False)
 

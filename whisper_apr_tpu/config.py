@@ -226,13 +226,17 @@ class ComputeConfig:
     # "int8" = megakernel step with int8 per-row KV: HALF the KV-cache
     #          memory (serving capacity; B=8 0.85 ms/slot-token,
     #          <1e-3 logit error),
+    # "fp8"  = megakernel step with float8_e4m3fn KV: HALF the KV-cache
+    #          memory with NO scale plumbing — the f8->bf16 tile cast is
+    #          a native VPU convert 2.6x cheaper than int8's
+    #          (BENCH_NOTES round 3); ~2e-2 row error, argmax-stable,
     # "scan" = per-kernel scan step (decode_step_q), no fused attention
     kv_mode: str = "auto"
 
     # decode in larger position buckets to bound recompilation
     text_bucket: int = 448
 
-    _KV_MODES = ("auto", "bf16", "int8", "scan")
+    _KV_MODES = ("auto", "bf16", "int8", "fp8", "scan")
 
     def __post_init__(self):
         if self.kv_mode not in self._KV_MODES:

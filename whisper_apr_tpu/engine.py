@@ -247,7 +247,8 @@ class WhisperApr:
     @property
     def _qf_mode(self):
         """Fused-attention decode mode for the greedy hot path (see
-        ComputeConfig.kv_mode): None when no qdecode, else "int8"/"bf16"."""
+        ComputeConfig.kv_mode): None when no qdecode, else
+        "bf16"/"int8"/"fp8"."""
         if self._qdecode is None:
             return None
         if self._qdecode.get("mode") == "q4k":

@@ -86,7 +86,7 @@ def beam_generate(params: dict, enc_out: jnp.ndarray, prompt: jnp.ndarray,
     logits = logits_all[:, -1, :]
     if qd is not None and qf_mode:
         from ..model.qdecode import quantize_cache
-        cache = quantize_cache(cache, kv_int8=(qf_mode == "int8"))
+        cache = quantize_cache(cache, mode=qf_mode)
 
     logp = jax.nn.log_softmax(logits.astype(jnp.float32) + suppress_bias[None, :])
     logp = logp.reshape(B, K, V)

@@ -97,7 +97,7 @@ def sample_generate(params: dict, enc_out: jnp.ndarray, prompt: jnp.ndarray,
                                 compute_dtype, precision, all_logits=True)
     if qd is not None and qf_mode:
         from ..model.qdecode import quantize_cache
-        cache = quantize_cache(cache, kv_int8=(qf_mode == "int8"))
+        cache = quantize_cache(cache, mode=qf_mode)
     ns_prob = _no_speech_prob(logits_all, no_speech)
     logits = logits_all[:, -1, :]
 

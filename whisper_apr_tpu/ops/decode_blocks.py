@@ -19,8 +19,10 @@ materializes per-layer slices (the qmatvec trick, ops/qmatvec.py).
 
 Heads are vectorized via the block-diagonal head-expansion matrix E
 (see ops/decode_attention.py — a per-head loop measurably erases the
-fusion win). KV caches may be int8 with per-row scales [L, B, T, 1];
-row scales commute through the attention dots exactly.
+fusion win). KV caches may be int8 with per-row scales [L, B, T, 1]
+(row scales commute through the attention dots exactly) or
+float8_e4m3fn with no scales (handled by the bf16 branch — tiles cast
+at read, a cheap native VPU convert; see qdecode.quantize_cache).
 
 Reference semantics: decoder block at src/model/decoder.rs:1478 (forward_one
 incremental path at :2125); attention per-head loop at
@@ -246,7 +248,8 @@ def self_block(x: jnp.ndarray, blk: dict, kq: jnp.ndarray,
 
     e_mat = jnp.asarray(head_expand_matrix(n_heads, hd))
     et_mat = jnp.transpose(e_mat)
-    row_dtype = jnp.int8 if quantized else x.dtype
+    # int8 -> int8 rows; fp8 caches -> f8 rows; bf16 -> compute dtype
+    row_dtype = kq.dtype
 
     kernel = functools.partial(_self_kernel, d=D, bt=block_t, scale=scale,
                                quantized=quantized)
@@ -727,7 +730,7 @@ def self_block_batched(x, blk, kq, ks, vq, vs, pos, layer, n_heads,
 
     e_mat = jnp.asarray(head_expand_matrix(n_heads, hd))
     et_mat = jnp.transpose(e_mat)
-    row_dtype = jnp.int8 if quantized else x.dtype
+    row_dtype = kq.dtype  # int8 / f8 / compute dtype (see self_block)
     kernel = functools.partial(_self_kernel_b, d=D, bt=block_t, B=B,
                                scale=scale, quantized=quantized)
 

@@ -257,6 +257,38 @@ class TestFusedDecode:
             tok = jnp.argmax(la, -1).astype(jnp.int32)
             pos_v = pos_v + 1
 
+    def test_tile_bound_crossing(self):
+        """Dynamic tile bounding: logits parity while pos crosses a
+        64-row tile boundary (nt 1 -> 2) with a mostly-dead cache."""
+        import jax.numpy as jnp
+        cfg2 = ModelConfig(
+            model_type="tiny", n_vocab=700, n_audio_ctx=32,
+            n_audio_state=128, n_audio_head=4, n_audio_layer=2,
+            n_text_ctx=160, n_text_state=128, n_text_head=4,
+            n_text_layer=2, n_mels=80)
+        params = quantize_params(init_params(cfg2, seed=7), "int8")
+        qd = qdecode.prepare_qdecode(params, cfg2)
+        rng = np.random.default_rng(1)
+        enc = jnp.asarray(rng.normal(0, 0.5, (2, cfg2.n_audio_ctx,
+                                              128)).astype(np.float32))
+        cache = init_cache(params, enc, cfg2, max_len=160)
+        prompt = jnp.asarray(np.full((2, 2), 5, np.int32))
+        _, cache = prefill(params, prompt, enc, cache, cfg2)
+        qc = qdecode.quantize_cache(cache, kv_int8=False)
+        tok = jnp.asarray(np.array([7, 11], np.int32))
+        pos_v = jnp.asarray(np.array([62, 3], np.int32))
+        for _ in range(4):                   # max pos 62..65 crosses bt=64
+            la, cache = qdecode.decode_step_q(
+                params, qd, tok, pos_v, cache, cfg2,
+                compute_dtype=jnp.float32, interpret=True)
+            lb, qc = qdecode.decode_step_qf(
+                params, qd, tok, pos_v, qc, cfg2,
+                compute_dtype=jnp.float32, interpret=True)
+            np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                       rtol=1e-5, atol=1e-5)
+            tok = jnp.argmax(la, -1).astype(jnp.int32)
+            pos_v = pos_v + 1
+
     def test_fp8_kv_mode(self, cfg, qsetup):
         """kv_mode="fp8": float8_e4m3fn caches, no scales, same tokens.
 

@@ -48,10 +48,13 @@ def main():
 
     D = cfg.n_text_state
     enc = jnp.zeros((B, cfg.n_audio_ctx, D), jnp.bfloat16)
-    cache = init_cache(params, enc, cfg, max_len=224,
+    max_len = int(os.environ.get("MAXLEN", "224"))
+    cache = init_cache(params, enc, cfg, max_len=max_len,
                        compute_dtype=jnp.bfloat16)
     tok0 = jnp.zeros((B,), jnp.int32)
-    pos0 = jnp.arange(B, dtype=jnp.int32) % 7  # mixed per-slot positions
+    # mixed per-slot positions; POS0 spreads them (tile-bounding realism)
+    p0 = int(os.environ.get("POS0", "0"))
+    pos0 = p0 + jnp.arange(B, dtype=jnp.int32) % 7
     p = P(lo, hi)
 
     def body_scan(i, env, carry):

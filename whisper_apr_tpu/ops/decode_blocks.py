@@ -121,7 +121,7 @@ def _quantize_row(r32: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
 # self_block
 # ---------------------------------------------------------------------------
 
-def _self_kernel(lengths_ref, layer_ref, x_ref, lnw_ref, lnb_ref,
+def _self_kernel(lengths_ref, layer_ref, nt_ref, x_ref, lnw_ref, lnb_ref,
                  wqkv_ref, sqkv_ref, bqkv_ref, kq_ref, ks_ref, vq_ref,
                  vs_ref, wo_ref, wos_ref, wob_ref, e_ref, et_ref,
                  xo_ref, k8_ref, ksc_ref, v8_ref, vsc_ref,
@@ -178,23 +178,28 @@ def _self_kernel(lengths_ref, layer_ref, x_ref, lnw_ref, lnb_ref,
     # MXU (exact, probed) — no [bt, D] VPU casts or multiplies touch the
     # KV tiles; the row scales ride the small [bt, H] matrices.
     # bf16 mode: bf16 elementwise + bf16 MXU dots with f32 accumulation.
+    # Tiles past ceil(pos/bt) hold no live rows: their index maps repeat
+    # the last live block (no DMA) and the compute is skipped.
     cdt = x_ref.dtype
-    vs = None
-    if quantized:
-        s = jax.lax.dot(kq_ref[0, 0], qe_s[...],
-                        preferred_element_type=jnp.float32)  # [bt, H]
-        s = s * ks_ref[0, 0].astype(jnp.float32)       # [bt, 1] K scales
-        vs = vs_ref[0, 0].astype(jnp.float32)
-        v = vq_ref[0, 0]                               # raw int8 [bt, D]
-    else:
-        k = kq_ref[0, 0].astype(cdt)                   # [bt, D]
-        v = vq_ref[0, 0].astype(cdt)
-        qk = k * q_s[...].astype(cdt)
-        s = jax.lax.dot(qk, e.astype(cdt),
-                        preferred_element_type=jnp.float32)  # [bt, H]
-    pos = t * bt + jax.lax.broadcasted_iota(jnp.int32, (bt, 1), 0)
-    valid = pos < lengths_ref[b]                       # excludes current
-    _attn_tile(s, valid, et, v, vs, m_ref, l_ref, acc_ref, quantized)
+
+    @pl.when(t < nt_ref[0])
+    def _tile():
+        vs = None
+        if quantized:
+            s = jax.lax.dot(kq_ref[0, 0], qe_s[...],
+                            preferred_element_type=jnp.float32)  # [bt, H]
+            s = s * ks_ref[0, 0].astype(jnp.float32)   # [bt, 1] K scales
+            vs = vs_ref[0, 0].astype(jnp.float32)
+            v = vq_ref[0, 0]                           # raw int8 [bt, D]
+        else:
+            k = kq_ref[0, 0].astype(cdt)               # [bt, D]
+            v = vq_ref[0, 0].astype(cdt)
+            qk = k * q_s[...].astype(cdt)
+            s = jax.lax.dot(qk, e.astype(cdt),
+                            preferred_element_type=jnp.float32)  # [bt, H]
+        pos = t * bt + jax.lax.broadcasted_iota(jnp.int32, (bt, 1), 0)
+        valid = pos < lengths_ref[b]                   # excludes current
+        _attn_tile(s, valid, et, v, vs, m_ref, l_ref, acc_ref, quantized)
 
     @pl.when(t == pl.num_programs(1) - 1)
     def _tail():
@@ -253,23 +258,30 @@ def self_block(x: jnp.ndarray, blk: dict, kq: jnp.ndarray,
 
     kernel = functools.partial(_self_kernel, d=D, bt=block_t, scale=scale,
                                quantized=quantized)
+    # dynamic tile bound (see self_block_batched)
+    n_tiles = T // block_t
+    nt = jnp.clip((jnp.max(lengths) + block_t - 1) // block_t,
+                  1, n_tiles).reshape((1,)).astype(jnp.int32)
 
     def const(i, j=None):
         if j is None:
-            return lambda b, t, lens, lyr: (lyr[0], 0)
-        return lambda b, t, lens, lyr: (lyr[0], 0, 0)
+            return lambda b, t, lens, lyr, ntr: (lyr[0], 0)
+        return lambda b, t, lens, lyr, ntr: (lyr[0], 0, 0)
 
-    cache_spec = pl.BlockSpec((1, 1, block_t, D),
-                              lambda b, t, lens, lyr: (lyr[0], b, t, 0))
+    clamp = lambda t, ntr: jnp.minimum(t, ntr[0] - 1)
+    cache_spec = pl.BlockSpec(
+        (1, 1, block_t, D),
+        lambda b, t, lens, lyr, ntr: (lyr[0], b, clamp(t, ntr), 0))
     if quantized:
         ks_in, vs_in = ks, vs
-        sspec = pl.BlockSpec((1, 1, block_t, 1),
-                             lambda b, t, lens, lyr: (lyr[0], b, t, 0))
+        sspec = pl.BlockSpec(
+            (1, 1, block_t, 1),
+            lambda b, t, lens, lyr, ntr: (lyr[0], b, clamp(t, ntr), 0))
     else:
         ks_in = jnp.zeros((L, B, block_t, 1), jnp.float32)
         vs_in = ks_in
         sspec = pl.BlockSpec((1, 1, block_t, 1),
-                             lambda b, t, lens, lyr: (lyr[0], b, 0, 0))
+                             lambda b, t, lens, lyr, ntr: (lyr[0], b, 0, 0))
 
     out_shapes = (
         jax.ShapeDtypeStruct((B, 1, D), x.dtype),        # x_out
@@ -278,16 +290,18 @@ def self_block(x: jnp.ndarray, blk: dict, kq: jnp.ndarray,
         jax.ShapeDtypeStruct((B, 1, D), row_dtype),      # v row
         jax.ShapeDtypeStruct((B, 1, _LANES), jnp.float32),  # v scale
     )
-    bspec = lambda shp: pl.BlockSpec(shp, lambda b, t, lens, lyr: (b, 0, 0))
+    bspec = lambda shp: pl.BlockSpec(
+        shp, lambda b, t, lens, lyr, ntr: (b, 0, 0))
 
     outs = pl.pallas_call(
         kernel,
         out_shape=out_shapes,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, 1, D), lambda b, t, lens, lyr: (b, 0, 0)),
+                pl.BlockSpec((1, 1, D),
+                             lambda b, t, lens, lyr, ntr: (b, 0, 0)),
                 pl.BlockSpec((1, 1, D), const(0, 0)),     # ln_w
                 pl.BlockSpec((1, 1, D), const(0, 0)),     # ln_b
                 pl.BlockSpec((1, D, 3 * D), const(0, 0)),  # wqkv
@@ -300,8 +314,10 @@ def self_block(x: jnp.ndarray, blk: dict, kq: jnp.ndarray,
                 pl.BlockSpec((1, D, D), const(0, 0)),     # wo
                 pl.BlockSpec((1, 1, D), const(0, 0)),     # wos
                 pl.BlockSpec((1, 1, D), const(0, 0)),     # wob
-                pl.BlockSpec((D, n_heads), lambda b, t, lens, lyr: (0, 0)),
-                pl.BlockSpec((n_heads, D), lambda b, t, lens, lyr: (0, 0)),
+                pl.BlockSpec((D, n_heads),
+                             lambda b, t, lens, lyr, ntr: (0, 0)),
+                pl.BlockSpec((n_heads, D),
+                             lambda b, t, lens, lyr, ntr: (0, 0)),
             ],
             out_specs=(
                 bspec((1, 1, D)),
@@ -322,7 +338,7 @@ def self_block(x: jnp.ndarray, blk: dict, kq: jnp.ndarray,
             ],
         ),
         interpret=interpret,
-    )(lengths, layer, x[:, None, :], blk["ln1_w"], blk["ln1_b"],
+    )(lengths, layer, nt, x[:, None, :], blk["ln1_w"], blk["ln1_b"],
       blk["wqkv"], blk["sqkv"], blk["bqkv"], kq, ks_in, vq, vs_in,
       blk["self_wo"], blk["self_wos"], blk["self_wob"], e_mat, et_mat)
     x_out, k8, ksc, v8, vsc = outs
@@ -616,7 +632,7 @@ def _ln_rows(x32, w_ref, b_ref):
     return normed * w_ref[0].astype(jnp.float32) + b_ref[0].astype(jnp.float32)
 
 
-def _self_kernel_b(lengths_ref, layer_ref, x_ref, lnw_ref, lnb_ref,
+def _self_kernel_b(lengths_ref, layer_ref, nt_ref, x_ref, lnw_ref, lnb_ref,
                    wqkv_ref, sqkv_ref, bqkv_ref, kq_ref, ks_ref, vq_ref,
                    vs_ref, wo_ref, wos_ref, wob_ref, e_ref, et_ref, len_ref,
                    xo_ref, k8_ref, ksc_ref, v8_ref, vsc_ref,
@@ -668,24 +684,30 @@ def _self_kernel_b(lengths_ref, layer_ref, x_ref, lnw_ref, lnb_ref,
         l_ref[...] = jnp.zeros(l_ref.shape, jnp.float32)
         acc_ref[...] = jnp.zeros(acc_ref.shape, jnp.float32)
 
-    k_flat = kq_ref[0].reshape(n_rows, d).astype(cdt)  # [B*bt, D]
-    v_in = vq_ref[0].reshape(n_rows, d).astype(cdt)
-    q_exp = jax.lax.dot(sel.astype(cdt), q_s[...].astype(cdt),
-                        preferred_element_type=jnp.float32).astype(cdt)
-    qk = k_flat * q_exp
-    s = jax.lax.dot(qk, e.astype(cdt),
-                    preferred_element_type=jnp.float32)
-    vs = None
-    if quantized:
-        s = s * ks_ref[0].reshape(n_rows, 1).astype(jnp.float32)
-        vs = vs_ref[0].reshape(n_rows, 1).astype(jnp.float32)
-    # per-b validity: row i covers cache position t*bt + i % bt of seq i//bt
-    pos_in = t * bt + jax.lax.broadcasted_iota(jnp.int32, (n_rows, 1), 0) % bt
-    len_exp = jax.lax.dot(sel, len_ref[...].astype(jnp.float32),
-                          preferred_element_type=jnp.float32)  # [B*bt, 1]
-    valid = pos_in.astype(jnp.float32) < len_exp
-    _batched_attn_tile(s, valid, et, v_in, vs, m_ref, l_ref, acc_ref,
-                       sel, selT, B, bt, quantized, cdt)
+    # DYNAMIC TILE BOUNDING (the paged cache's bandwidth win, dense):
+    # tiles past ceil(max(pos)/bt) hold no live rows — their index maps
+    # repeat the last live block (no new DMA) and the compute is skipped.
+    @pl.when(t < nt_ref[0])
+    def _tile():
+        k_flat = kq_ref[0].reshape(n_rows, d).astype(cdt)  # [B*bt, D]
+        v_in = vq_ref[0].reshape(n_rows, d).astype(cdt)
+        q_exp = jax.lax.dot(sel.astype(cdt), q_s[...].astype(cdt),
+                            preferred_element_type=jnp.float32).astype(cdt)
+        qk = k_flat * q_exp
+        s = jax.lax.dot(qk, e.astype(cdt),
+                        preferred_element_type=jnp.float32)
+        vs = None
+        if quantized:
+            s = s * ks_ref[0].reshape(n_rows, 1).astype(jnp.float32)
+            vs = vs_ref[0].reshape(n_rows, 1).astype(jnp.float32)
+        # per-b validity: row i covers position t*bt + i % bt of seq i//bt
+        pos_in = t * bt + \
+            jax.lax.broadcasted_iota(jnp.int32, (n_rows, 1), 0) % bt
+        len_exp = jax.lax.dot(sel, len_ref[...].astype(jnp.float32),
+                              preferred_element_type=jnp.float32)
+        valid = pos_in.astype(jnp.float32) < len_exp
+        _batched_attn_tile(s, valid, et, v_in, vs, m_ref, l_ref, acc_ref,
+                           sel, selT, B, bt, quantized, cdt)
 
     @pl.when(t == pl.num_programs(0) - 1)
     def _tail():
@@ -733,19 +755,28 @@ def self_block_batched(x, blk, kq, ks, vq, vs, pos, layer, n_heads,
     row_dtype = kq.dtype  # int8 / f8 / compute dtype (see self_block)
     kernel = functools.partial(_self_kernel_b, d=D, bt=block_t, B=B,
                                scale=scale, quantized=quantized)
+    # dynamic tile bound: live tiles = ceil(max(pos)/bt) (>=1 so the
+    # t==0 init always runs); dead tiles repeat the last live block in
+    # their index maps, so no DMA is issued for them
+    n_tiles = T // block_t
+    nt = jnp.clip((jnp.max(lengths) + block_t - 1) // block_t,
+                  1, n_tiles).reshape((1,)).astype(jnp.int32)
 
-    const3 = lambda: (lambda t, lens, lyr: (lyr[0], 0, 0))
-    cache_spec = pl.BlockSpec((1, B, block_t, D),
-                              lambda t, lens, lyr: (lyr[0], 0, t, 0))
+    const3 = lambda: (lambda t, lens, lyr, ntr: (lyr[0], 0, 0))
+    clamp = lambda t, ntr: jnp.minimum(t, ntr[0] - 1)
+    cache_spec = pl.BlockSpec(
+        (1, B, block_t, D),
+        lambda t, lens, lyr, ntr: (lyr[0], 0, clamp(t, ntr), 0))
     if quantized:
         ks_in, vs_in = ks, vs
-        sspec = pl.BlockSpec((1, B, block_t, 1),
-                             lambda t, lens, lyr: (lyr[0], 0, t, 0))
+        sspec = pl.BlockSpec(
+            (1, B, block_t, 1),
+            lambda t, lens, lyr, ntr: (lyr[0], 0, clamp(t, ntr), 0))
     else:
         ks_in = jnp.zeros((L, B, block_t, 1), jnp.float32)
         vs_in = ks_in
         sspec = pl.BlockSpec((1, B, block_t, 1),
-                             lambda t, lens, lyr: (lyr[0], 0, 0, 0))
+                             lambda t, lens, lyr, ntr: (lyr[0], 0, 0, 0))
 
     out_shapes = (
         jax.ShapeDtypeStruct((B, D), x.dtype),
@@ -754,13 +785,14 @@ def self_block_batched(x, blk, kq, ks, vq, vs, pos, layer, n_heads,
         jax.ShapeDtypeStruct((B, D), row_dtype),
         jax.ShapeDtypeStruct((B, _LANES), jnp.float32),
     )
-    full2 = lambda shp: pl.BlockSpec(shp, lambda t, lens, lyr: (0, 0))
+    full2 = lambda shp: pl.BlockSpec(shp,
+                                     lambda t, lens, lyr, ntr: (0, 0))
 
     outs = pl.pallas_call(
         kernel,
         out_shape=out_shapes,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=grid,
             in_specs=[
                 full2((B, D)),                           # x
@@ -773,8 +805,10 @@ def self_block_batched(x, blk, kq, ks, vq, vs, pos, layer, n_heads,
                 pl.BlockSpec((1, D, D), const3()),       # wo
                 pl.BlockSpec((1, 1, D), const3()),       # wos
                 pl.BlockSpec((1, 1, D), const3()),       # wob
-                pl.BlockSpec((D, n_heads), lambda t, lens, lyr: (0, 0)),
-                pl.BlockSpec((n_heads, D), lambda t, lens, lyr: (0, 0)),
+                pl.BlockSpec((D, n_heads),
+                             lambda t, lens, lyr, ntr: (0, 0)),
+                pl.BlockSpec((n_heads, D),
+                             lambda t, lens, lyr, ntr: (0, 0)),
                 full2((B, 1)),                           # lengths (VMEM)
             ],
             out_specs=(
@@ -792,7 +826,7 @@ def self_block_batched(x, blk, kq, ks, vq, vs, pos, layer, n_heads,
             ],
         ),
         interpret=interpret,
-    )(lengths, layer, x, blk["ln1_w"], blk["ln1_b"], blk["wqkv"],
+    )(lengths, layer, nt, x, blk["ln1_w"], blk["ln1_b"], blk["wqkv"],
       blk["sqkv"], blk["bqkv"], kq, ks_in, vq, vs_in, blk["self_wo"],
       blk["self_wos"], blk["self_wob"], e_mat, et_mat,
       lengths[:, None].astype(jnp.int32))

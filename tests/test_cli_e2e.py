@@ -161,3 +161,50 @@ class TestCliSubcommands:
         assert rc == 0
         out = capsys.readouterr().out
         assert "heard:" in out and "command:" in out
+
+
+class TestCliDarkPaths:
+    """Round-3 coverage: option paths the main suite skipped."""
+
+    def test_transcribe_to_file_verbose(self, workdir, capsys):
+        out = str(workdir["dir"] / "out.txt")
+        rc = run(["transcribe", workdir["clip"], "-m", workdir["model"],
+                  "-o", out, "--max-tokens", "4", "-l", "en", "--verbose"])
+        assert rc == 0
+        assert os.path.exists(out)
+        assert "rtf=" in capsys.readouterr().err
+
+    def test_transcribe_nbest_beam(self, workdir, capsys):
+        rc = run(["transcribe", workdir["clip"], "-m", workdir["model"],
+                  "--beam-size", "2", "--n-best", "2",
+                  "--max-tokens", "4", "-l", "en"])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "[1]" in out and "[2]" in out
+
+    def test_batch_missing_file_errors(self, workdir, capsys):
+        # a no-match glob falls through as a literal path -> load error
+        rc = run(["batch", str(workdir["dir"] / "nope-*.wav"),
+                  "-m", workdir["model"]])
+        assert rc == 1
+        assert "error" in capsys.readouterr().err
+
+    def test_batch_threaded_load(self, workdir, capsys):
+        rc = run(["batch", workdir["clip"], workdir["clip"],
+                  "-m", workdir["model"], "--threads", "2",
+                  "--max-tokens", "4", "-l", "en"])
+        assert rc == 0
+
+    def test_quantize_already_quantized(self, workdir, capsys):
+        int8_path = str(workdir["dir"] / "tiny-int8-c.apr")
+        assert run(["quantize", "-m", workdir["model"],
+                    "-o", int8_path]) == 0
+        rc = run(["quantize", "-m", int8_path,
+                  "-o", str(workdir["dir"] / "again.apr")])
+        assert rc == 1
+        assert "already quantized" in capsys.readouterr().err
+
+    def test_not_implemented_stub(self, capsys):
+        from whisper_apr_tpu.cli.commands import run_not_implemented
+        assert run_not_implemented("foo") == 2
+        assert "not yet implemented" in capsys.readouterr().err

@@ -1,0 +1,533 @@
+"""Round-3 coverage push: the dark paths the fresh line map showed.
+
+Targets (tools/coverage.py --merge map, round 3): the pure-Python LZ4
+fallback decoder + frame error paths (format/compress.py — the native C++
+decoder normally shadows it), native/__init__ lib-unavailable fallbacks,
+AprReader corrupt-file raises, QTensor surface + odd-shape quantizers,
+ModelConfig preset table, CLI dispatch edges, and small engine branches.
+Reference parity: the reference's error paths live in
+src/format/compress.rs / mod.rs and are exercised by its inline tests.
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from whisper_apr_tpu.errors import FormatError
+
+
+# ---------------------------------------------------------------------------
+# LZ4: pure-Python fallback decoder (native shadowed)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def no_native(monkeypatch):
+    """Force every native-accelerated path onto its Python fallback."""
+    import whisper_apr_tpu.native as native
+    monkeypatch.setattr(native, "lz4_decompress_block", lambda *a: None)
+    return native
+
+
+class TestLz4PythonFallback:
+    def test_roundtrip_compressible(self, no_native):
+        from whisper_apr_tpu.format.compress import (compress_block,
+                                                     decompress_block)
+        data = b"abcd" * 200 + b"tail"        # long matches (>15 ext bytes)
+        comp = compress_block(data)
+        assert len(comp) < len(data)
+        assert decompress_block(comp, len(data)) == data
+
+    def test_roundtrip_incompressible(self, no_native):
+        from whisper_apr_tpu.format.compress import (compress_block,
+                                                     decompress_block)
+        rng = np.random.default_rng(0)
+        data = rng.integers(0, 256, 500, dtype=np.uint8).tobytes()
+        comp = compress_block(data)
+        assert decompress_block(comp, len(data)) == data
+
+    def test_long_literal_run(self, no_native):
+        from whisper_apr_tpu.format.compress import (compress_block,
+                                                     decompress_block)
+        rng = np.random.default_rng(1)
+        # >=15 literals before a match forces the 15-extension literal path
+        lit = rng.integers(0, 256, 300, dtype=np.uint8).tobytes()
+        data = lit + b"abcd" * 50
+        assert decompress_block(compress_block(data), len(data)) == data
+
+    def test_truncated_literal_length(self, no_native):
+        from whisper_apr_tpu.format.compress import decompress_block
+        with pytest.raises(FormatError, match="literal length"):
+            decompress_block(bytes([0xF0]), 100)
+
+    def test_truncated_literals(self, no_native):
+        from whisper_apr_tpu.format.compress import decompress_block
+        with pytest.raises(FormatError, match="literals"):
+            decompress_block(bytes([0x50, 65, 66]), 100)
+
+    def test_truncated_match_offset(self, no_native):
+        from whisper_apr_tpu.format.compress import decompress_block
+        with pytest.raises(FormatError, match="match offset"):
+            decompress_block(bytes([0x00, 0x01]), 100)
+
+    def test_invalid_match_offset(self, no_native):
+        from whisper_apr_tpu.format.compress import decompress_block
+        with pytest.raises(FormatError, match="invalid LZ4 match offset"):
+            decompress_block(bytes([0x00, 0x00, 0x00]), 100)
+
+    def test_offset_beyond_output(self, no_native):
+        from whisper_apr_tpu.format.compress import decompress_block
+        # 1 literal then a match at offset 5 > len(out)=1
+        with pytest.raises(FormatError, match="invalid LZ4 match offset"):
+            decompress_block(bytes([0x10, 65, 0x05, 0x00]), 100)
+
+    def test_truncated_match_length(self, no_native):
+        from whisper_apr_tpu.format.compress import decompress_block
+        # lit=1, matchlen nibble 15 -> needs extension byte that's missing
+        with pytest.raises(FormatError, match="match length"):
+            decompress_block(bytes([0x1F, 65, 0x01, 0x00]), 100)
+
+    def test_output_exceeds_declared_size(self, no_native):
+        from whisper_apr_tpu.format.compress import (compress_block,
+                                                     decompress_block)
+        comp = compress_block(b"a" * 300)
+        with pytest.raises(FormatError):
+            decompress_block(comp, 10)
+
+    def test_python_matches_native(self):
+        """The fallback and the C++ decoder agree byte-for-byte."""
+        import whisper_apr_tpu.native as native
+        from whisper_apr_tpu.format import compress as C
+        if native.get_lib() is None:
+            pytest.skip("native lib unavailable")
+        rng = np.random.default_rng(2)
+        for data in (b"xyz" * 333, rng.integers(0, 256, 777,
+                                                dtype=np.uint8).tobytes()):
+            comp = C.compress_block(data)
+            fast = native.lz4_decompress_block(comp, len(data))
+            assert fast == data
+            # force the Python loop for the same payload
+            orig = native.lz4_decompress_block
+            try:
+                native.lz4_decompress_block = lambda *a: None
+                assert C._decode_block(comp, len(data)) == data
+            finally:
+                native.lz4_decompress_block = orig
+
+
+class TestLz4BlocksFraming:
+    def test_decompressor_class(self, no_native):
+        from whisper_apr_tpu.format.compress import (Decompressor,
+                                                     compress_block)
+        d = Decompressor()
+        data = b"hello world " * 40
+        assert d.decompress_block(compress_block(data), len(data)) == data
+
+    def test_blocks_truncated_header(self, no_native):
+        from whisper_apr_tpu.format.compress import decompress_blocks
+        with pytest.raises(FormatError, match="block header"):
+            decompress_blocks(b"\x01\x02\x03")
+
+    def test_blocks_truncated_payload(self, no_native):
+        from whisper_apr_tpu.format.compress import decompress_blocks
+        blob = struct.pack("<II", 100, 50) + b"xx"
+        with pytest.raises(FormatError, match="block payload"):
+            decompress_blocks(blob)
+
+
+class TestLz4Frames:
+    def _frame(self, data):
+        from whisper_apr_tpu.format.compress import lz4_frame_compress
+        return bytearray(lz4_frame_compress(data))
+
+    def test_roundtrip(self, no_native):
+        from whisper_apr_tpu.format.compress import (lz4_frame_compress,
+                                                     lz4_frame_decompress)
+        for data in (b"", b"abc" * 1000,
+                     np.random.default_rng(3).integers(
+                         0, 256, 999, dtype=np.uint8).tobytes()):
+            assert lz4_frame_decompress(lz4_frame_compress(data)) == data
+
+    def test_bad_magic(self, no_native):
+        from whisper_apr_tpu.format.compress import lz4_frame_decompress
+        f = self._frame(b"abc")
+        f[0] ^= 0xFF
+        with pytest.raises(FormatError, match="magic"):
+            lz4_frame_decompress(bytes(f))
+
+    def test_header_checksum_mismatch(self, no_native):
+        from whisper_apr_tpu.format.compress import lz4_frame_decompress
+        f = self._frame(b"abc")
+        f[14] ^= 0xFF                       # hc byte (magic4+flg+bd+csize8)
+        with pytest.raises(FormatError, match="header checksum"):
+            lz4_frame_decompress(bytes(f))
+
+    def test_invalid_block_size_code(self, no_native):
+        from whisper_apr_tpu.format.compress import (lz4_frame_decompress,
+                                                     xxh32)
+        f = self._frame(b"abc")
+        f[5] = 0x00                          # bd: block size code 0
+        desc = bytes(f[4:14])
+        f[14] = (xxh32(desc) >> 8) & 0xFF    # fix hc for modified desc
+        with pytest.raises(FormatError, match="block size code"):
+            lz4_frame_decompress(bytes(f))
+
+    def test_truncated_block_header(self, no_native):
+        from whisper_apr_tpu.format.compress import lz4_frame_decompress
+        f = self._frame(b"abc")
+        with pytest.raises(FormatError, match="frame block header"):
+            lz4_frame_decompress(bytes(f[:15]))   # cut right after header
+
+    def test_content_size_mismatch(self, no_native):
+        from whisper_apr_tpu.format.compress import (lz4_frame_decompress,
+                                                     xxh32)
+        f = self._frame(b"abcd")
+        f[6:14] = struct.pack("<Q", 9999)    # lie about content size
+        desc = bytes(f[4:14])
+        f[14] = (xxh32(desc) >> 8) & 0xFF
+        with pytest.raises(FormatError, match="content size"):
+            lz4_frame_decompress(bytes(f))
+
+    def test_block_checksum_paths(self, no_native):
+        from whisper_apr_tpu.format.compress import (LZ4_MAGIC,
+                                                     lz4_frame_decompress,
+                                                     xxh32)
+        # hand-build a frame with block checksums (flg bit 0x10)
+        payload = b"stored-data"
+        flg = 0x40 | 0x10                    # version 01, B.Checksum
+        bd = 0x40
+        desc = bytes([flg, bd])
+        hc = (xxh32(desc) >> 8) & 0xFF
+        block = struct.pack("<I", len(payload) | 0x80000000) + payload
+        good = (struct.pack("<I", LZ4_MAGIC) + desc + bytes([hc]) + block
+                + struct.pack("<I", xxh32(payload))
+                + struct.pack("<I", 0))
+        assert lz4_frame_decompress(good) == payload
+        bad = (struct.pack("<I", LZ4_MAGIC) + desc + bytes([hc]) + block
+               + struct.pack("<I", xxh32(payload) ^ 1)
+               + struct.pack("<I", 0))
+        with pytest.raises(FormatError, match="block checksum"):
+            lz4_frame_decompress(bad)
+
+
+# ---------------------------------------------------------------------------
+# native/__init__: unavailable-library fallbacks
+# ---------------------------------------------------------------------------
+
+class TestNativeFallbacks:
+    def test_all_fallbacks_when_lib_missing(self, monkeypatch):
+        import whisper_apr_tpu.native as native
+        monkeypatch.setattr(native, "get_lib", lambda: None)
+        assert native.crc32(b"Hello, World!") == 0xEC4AC3D0  # zlib fallback
+        assert native.resample_sinc(np.zeros(10, np.float32),
+                                    8000, 16000) is None
+        assert native.pcm16_to_f32_mono(np.zeros(4, np.int16), 2) is None
+        assert native.lz4_decompress_block(b"\x00", 4) is None
+        assert native.frame_energy_zcr(np.zeros(100, np.float32),
+                                       25) is None
+
+    def test_build_failure_path(self, tmp_path, monkeypatch):
+        import whisper_apr_tpu.native as native
+        bad_src = tmp_path / "bad.cpp"
+        bad_src.write_text("this is not C++")
+        monkeypatch.setattr(native, "_SRC", str(bad_src))
+        monkeypatch.setattr(native, "_LIB_PATH", str(tmp_path / "out.so"))
+        assert native._build() is None       # g++ fails -> None
+
+
+# ---------------------------------------------------------------------------
+# AprReader: corrupt-file raises
+# ---------------------------------------------------------------------------
+
+class TestContainerCorruption:
+    def _apr(self, **kw):
+        import sys
+        sys.path.insert(0, "/root/repo/tests")
+        from test_format import make_test_apr
+        return make_test_apr(**kw)
+
+    def test_unsupported_version(self):
+        from whisper_apr_tpu.format.container import AprReader
+        data = bytearray(self._apr())
+        data[4:6] = struct.pack("<H", 99)    # version field
+        with pytest.raises(FormatError):
+            AprReader(bytes(data))
+
+    def test_file_too_short_for_index(self):
+        from whisper_apr_tpu.format.container import AprReader
+        data = self._apr()
+        with pytest.raises(FormatError):
+            AprReader(data[:80])
+
+    def test_scale_table_requires_int8(self):
+        from whisper_apr_tpu.format.container import AprReader
+        r = AprReader(self._apr())              # f32 model
+        with pytest.raises(FormatError, match="scale table"):
+            r.scale_for("encoder.conv1.weight")
+
+    def test_tensor_names(self):
+        from whisper_apr_tpu.format.container import AprReader
+        r = AprReader(self._apr())
+        assert "encoder.conv1.weight" in r.tensor_names()
+
+
+class TestWriterValidation:
+    def test_name_too_long(self):
+        from whisper_apr_tpu.config import ModelConfig
+        from whisper_apr_tpu.format.container import AprWriter
+        w = AprWriter.from_config(ModelConfig.tiny())
+        with pytest.raises(FormatError, match="name too long"):
+            w.add_tensor("x" * 64, np.zeros(4, np.float32))
+
+    def test_rank_too_high(self):
+        from whisper_apr_tpu.config import ModelConfig
+        from whisper_apr_tpu.format.container import AprWriter
+        w = AprWriter.from_config(ModelConfig.tiny())
+        with pytest.raises(FormatError, match="rank"):
+            w.add_tensor("t", np.zeros((1, 1, 1, 1, 1), np.float32))
+
+
+# ---------------------------------------------------------------------------
+# QTensor surface + odd-shape quantizers (ops/quant.py)
+# ---------------------------------------------------------------------------
+
+class TestQuantSurface:
+    def test_qtensor_properties(self):
+        from whisper_apr_tpu.ops.quant import quantize_int8, quantize_int4
+        q = quantize_int8(np.ones((8, 4), np.float32))
+        assert q.shape == (8, 4)
+        assert q.size == 32
+        assert str(q.dtype) == "int8"
+        assert "int8" in repr(q)
+        q4 = quantize_int4(np.ones((8, 4), np.float32))
+        assert "int4" in repr(q4)
+
+    def test_quantize_1d_falls_back_to_per_tensor(self):
+        from whisper_apr_tpu.ops.quant import (dequant, quantize_int4,
+                                               quantize_int8)
+        w = np.linspace(-1, 1, 7).astype(np.float32)
+        for quant in (quantize_int8, quantize_int4):
+            q = quant(w, per_channel=True, stacked=True)  # ndim<=1 branch
+            err = np.abs(np.asarray(dequant(q))[: len(w)] - w).max()
+            assert err < 0.2
+
+    def test_group_quant_odd_shapes(self):
+        from whisper_apr_tpu.ops.quant import dequant, quantize_q4_block
+        # K not divisible by group -> falls back to per-channel int4
+        w = np.random.default_rng(0).normal(size=(12, 6)).astype(np.float32)
+        q = quantize_q4_block(w, group=32)
+        deq = np.asarray(dequant(q))[:, :6]
+        assert np.abs(deq - w).max() < 0.5
+        # 1-D input -> plain int4
+        w1 = np.linspace(-2, 2, 9).astype(np.float32)
+        q1 = quantize_q4_block(w1)
+        assert np.abs(np.asarray(dequant(q1))[: 9] - w1).max() < 0.5
+
+    def test_group_quant_odd_last_dim(self):
+        from whisper_apr_tpu.ops.quant import dequant, quantize_q4_block
+        w = np.random.default_rng(1).normal(size=(64, 5)).astype(np.float32)
+        q = quantize_q4_block(w, group=32)   # odd N -> pair padding
+        deq = np.asarray(dequant(q))[:, :5]
+        assert np.abs(deq - w).max() < 0.5
+
+
+# ---------------------------------------------------------------------------
+# ModelConfig presets + ComputeConfig validation
+# ---------------------------------------------------------------------------
+
+class TestConfigSurface:
+    def test_all_presets_valid(self):
+        from whisper_apr_tpu.config import ModelConfig
+        for name in ("tiny.en", "base", "base.en", "small.en", "medium.en",
+                     "large", "large-v1", "large-v2"):
+            cfg = ModelConfig.from_name(name)
+            assert cfg.n_text_state % cfg.n_text_head == 0
+            assert cfg.model_type == name
+        assert not ModelConfig.tiny_en().is_multilingual
+        assert ModelConfig.base().is_multilingual
+
+    def test_invalid_head_division(self):
+        import dataclasses
+        from whisper_apr_tpu.config import ConfigError, ModelConfig
+        with pytest.raises(ConfigError, match="n_text_state"):
+            dataclasses.replace(ModelConfig.tiny(), n_text_head=5)
+
+    def test_compute_config_kv_mode_validation(self):
+        from whisper_apr_tpu.config import ComputeConfig
+        with pytest.raises(ValueError, match="kv_mode"):
+            ComputeConfig(kv_mode="fp16")
+        cc = ComputeConfig(kv_mode="int8")
+        assert cc.replace(kv_mode="bf16").kv_mode == "bf16"
+
+
+# ---------------------------------------------------------------------------
+# CLI dispatch edges
+# ---------------------------------------------------------------------------
+
+class TestCliDispatch:
+    def test_unknown_command(self, capsys):
+        # argparse rejects unknown subcommands at the parser boundary
+        from whisper_apr_tpu.cli import run
+        with pytest.raises(SystemExit):
+            run(["definitely-not-a-command"])
+        assert "invalid choice" in capsys.readouterr().err
+
+    def test_error_boundary(self, capsys):
+        from whisper_apr_tpu.cli import run
+        rc = run(["model", "-m", "/nonexistent/path.apr"])
+        assert rc == 1
+        assert "error" in capsys.readouterr().err
+
+    def test_main_exits(self, monkeypatch):
+        import whisper_apr_tpu.cli as cli
+        monkeypatch.setattr("sys.argv", ["apr", "definitely-not-a-command"])
+        with pytest.raises(SystemExit):
+            cli.main()
+
+
+# ---------------------------------------------------------------------------
+# Engine small branches
+# ---------------------------------------------------------------------------
+
+class TestEngineBranches:
+    def test_is_float_helper(self):
+        from whisper_apr_tpu.engine import _is_float
+        assert _is_float("0.5")
+        assert not _is_float("abc")
+
+    def test_batch_result_len(self):
+        from whisper_apr_tpu.engine import (BatchTranscriptionResult,
+                                            TranscriptionResult)
+        r = TranscriptionResult("hi", "en", [], [])
+        b = BatchTranscriptionResult([r, r], 0.1)
+        assert len(b) == 2
+
+
+# ---------------------------------------------------------------------------
+# Validator FAIL branches not hit by the existing corrupted-model tests
+# ---------------------------------------------------------------------------
+
+class TestValidatorMoreBranches:
+    def _report(self, mutate_tensors=None, writer_tweak=None):
+        import sys
+        sys.path.insert(0, "/root/repo/tests")
+        from helpers import make_hf_twin, small_config
+        from whisper_apr_tpu.format.container import AprReader, AprWriter
+        from whisper_apr_tpu.format.validation import AprValidator
+        from whisper_apr_tpu.tools.convert import hf_state_dict_to_apr_tensors
+        cfg = small_config()
+        hf = make_hf_twin(cfg, seed=0)
+        sd = {k: v.detach().cpu().numpy() for k, v in hf.state_dict().items()}
+        tensors = hf_state_dict_to_apr_tensors(sd)
+        if mutate_tensors:
+            mutate_tensors(tensors)
+        w = AprWriter.from_config(cfg)
+        for name, arr in tensors.items():
+            w.add_tensor(name, arr)
+        if writer_tweak:
+            writer_tweak(w)
+        return AprValidator(AprReader(w.to_bytes())).validate_all()
+
+    def test_empty_model_fails_structure(self):
+        from whisper_apr_tpu.config import ModelConfig
+        from whisper_apr_tpu.format.container import AprReader, AprWriter
+        from whisper_apr_tpu.format.validation import AprValidator
+        w = AprWriter.from_config(ModelConfig.tiny())
+        rep = AprValidator(AprReader(w.to_bytes())).validate_all()
+        failed = {c.id for c in rep.checks if not c.passed}
+        assert 3 in failed                     # no tensors
+        assert 6 in failed and 7 in failed     # LN weights not found
+        assert 16 in failed                    # token embedding not found
+        assert not rep.passed
+        text = rep.summary()
+        assert "FAIL" in text and "!!" in text
+
+    def test_bad_qkv_and_ffn_means(self):
+        def corrupt(t):
+            for name in list(t):
+                if name.endswith("0.self_attn.q_proj.weight"):
+                    t[name] = t[name] + 5.0          # mean far from 0
+                if name.endswith("0.fc1.weight"):
+                    t[name] = t[name] + 5.0
+        rep = self._report(corrupt)
+        failed = {c.id for c in rep.checks if not c.passed}
+        assert 11 in failed and 12 in failed
+
+    def test_huge_std_fails(self):
+        def corrupt(t):
+            for name in list(t):
+                if name.endswith("0.self_attn.v_proj.weight"):
+                    t[name] = t[name] * 1000.0       # std > 20
+        rep = self._report(corrupt)
+        failed = {c.id for c in rep.checks if not c.passed}
+        assert 13 in failed
+
+    def test_wrong_embedding_shapes(self):
+        def corrupt(t):
+            for name in list(t):
+                if "embed_positions" in name and "decoder" in name:
+                    t[name] = t[name][:-1]           # wrong n_text_ctx
+        rep = self._report(corrupt)
+        failed = {c.id for c in rep.checks if not c.passed}
+        assert 18 in failed
+
+
+# ---------------------------------------------------------------------------
+# Paged cache dark paths + quantized token embeddings
+# ---------------------------------------------------------------------------
+
+class TestPagedDarkPaths:
+    def _paged(self):
+        import sys
+        sys.path.insert(0, "/root/repo/tests")
+        from helpers import small_config
+        from whisper_apr_tpu.model.kv_variants import PagedKVCache
+        cfg = small_config()
+        return PagedKVCache(cfg, n_pages=8), cfg
+
+    def test_page_table_padded(self):
+        pk, cfg = self._paged()
+        pk.alloc(7, 3)
+        tab = pk.page_table(7, 6)
+        assert tab.shape == (6,)
+        assert (tab[3:] == 0).all()
+
+    def test_fetch_empty_sequence(self):
+        pk, _ = self._paged()
+        pk.alloc(1, 1)
+        pk._lengths[1] = 0
+        k, v = pk.gather_layer(1, layer=0)
+        assert k.shape[0] == 0 and v.shape[0] == 0
+
+    def test_fetch_unknown_raises(self):
+        from whisper_apr_tpu.errors import InferenceError
+        pk, _ = self._paged()
+        with pytest.raises(InferenceError):
+            pk.gather_layer(99, layer=0)
+        with pytest.raises(InferenceError):
+            pk.gather(99)
+
+
+class TestQuantizedTokenEmbedding:
+    def test_decode_step_multi_int8_params(self):
+        import sys
+        sys.path.insert(0, "/root/repo/tests")
+        import jax.numpy as jnp
+        from helpers import make_hf_twin, small_config
+        from whisper_apr_tpu.model.decoder import init_cache
+        from whisper_apr_tpu.model.encoder import encode_jit
+        from whisper_apr_tpu.model.kv_variants import decode_step_multi
+        from whisper_apr_tpu.model.params import (params_from_hf_model,
+                                                  quantize_params)
+        cfg = small_config()
+        params = quantize_params(
+            params_from_hf_model(make_hf_twin(cfg), cfg), "int8")
+        rng = np.random.default_rng(0)
+        mel = rng.normal(size=(1, 2 * cfg.n_audio_ctx,
+                               cfg.n_mels)).astype(np.float32)
+        enc = encode_jit(params, jnp.asarray(mel), cfg)
+        cache = init_cache(params, enc, cfg, max_len=8)
+        logits, cache = decode_step_multi(
+            params, jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1,), jnp.int32), cache, cfg)
+        assert np.isfinite(np.asarray(logits)).all()

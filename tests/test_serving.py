@@ -421,3 +421,28 @@ class TestLayerKernelTick:
         finally:
             qdecode.INTERPRET = False
         assert np.array_equal(np.asarray(t1), np.asarray(t2))
+
+
+class TestBackgroundServingThread:
+    """start()/stop() background loop (works on standard backends; the
+    axon relay needs the synchronous loop — see serving.py NOTE)."""
+
+    def test_thread_drains_queue(self, engine):
+        import time
+        rng = np.random.default_rng(9)
+        sched = BatchScheduler(engine, n_slots=2)
+        sched.start()
+        try:
+            ids = [sched.submit(rng.normal(0, 0.1, 4000).astype(np.float32),
+                                "en", max_tokens=6) for _ in range(3)]
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                if all(sched.result(i) is not None for i in ids):
+                    break
+                time.sleep(0.05)
+        finally:
+            sched.stop()
+        for rid in ids:
+            assert sched.result(rid) is not None
+        # idempotent stop
+        sched.stop()

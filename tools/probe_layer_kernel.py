@@ -170,9 +170,12 @@ def q4k_measure(lo, hi):
     tok0 = jnp.zeros((1,), jnp.int32)
     p = P(lo, hi)
 
+    mode = qd.pop("mode", None)  # static string can't ride the jit env
+
     def body(i, env, carry):
         prm, q_d = env
         tok, c = carry
+        q_d = dict(q_d, mode=mode)
         logits, c = qdecode.decode_step_q(prm, q_d, tok, i, c, cfg)
         return (jnp.argmax(logits, -1).astype(jnp.int32), c)
 

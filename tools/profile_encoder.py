@@ -37,7 +37,12 @@ def main():
     from whisper_apr_tpu.model.params import init_params, quantize_params
 
     cfg = ModelConfig.from_name(model)
+    only_quant = os.environ.get("QUANT")        # e.g. QUANT=int8
+    only_flash = os.environ.get("FLASH")        # "0" / "1"
+    skip_mel = os.environ.get("SKIP_MEL") == "1"
     for quant in ("int8", "bf16"):
+        if only_quant and quant != only_quant:
+            continue
         params = init_params(cfg, seed=0)
         if quant == "int8":
             params = quantize_params(params, "int8")
@@ -48,6 +53,8 @@ def main():
         mel = jnp.zeros((1, 2 * cfg.n_audio_ctx, cfg.n_mels), jnp.float32)
 
         for flash in (False, True):
+            if only_flash is not None and flash != (only_flash == "1"):
+                continue
             def body(i, env, x):
                 out = encode(env, mel, cfg, jnp.bfloat16, use_flash=flash)
                 return x + out[:, 0, :1].astype(jnp.float32)
@@ -57,6 +64,8 @@ def main():
                   flush=True)
 
     # mel stage
+    if skip_mel:
+        return
     fb = MelFilterbank.create(cfg.n_mels)
     audio = jnp.zeros((480_000,), jnp.float32)
 

@@ -531,3 +531,212 @@ class TestQuantizedTokenEmbedding:
             params, jnp.zeros((1,), jnp.int32),
             jnp.zeros((1,), jnp.int32), cache, cfg)
         assert np.isfinite(np.asarray(logits)).all()
+
+
+class TestXxh32KnownAnswers:
+    """Known-answer vectors (xxHash spec / python-xxhash docs): the frame
+    round-trip tests are SELF-consistent (compressor and decompressor
+    share the implementation), so only pinned digests catch a wrong
+    constant or rotation — the round-3 mutation run proved every xxh32
+    mutant survived without these."""
+
+    def test_vectors(self):
+        from whisper_apr_tpu.format.compress import xxh32
+        assert xxh32(b"") == 0x02CC5D05
+        assert xxh32(b"a") == 0x550D7456
+        assert xxh32(b"abc") == 0x32D153FF
+        # >=16 bytes: exercises the 4-lane stripe loop
+        assert xxh32(b"Nobody inspects the spammish repetition") == 0xE2293B2F
+
+    def test_seed_changes_digest(self):
+        from whisper_apr_tpu.format.compress import xxh32
+        assert xxh32(b"abc", 1) != xxh32(b"abc", 0)
+
+
+class TestLz4BoundaryLengths:
+    def test_literal_run_exactly_270(self, no_native):
+        """lit_len == 270 puts the extension byte exactly at 255: the
+        encoder must emit [255, 0], not a bare [255] (mutation survivor
+        cmp GtE->Gt @emit)."""
+        from whisper_apr_tpu.format.compress import (compress_block,
+                                                     decompress_block)
+        rng = np.random.default_rng(7)
+        lit = rng.integers(0, 256, 270, dtype=np.uint8).tobytes()
+        data = lit + b"abcd" * 10
+        assert decompress_block(compress_block(data), len(data)) == data
+
+    def test_match_len_boundaries(self, no_native):
+        from whisper_apr_tpu.format.compress import (compress_block,
+                                                     decompress_block)
+        # match lengths around the 19 (=15+4) extension threshold and the
+        # 274 (=255+15+4) second-extension-byte boundary
+        for mlen in (18, 19, 20, 273, 274, 275):
+            data = b"Q" * mlen + b"%" + b"Q" * mlen + b"#tail-bytes#"
+            assert decompress_block(compress_block(data),
+                                    len(data)) == data
+
+
+class TestWavParserBoundaries:
+    """Mutation-survivor killers for the WAV chunk walker (audio/wav.py):
+    exact-boundary sizes and misordered conditions that self-consistent
+    round-trip tests cannot distinguish."""
+
+    @staticmethod
+    def _wav(wave_tag=b"WAVE", fmt_body=None, chunks=(), data=b""):
+        import struct as st
+        if fmt_body is None:
+            fmt_body = st.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+        body = bytearray()
+        body += b"fmt " + st.pack("<I", len(fmt_body)) + fmt_body
+        for cid, cbody in chunks:
+            body += cid + st.pack("<I", len(cbody)) + cbody
+            if len(cbody) & 1:
+                body += b"\x00"                  # writer pads; parser must
+        body += b"data" + st.pack("<I", len(data)) + data
+        riff = b"RIFF" + st.pack("<I", 4 + len(body)) + wave_tag + bytes(body)
+        return riff
+
+    def test_minimal_44_byte_file(self):
+        from whisper_apr_tpu.audio.wav import parse_wav
+        f = self._wav()                          # header only, 0 samples
+        assert len(f) == 44
+        samples, sr = parse_wav(f)
+        assert sr == 16000 and len(samples) == 0
+
+    def test_wave_tag_checked_independently(self):
+        from whisper_apr_tpu.audio.wav import parse_wav
+        from whisper_apr_tpu.errors import AudioError
+        f = self._wav(wave_tag=b"XXXX")
+        with pytest.raises(AudioError, match="RIFF/WAVE"):
+            parse_wav(f)
+
+    def test_odd_sized_chunk_alignment(self):
+        import struct as st
+        from whisper_apr_tpu.audio.wav import parse_wav
+        pcm = st.pack("<4h", 1000, -1000, 2000, -2000)
+        f = self._wav(chunks=((b"LIST", b"odd"),), data=pcm)
+        samples, sr = parse_wav(f)
+        assert len(samples) == 4
+        np.testing.assert_allclose(samples[0], 1000 / 32768.0, atol=1e-6)
+
+    def test_truncated_fmt_chunk(self):
+        import struct as st
+        from whisper_apr_tpu.audio.wav import parse_wav
+        from whisper_apr_tpu.errors import AudioError
+        f = self._wav(fmt_body=st.pack("<HHI", 1, 1, 16000),   # 8 < 16
+                      data=b"\x00" * 12)                # keep len >= 44
+        with pytest.raises(AudioError, match="fmt"):
+            parse_wav(f)
+
+    def test_plain_pcm_with_long_fmt_not_extensible(self):
+        import struct as st
+        from whisper_apr_tpu.audio.wav import parse_wav
+        # format code 1 with a 26-byte fmt body: the extensible GUID
+        # rewrite must NOT fire (it only applies to code 0xFFFE)
+        fmt = st.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16) + b"\x99" * 14
+        pcm = st.pack("<2h", 123, -123)
+        samples, sr = parse_wav(self._wav(fmt_body=fmt, data=pcm))
+        assert sr == 8000 and len(samples) == 2
+
+    def test_extensible_fmt_exactly_26_bytes(self):
+        import struct as st
+        from whisper_apr_tpu.audio.wav import parse_wav
+        # 0xFFFE + fmt of exactly 26 bytes: GUID format code at offset 24
+        fmt = (st.pack("<HHIIHH", 0xFFFE, 1, 16000, 32000, 2, 16)
+               + st.pack("<HHHH", 16, 22, 0, 1))[:24] + st.pack("<H", 1)
+        pcm = st.pack("<2h", 500, -500)
+        samples, sr = parse_wav(self._wav(fmt_body=fmt, data=pcm))
+        assert len(samples) == 2
+
+
+class TestValidatorGoodModelStrict:
+    """A clean real-shaped model must pass EVERY check with an empty
+    critical list — kills the mutation survivors that flip a condition
+    and silently fail (or mis-collect) checks on good models."""
+
+    def _validate(self, mutate_tensors=None, extra=None):
+        import sys
+        sys.path.insert(0, "/root/repo/tests")
+        from helpers import make_hf_twin, small_config
+        from whisper_apr_tpu.format.container import AprReader, AprWriter
+        from whisper_apr_tpu.format.validation import AprValidator
+        from whisper_apr_tpu.tools.convert import hf_state_dict_to_apr_tensors
+        cfg = small_config()
+        hf = make_hf_twin(cfg, seed=0)
+        sd = {k: v.detach().cpu().numpy() for k, v in hf.state_dict().items()}
+        tensors = hf_state_dict_to_apr_tensors(sd)
+        if mutate_tensors:
+            mutate_tensors(tensors)
+        if extra:
+            tensors.update(extra)
+        w = AprWriter.from_config(cfg)
+        for name, arr in tensors.items():
+            w.add_tensor(name, arr)
+        return AprValidator(AprReader(w.to_bytes())).validate_all()
+
+    def test_every_check_passes(self):
+        rep = self._validate()
+        failed = [(c.id, c.message) for c in rep.checks if not c.passed]
+        assert failed == []
+        assert rep.critical_failures == []
+        assert rep.passed
+
+    def test_ln_bias_mean_exactly_two_passes(self):
+        # |mean| == 2.0 sits ON the boundary: the check is strict-greater
+        def corrupt(t):
+            for name in list(t):
+                if name.endswith("0.final_layer_norm.bias"):
+                    t[name] = np.full_like(t[name], 2.0)
+        rep = self._validate(corrupt)
+        assert all(c.passed for c in rep.checks if c.id == 9)
+
+    def test_1d_weight_huge_std_ignored(self):
+        # the std sweep applies to matrices only (n_dims >= 2)
+        extra = {"extra.weight":
+                 (np.random.default_rng(0).normal(size=32) * 1000)
+                 .astype(np.float32)}
+        rep = self._validate(extra=extra)
+        assert all(c.passed for c in rep.checks if c.id == 13)
+
+
+class TestBpeBoundaries:
+    """BPE serialization / HF-import mutation-survivor killers."""
+
+    def test_from_bytes_empty_vocab_exact_8(self):
+        from whisper_apr_tpu.tokenizer.bpe import Vocabulary
+        v = Vocabulary.from_bytes(struct.pack("<II", 0, 0))
+        assert len(v) == 0
+
+    def test_roundtrip_zero_length_and_tail_token(self):
+        from whisper_apr_tpu.tokenizer.bpe import Vocabulary
+        v = Vocabulary()
+        v.add_token(b"")                      # zero-length token
+        v.add_token(b"end-of-buffer")         # last bytes of the stream
+        w = Vocabulary.from_bytes(v.to_bytes())
+        assert len(w) == 2
+        assert w.get_id(b"end-of-buffer") == 1
+
+    def test_hf_import_dense_ids_no_fillers(self):
+        from whisper_apr_tpu.tokenizer.bpe import Vocabulary
+        v = Vocabulary.from_hf_files({"a": 0, "b": 1, "c": 2}, [])
+        assert len(v) == 3
+        assert v.get_id(b"a") == 0 and v.get_id(b"c") == 2
+
+    def test_hf_import_merges_applied_comments_ignored(self):
+        from whisper_apr_tpu.tokenizer.bpe import BpeTokenizer, Vocabulary
+        vocab_json = {"a": 0, "b": 1, "ab": 2}
+        v = Vocabulary.from_hf_files(vocab_json, ["#x y", "", "a b"])
+        tok = BpeTokenizer(v)
+        assert tok.encode("ab") == [2]        # merge a+b -> ab applied
+        # the comment line must NOT have produced a bogus merge
+        assert v.get_id(b"#x") is None
+
+    def test_decode_with_options_drops_eot_itself(self):
+        import whisper_apr_tpu.tokenizer.special_tokens as st
+        from whisper_apr_tpu.tokenizer.bpe import BpeTokenizer, Vocabulary
+        v = Vocabulary()
+        for i in range(4):
+            v.add_token(b"t%d" % i)
+        eot = st.SpecialTokens.for_vocab_size(len(v)).eot
+        tok = BpeTokenizer(v)
+        assert tok.decode_with_options([0, eot], skip_special=True) == "t0"

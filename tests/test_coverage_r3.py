@@ -740,3 +740,96 @@ class TestBpeBoundaries:
         eot = st.SpecialTokens.for_vocab_size(len(v)).eot
         tok = BpeTokenizer(v)
         assert tok.decode_with_options([0, eot], skip_special=True) == "t0"
+
+
+# ---------------------------------------------------------------------------
+# Small utility dark paths (memory, detection, trace, progress, mel)
+# ---------------------------------------------------------------------------
+
+class TestUtilityDarkPaths:
+    def test_memory_stats_backends_without_support(self):
+        from whisper_apr_tpu.utils.memory import (MemoryStats,
+                                                  device_memory_stats)
+
+        class NoStats:
+            pass
+
+        class RaisingStats:
+            def memory_stats(self):
+                raise RuntimeError("nope")
+
+        class EmptyStats:
+            def memory_stats(self):
+                return {}
+
+        class FullStats:
+            def memory_stats(self):
+                return {"bytes_in_use": 10, "bytes_limit": 100}
+
+        assert device_memory_stats(NoStats()) is None
+        assert device_memory_stats(RaisingStats()) is None
+        assert device_memory_stats(EmptyStats()) is None
+        st = device_memory_stats(FullStats())
+        assert st.utilization == pytest.approx(0.1)
+        assert MemoryStats(5, 0, 5).utilization == 0.0
+
+    def test_detection_min_confidence_floor(self):
+        from whisper_apr_tpu.detection import LanguageDetector
+        import whisper_apr_tpu.tokenizer.special_tokens as st
+        specials = st.SpecialTokens.for_vocab_size(51_865)
+        logits = np.zeros(51_865, np.float32)   # uniform -> low confidence
+        det = LanguageDetector(min_confidence=0.99)
+        lang, p, probs = det.detect(logits)
+        assert lang == "en" and p < 0.99
+
+    def test_profile_context_manager(self, tmp_path, monkeypatch):
+        import whisper_apr_tpu.utils.trace as trace
+        calls = []
+        import jax
+        monkeypatch.setattr(jax.profiler, "start_trace",
+                            lambda d: calls.append(("start", d)))
+        monkeypatch.setattr(jax.profiler, "stop_trace",
+                            lambda: calls.append(("stop",)))
+        with trace.profile(str(tmp_path)):
+            pass
+        assert calls[0][0] == "start" and calls[-1] == ("stop",)
+
+    def test_progress_start_phase_and_bytes(self):
+        from whisper_apr_tpu.utils.progress import (ProgressTracker,
+                                                    format_bytes)
+        p = ProgressTracker.model_loading()
+        p.start_phase(p.phases[1].name)
+        assert p._idx == 1
+        p.start_phase("not-a-phase")          # no-op
+        assert p._idx == 1
+        assert format_bytes(10) == "10 B"
+        assert "KB" in format_bytes(2048) or "KiB" in format_bytes(2048)
+
+    def test_quantize_row_helper(self):
+        from whisper_apr_tpu.ops.decode_attention import quantize_row
+        import jax.numpy as jnp
+        x = jnp.asarray(np.random.default_rng(0).normal(
+            size=(2, 8)).astype(np.float32))
+        q, s = quantize_row(x)
+        deq = np.asarray(q, np.float32) * np.asarray(s)[:, None]
+        np.testing.assert_allclose(deq, np.asarray(x), atol=np.asarray(s).max())
+
+    def test_mel_scale_helpers_roundtrip(self):
+        from whisper_apr_tpu.audio.mel import hz_to_mel_htk, mel_to_hz_htk
+        for hz in (0.0, 440.0, 8000.0):
+            assert mel_to_hz_htk(hz_to_mel_htk(hz)) == pytest.approx(hz)
+
+    def test_mel_filterbank_shape_validation(self):
+        from whisper_apr_tpu.audio.mel import MelFilterbank
+        from whisper_apr_tpu.errors import AudioError
+        with pytest.raises(AudioError, match="filterbank shape"):
+            MelFilterbank(np.zeros((80, 7), np.float32), n_fft=400)
+
+    def test_compute_mel_convenience_truncates_long_audio(self):
+        from whisper_apr_tpu.audio.mel import log_mel_spectrogram as compute_mel
+        long_audio = np.zeros(16_000 * 31, np.float32)   # > 30 s
+        m = compute_mel(long_audio, n_mels=80, pad_to_30s=True)
+        assert m.shape[0] == 3000
+        short = compute_mel(np.zeros(4000, np.float32), n_mels=80,
+                            pad_to_30s=False)
+        assert short.shape[1] == 80

@@ -145,3 +145,48 @@ class TestLongAudio:
         a = eng.transcribe_long(audio, opts)
         b = eng.transcribe(audio, opts)
         assert a.tokens == b.tokens
+
+
+class TestEngineDarkPaths:
+    """Round-3 coverage: engine conveniences the main suite skipped."""
+
+    @pytest.fixture(scope="class")
+    def eng(self, hf, cfg):
+        from whisper_apr_tpu.engine import WhisperApr
+        return WhisperApr.from_hf_model(hf, cfg, specials=small_specials(cfg))
+
+    def test_transcribe_partial_passthrough(self, eng):
+        rng = np.random.default_rng(0)
+        audio = rng.normal(0, 0.1, 4000).astype(np.float32)
+        opts = TranscribeOptions(language="en", max_tokens=4)
+        r = eng.transcribe_partial(audio, is_final=False, options=opts)
+        assert r.tokens == eng.transcribe(audio, opts).tokens
+
+    def test_transcribe_file_with_resample(self, eng, tmp_path):
+        import struct as st
+        import wave
+        rng = np.random.default_rng(1)
+        audio = rng.normal(0, 0.1, 8000).astype(np.float32)
+        pcm = (np.clip(audio, -1, 1) * 32767).astype(np.int16)
+        path = str(tmp_path / "clip8k.wav")
+        with wave.open(path, "wb") as f:
+            f.setnchannels(1)
+            f.setsampwidth(2)
+            f.setframerate(8000)                 # != 16k -> resampler
+            f.writeframes(pcm.tobytes())
+        opts = TranscribeOptions(language="en", max_tokens=4)
+        r = eng.transcribe_file(path, opts)
+        assert isinstance(r.text, str)
+
+    def test_nbest_language_autodetect(self, eng):
+        rng = np.random.default_rng(2)
+        audio = rng.normal(0, 0.1, 4000).astype(np.float32)
+        opts = TranscribeOptions(language=None, strategy="beam",
+                                 beam_size=2, max_tokens=4)
+        out = eng.transcribe_nbest(audio, opts, n=2)
+        assert len(out) >= 1
+        assert out[0].language                   # auto-detected something
+
+    def test_create_streaming_session(self, eng):
+        sess = eng.create_streaming_session()
+        assert sess is not None

@@ -833,3 +833,130 @@ class TestUtilityDarkPaths:
         short = compute_mel(np.zeros(4000, np.float32), n_mels=80,
                             pad_to_30s=False)
         assert short.shape[1] == 80
+
+
+class TestBpeTruncationGuards:
+    """from_bytes must raise on every truncation point (the guards are
+    dead code on well-formed input, so round-trips can't kill their
+    mutants)."""
+
+    def _vocab_bytes(self):
+        from whisper_apr_tpu.tokenizer.bpe import Vocabulary
+        v = Vocabulary()
+        v.add_token(b"alpha")
+        v.add_token(b"beta")
+        v.add_merge_rule(b"al", b"pha")
+        return v.to_bytes()
+
+    def test_truncations_raise_everywhere(self):
+        from whisper_apr_tpu.errors import TokenizerError
+        from whisper_apr_tpu.tokenizer.bpe import Vocabulary
+        data = self._vocab_bytes()
+        # cut at every byte boundary: anything shorter than the full
+        # stream must raise, never mis-parse
+        for cut in range(8, len(data)):
+            with pytest.raises(TokenizerError):
+                Vocabulary.from_bytes(data[:cut])
+
+    def test_hf_import_gap_fillers(self):
+        from whisper_apr_tpu.tokenizer.bpe import Vocabulary
+        v = Vocabulary.from_hf_files({"a": 0, "z": 5}, [])
+        assert len(v) == 6
+        assert v.get_id(b"z") == 5
+        assert v.get_id(b"<|unused_3|>") == 3   # exact filler names
+
+    def test_comment_merge_line_ignored(self):
+        from whisper_apr_tpu.tokenizer.bpe import Vocabulary
+        v = Vocabulary.from_hf_files({"a": 0, "b": 1}, ["#x y"])
+        assert v.merge_priority(b"#x", b"y") is None
+
+
+class TestTimestampGrammarUnit:
+    """Direct unit tests of the in-loop grammar masks — the round-3
+    mutation run showed the E2E timestamp tests leave most rule
+    comparisons unconstrained (33% kill). Vocab layout: ids 0..8 text,
+    9 EOT, 10.. timestamps (base 10)."""
+
+    BASE, EOT = 10, 9
+
+    def _mask(self, state, is_first=False, B=1, V=70, logits=None):
+        import jax.numpy as jnp
+        from whisper_apr_tpu.inference.timestamp_rules import apply_rules
+        lg = (jnp.zeros((B, V), jnp.float32) if logits is None
+              else jnp.asarray(logits, jnp.float32))
+        out = apply_rules(lg, state, self.BASE, self.EOT,
+                          jnp.full((B,), is_first, bool))
+        return np.asarray(out)
+
+    def _state(self, last=False, penult=False, max_ts=0, n=0):
+        import jax.numpy as jnp
+        from whisper_apr_tpu.inference.timestamp_rules import TimestampState
+        return TimestampState(
+            last_was_ts=jnp.asarray([last]),
+            penult_was_ts=jnp.asarray([penult]),
+            max_ts=jnp.asarray([max_ts], jnp.int32),
+            n_sampled=jnp.asarray([n], jnp.int32))
+
+    def test_rule1_first_token_window(self):
+        from whisper_apr_tpu.inference.timestamp_rules import (
+            MAX_INITIAL_TIMESTAMP_STEPS)
+        cap = self.BASE + MAX_INITIAL_TIMESTAMP_STEPS
+        out = self._mask(self._state(), is_first=True)[0]
+        assert (out[: self.BASE] < -1e30).all()          # text + EOT masked
+        assert out[self.BASE] == 0.0                     # <|t0|> allowed
+        assert out[cap] == 0.0                           # cap INCLUSIVE
+        assert out[cap + 1] < -1e30                      # beyond cap masked
+
+    def test_rule2b_after_opening_ts_text_required(self):
+        # opening <|t0|>: n_sampled=1 counts penult as ts -> pair branch
+        out = self._mask(self._state(last=True, penult=False,
+                                     max_ts=self.BASE, n=1))[0]
+        assert (out[self.BASE:] < -1e30).all()           # no timestamps
+        assert out[0] == 0.0                             # text allowed
+
+    def test_rule2a_lone_closing_ts_forces_pair(self):
+        # strong EOT logit so rule 4 (timestamp-mass) does not also fire
+        lg = np.zeros((1, 70), np.float32)
+        lg[0, self.EOT] = 8.0
+        out = self._mask(self._state(last=True, penult=False,
+                                     max_ts=12, n=5), logits=lg)[0]
+        assert (out[:9] < -1e30).all()                   # text masked
+        assert out[self.EOT] > -1e30                     # EOT allowed
+        assert out[12] > -1e30                           # REPEAT allowed
+        assert out[11] < -1e30                           # below last masked
+
+    def test_rule3_strict_increase_after_pair(self):
+        out = self._mask(self._state(last=False, penult=False,
+                                     max_ts=12, n=6))[0]
+        assert out[12] < -1e30                           # no repeat
+        assert out[13] == 0.0                            # strictly greater
+
+    def test_rule4_timestamp_mass_forces_timestamp(self):
+        lg = np.zeros((1, 70), np.float32)
+        lg[0, self.BASE:] = 3.0                          # ts mass dominates
+        out = self._mask(self._state(last=False, penult=True,
+                                     max_ts=0, n=4), logits=lg)[0]
+        assert (out[: self.BASE] < -1e30).all()          # all text masked
+        assert out[self.BASE] > -1e30
+
+    def test_rule4_not_forced_when_text_dominates(self):
+        lg = np.zeros((1, 70), np.float32)
+        lg[0, 3] = 8.0                                   # one strong text tok
+        out = self._mask(self._state(last=False, penult=True,
+                                     max_ts=0, n=4), logits=lg)[0]
+        assert out[3] > -1e30                            # text survives
+
+    def test_update_state_transitions(self):
+        import jax.numpy as jnp
+        from whisper_apr_tpu.inference.timestamp_rules import (init_state,
+                                                               update_state)
+        s = init_state(1)
+        s = update_state(s, jnp.asarray([12]), self.BASE)     # timestamp
+        assert bool(s.last_was_ts[0]) and int(s.max_ts[0]) == 12
+        assert int(s.n_sampled[0]) == 1
+        s = update_state(s, jnp.asarray([3]), self.BASE)      # text
+        assert not bool(s.last_was_ts[0]) and bool(s.penult_was_ts[0])
+        assert int(s.max_ts[0]) == 12                         # unchanged
+        s = update_state(s, jnp.asarray([11]), self.BASE)     # lower ts
+        assert int(s.max_ts[0]) == 12                         # max kept
+        assert int(s.n_sampled[0]) == 3

@@ -960,3 +960,20 @@ class TestTimestampGrammarUnit:
         s = update_state(s, jnp.asarray([11]), self.BASE)     # lower ts
         assert int(s.max_ts[0]) == 12                         # max kept
         assert int(s.n_sampled[0]) == 3
+
+    def test_lone_closing_at_exactly_two_sampled(self):
+        # [text, ts] -> n_sampled == 2 sits ON the penult-convention
+        # boundary: it must count as a LONE closing timestamp (pair forced)
+        lg = np.zeros((1, 70), np.float32)
+        lg[0, self.EOT] = 8.0
+        out = self._mask(self._state(last=True, penult=False,
+                                     max_ts=12, n=2), logits=lg)[0]
+        assert (out[:9] < -1e30).all()                   # text masked
+
+    def test_update_state_token_exactly_base_is_timestamp(self):
+        import jax.numpy as jnp
+        from whisper_apr_tpu.inference.timestamp_rules import (init_state,
+                                                               update_state)
+        s = update_state(init_state(1), jnp.asarray([self.BASE]), self.BASE)
+        assert bool(s.last_was_ts[0])                    # <|t0|> IS a ts
+        assert int(s.max_ts[0]) == self.BASE

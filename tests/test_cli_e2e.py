@@ -106,6 +106,21 @@ class TestCliSubcommands:
                   "--max-tokens", "4", "-l", "en"])
         assert rc == 0
 
+    def test_quantize_q6k_and_transcribe(self, workdir, capsys):
+        out = str(workdir["dir"] / "tiny-q6k.apr")
+        rc = run(["quantize", "-m", workdir["model"], "-o", out,
+                  "--format", "q6k"])
+        assert rc == 0
+        # 6.5625 bits/weight for eligible tensors still beats f32
+        assert os.path.getsize(out) < os.path.getsize(workdir["model"])
+        capsys.readouterr()
+        rc = run(["model", "-m", out])
+        assert rc == 0
+        assert "q6k" in capsys.readouterr().out
+        rc = run(["transcribe", workdir["clip"], "-m", out, "-of", "json",
+                  "--max-tokens", "4", "-l", "en"])
+        assert rc == 0
+
     def test_parity(self, workdir, capsys):
         ref = str(workdir["dir"] / "ref.txt")
         open(ref, "w").write("hello world")

@@ -213,7 +213,8 @@ class ComputeConfig:
     # True = force, False = never, None = KernelSelector decides by shape
     # and platform (reference analog: BackendSelector, selector.rs:198)
     use_flash_attention: "bool | None" = None
-    # runtime weight quantization: "none" | "int8" | "int4"
+    # runtime weight quantization: "none" | "int8" | "int4" | "q4" |
+    # "q4k" | "q5k" | "q6k" (model/params.quantize_params modes)
     quantization: str = "none"
     # decode KV-cache / attention-kernel mode (quantized fast path only):
     # "auto" = per-block megakernel step with bf16 KV — fastest at every

@@ -170,8 +170,12 @@ class WhisperApr:
         # bit-exact from the super-blocks (ops/q4k.planar_from_raw)
         file_int8 = reader.header.quantization == 2
         file_q4k = reader.header.quantization == 4
+        file_q5k = reader.header.quantization == 5
+        file_q6k = reader.header.quantization == 6
         keep = (file_int8 and compute.quantization in ("none", "int8")) or \
-               (file_q4k and compute.quantization in ("none", "q4k"))
+               (file_q4k and compute.quantization in ("none", "q4k")) or \
+               (file_q5k and compute.quantization in ("none", "q5k")) or \
+               (file_q6k and compute.quantization in ("none", "q6k"))
         params = load_params_from_apr(reader, dtype=dtype, keep_quantized=keep)
         if compute.quantization != "none" and not keep:
             from .model.params import quantize_params

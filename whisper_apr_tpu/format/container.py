@@ -53,9 +53,38 @@ QUANT_F16 = 1
 QUANT_INT8 = 2
 QUANT_INT4 = 3
 QUANT_Q4K = 4
+QUANT_Q5K = 5
+QUANT_Q6K = 6
 
 _QUANT_NAMES = {QUANT_F32: "f32", QUANT_F16: "f16", QUANT_INT8: "int8",
-                QUANT_INT4: "int4", QUANT_Q4K: "q4k"}
+                QUANT_INT4: "int4", QUANT_Q4K: "q4k", QUANT_Q5K: "q5k",
+                QUANT_Q6K: "q6k"}
+
+# k-quant family: super-block bytes per 256 values (ops/q4k.py,
+# ops/kquants.py carry the codecs)
+_KQUANT_BLOCK_BYTES = {QUANT_Q4K: 144, QUANT_Q5K: 176, QUANT_Q6K: 210}
+
+
+def _kquant_dequantize(code: int, raw: "np.ndarray") -> "np.ndarray":
+    if code == QUANT_Q4K:
+        from ..ops.q4k import dequantize_q4k_raw
+        return dequantize_q4k_raw(raw)
+    if code == QUANT_Q5K:
+        from ..ops.kquants import dequantize_q5k_raw
+        return dequantize_q5k_raw(raw)
+    from ..ops.kquants import dequantize_q6k_raw
+    return dequantize_q6k_raw(raw)
+
+
+def _kquant_quantize(code: int, flat: "np.ndarray") -> "np.ndarray":
+    if code == QUANT_Q4K:
+        from ..ops.q4k import quantize_q4k_raw
+        return quantize_q4k_raw(flat)
+    if code == QUANT_Q5K:
+        from ..ops.kquants import quantize_q5k_raw
+        return quantize_q5k_raw(flat)
+    from ..ops.kquants import quantize_q6k_raw
+    return quantize_q6k_raw(flat)
 
 
 @dataclasses.dataclass
@@ -357,24 +386,25 @@ class AprReader:
             if end > len(blob):
                 raise FormatError("tensor data out of bounds")
             arr = np.frombuffer(blob, dtype=np.int8, count=count, offset=start)
-        elif (self.header.quantization == QUANT_Q4K
+        elif (self.header.quantization in _KQUANT_BLOCK_BYTES
               and desc.size != count * 4):
-            # q4k files store matmul weights as raw super-blocks (144 B /
-            # 256 values, flat stream padded to a 256 multiple) and
-            # everything else as f32; the two are distinguished by the
-            # descriptor's byte size
-            from ..ops.q4k import BLOCK_BYTES, QK_K
-            n_sb = (count + QK_K - 1) // QK_K
-            if desc.size != n_sb * BLOCK_BYTES:
+            # k-quant files store matmul weights as raw super-blocks
+            # (q4k 144 B / q5k 176 B / q6k 210 B per 256 values, flat
+            # stream padded to a 256 multiple) and everything else as
+            # f32; the two are distinguished by the descriptor's byte size
+            block_bytes = _KQUANT_BLOCK_BYTES[self.header.quantization]
+            n_sb = (count + 255) // 256
+            if desc.size != n_sb * block_bytes:
                 raise FormatError(
                     f"tensor {desc.name}: size {desc.size} matches neither "
-                    f"f32 nor Q4_K for {count} elements")
+                    f"f32 nor {self.header.quantization_name} for "
+                    f"{count} elements")
             end = start + desc.size
             if end > len(blob):
                 raise FormatError("tensor data out of bounds")
             arr = np.frombuffer(blob, dtype=np.uint8, count=desc.size,
                                 offset=start)
-            return arr.reshape(n_sb, BLOCK_BYTES)
+            return arr.reshape(n_sb, block_bytes)
         else:
             end = start + count * 4
             if end > len(blob):
@@ -394,10 +424,10 @@ class AprReader:
         raw = self.load_raw(name)
         if self.header.quantization == QUANT_INT8:
             return raw.astype(np.float32) * self.scale_for(name)
-        if self.header.quantization == QUANT_Q4K and raw.dtype == np.uint8:
-            from ..ops.q4k import dequantize_q4k_raw
+        if (self.header.quantization in _KQUANT_BLOCK_BYTES
+                and raw.dtype == np.uint8):
             desc = self.tensors[self._by_name[name]]
-            flat = dequantize_q4k_raw(raw[None])[0]
+            flat = _kquant_dequantize(self.header.quantization, raw[None])[0]
             return flat[:desc.n_elements].reshape(desc.dims)
         return raw.astype(np.float32, copy=False)
 
@@ -483,9 +513,10 @@ class AprWriter:
 
     def to_bytes(self) -> bytes:
         quant = self.header.quantization
-        if quant not in (QUANT_F32, QUANT_INT8, QUANT_Q4K):
+        if quant not in (QUANT_F32, QUANT_INT8, QUANT_Q4K, QUANT_Q5K,
+                         QUANT_Q6K):
             raise FormatError(
-                f"writer supports f32/int8/q4k only, got {quant}")
+                f"writer supports f32/int8/q4k/q5k/q6k only, got {quant}")
         self.header.n_tensors = len(self._tensors)
 
         out = bytearray()
@@ -505,20 +536,20 @@ class AprWriter:
                 q = np.clip(np.round(arr / scale), -127, 127).astype(np.int8)
                 data = q.tobytes()
                 scales += struct.pack("<f", scale)
-            elif quant == QUANT_Q4K and arr.ndim == 2 and arr.size >= 4096:
-                # 2-D matmul weights carry raw Q4_K super-blocks over the
-                # row-major flat stream, zero-padded to a 256 multiple
+            elif (quant in _KQUANT_BLOCK_BYTES and arr.ndim == 2
+                  and arr.size >= 4096):
+                # 2-D matmul weights carry raw k-quant super-blocks over
+                # the row-major flat stream, zero-padded to a 256 multiple
                 # (matches realizar's element-count rule — the reference's
                 # QuantizedTensorQ4K::from_raw only constrains total size,
                 # quantized.rs:125-160). When the row length is already a
                 # 256 multiple this is identical to per-row quantization.
                 # Small/1-D tensors (LN, biases, conv) stay f32.
-                from ..ops.q4k import QK_K, quantize_q4k_raw
                 flat = np.ascontiguousarray(arr, np.float32).reshape(-1)
-                pad = (-flat.size) % QK_K
+                pad = (-flat.size) % 256
                 if pad:
                     flat = np.pad(flat, (0, pad))
-                data = quantize_q4k_raw(flat[None]).tobytes()
+                data = _kquant_quantize(quant, flat[None]).tobytes()
             else:
                 data = arr.astype("<f4").tobytes()
             desc = TensorDescriptor(

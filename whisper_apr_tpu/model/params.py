@@ -131,6 +131,9 @@ def load_params_from_apr(reader: AprReader,
     # (ops/q4k.planar_from_raw); the token embedding (gathered, not
     # matmul'd) re-quantizes to per-channel int8 at load
     native_q4k = bool(keep_quantized) and file_quant == 4
+    # q5k/q6k files: same bit-exact planar load (ops/kquants.py)
+    native_q5k = bool(keep_quantized) and file_quant == 5
+    native_q6k = bool(keep_quantized) and file_quant == 6
 
     def q_linear(name: str, d_in: int, d_out: int):
         """int8 weight straight from the file: transpose + file scale."""
@@ -176,17 +179,26 @@ def load_params_from_apr(reader: AprReader,
                 np.array([p[1] for p in pairs],
                          np.float32).reshape(L, 1, 1))
             return QTensor(q, scale)
-        if native_q4k and d_in % 256 == 0:
-            from ..ops.q4k import planar_from_raw
+        if (native_q4k or native_q5k or native_q6k) and d_in % 256 == 0:
             from ..ops.quant import QTensor
+            if native_q4k:
+                from ..ops.q4k import planar_from_raw
+            elif native_q5k:
+                from ..ops.kquants import \
+                    planar_from_raw_q5k as planar_from_raw
+            else:
+                from ..ops.kquants import \
+                    planar_from_raw_q6k as planar_from_raw
             qts = [planar_from_raw(
                 np.asarray(reader.load_raw(prefix_fn(i))), d_out, d_in)
                 for i in range(L)]
+            zero = (jnp.stack([t.zero for t in qts])
+                    if qts[0].zero is not None else None)
             return QTensor(
                 jnp.stack([t.q for t in qts]),
                 jnp.stack([t.scale for t in qts]),
-                zero=jnp.stack([t.zero for t in qts]),
-                int4=True, group=qts[0].group, kpack=True)
+                zero=zero, int4=qts[0].int4, group=qts[0].group,
+                kpack=qts[0].kpack)
         # prefix_fn yields the FULL tensor name (incl. ".weight")
         return j(np.stack([get(prefix_fn(i), d_out, d_in, transpose=True)
                            for i in range(L)]))
@@ -253,7 +265,7 @@ def load_params_from_apr(reader: AprReader,
                 jnp.asarray(np.asarray(reader.load_raw(te_name))
                             .reshape(cfg.n_vocab, d_t)),
                 jnp.asarray(np.float32(reader.scale_for(te_name))))
-        elif native_q4k:
+        elif native_q4k or native_q5k or native_q6k:
             from ..ops.quant import quantize_int8
             token_emb = quantize_int8(
                 get_or("decoder.embed_tokens.weight",
@@ -353,23 +365,30 @@ def quantize_params(params: Params, mode: str = "int8",
                    sub-scales, ops/q4k.py; reference: quantized.rs:355)
                    for block linears whose K axis is 256-aligned, q4
                    fallback otherwise, token embedding int8;
+          "q5k" / "q6k" — the remaining exact k-quant formats
+                   (ops/kquants.py; 5.5 / 6.5625 bits in .apr files,
+                   int8-plane planar form on device), same 256-aligned
+                   rule and q4 fallback, token embedding int8;
           "none" — pass through.
     Conv stem, LayerNorms, biases, and positional embeddings stay f32 (they
     are tiny and precision-critical), mirroring ``MixedPrecisionConfig``.
     """
     if mode == "none":
         return params
-    if mode not in ("int8", "int4", "mixed", "q4", "q4k"):
+    if mode not in ("int8", "int4", "mixed", "q4", "q4k", "q5k", "q6k"):
         raise ValueError(f"unknown quantization mode: {mode}")
     from ..ops.quant import quantize_int4, quantize_int8, quantize_q4_block
 
-    if mode == "q4k":
+    if mode in ("q4k", "q5k", "q6k"):
         from ..ops.q4k import QK_K, quantize_q4k
+        from ..ops.kquants import quantize_q5k, quantize_q6k
+        kq = {"q4k": quantize_q4k, "q5k": quantize_q5k,
+              "q6k": quantize_q6k}[mode]
 
         def block_q(w, per_channel=True, stacked=False):
             w = np.asarray(w)
             if w.shape[-2] % QK_K == 0:
-                return quantize_q4k(w, stacked=stacked)
+                return kq(w, stacked=stacked)
             return quantize_q4_block(w)
     elif mode == "q4":
         def block_q(w, per_channel=True, stacked=False):

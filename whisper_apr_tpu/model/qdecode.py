@@ -48,7 +48,11 @@ def supports_qdecode(params: dict, config: ModelConfig) -> bool:
               blocks["cross_attn"]["q_w"], blocks["cross_attn"]["o_w"],
               blocks["fc1"]["w"], blocks["fc2"]["w"],
               params["decoder"]["token_emb"]]
-    if not all(is_quantized(w) and not w.int4 for w in leaves):
+    # group-scaled planes (q4 blocks, planar q5k/q6k from ops/kquants.py)
+    # carry [L, K/g, N] scales the int8 kernels don't consume — those
+    # route through the generic dequant-fused decode instead
+    if not all(is_quantized(w) and not w.int4 and not w.group
+               and w.zero is None for w in leaves):
         return False
     d = config.n_text_state
     return d % _LANE == 0 and (4 * d) % _LANE == 0

@@ -211,9 +211,25 @@ def dequant(w, dtype: jnp.dtype = jnp.float32) -> jnp.ndarray:
     the consuming matmul — the dequant-matmul of quantized.rs:2501)."""
     if not is_quantized(w):
         return w.astype(dtype) if w.dtype != dtype else w
-    if w.zero is not None:
+    if w.zero is not None and w.kpack:
         from .q4k import dequant_q4k
         return dequant_q4k(w, dtype)
+    if w.zero is not None:
+        # asymmetric group dequant, unpacked int8 plane (Q5_K planar form,
+        # ops/kquants.py): x = q * scale - zero per K-group
+        g = int(w.group)
+        q = w.q
+        K, N = q.shape[-2], q.shape[-1]
+        scale = w.scale.astype(dtype)
+        zero = w.zero.astype(dtype)
+        while scale.ndim > q.ndim:
+            scale = scale[0]
+            zero = zero[0]
+        # stored as int8 views of uint8 values in [0, 31]
+        qg = q.astype(jnp.uint8).astype(dtype).reshape(
+            q.shape[:-2] + (K // g, g, N))
+        out = qg * scale[..., :, None, :] - zero[..., :, None, :]
+        return out.reshape(q.shape[:-2] + (K, N))
     q = w.q
     if w.int4:
         q = _unpack_int4(q, int(w.orig_last))

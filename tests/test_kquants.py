@@ -116,6 +116,9 @@ class TestQ5kCodec:
             kquants.quantize_q5k_raw(np.zeros((1, 100), np.float32))
         with pytest.raises(ValueError):
             kquants.quantize_q5k(np.zeros((100, 4), np.float32))
+        # 1-D input must hit the ndim guard ALONE (K axis is aligned)
+        with pytest.raises(ValueError):
+            kquants.quantize_q5k(np.zeros(256, np.float32))
 
     def test_uses_all_32_levels(self):
         # a ramp must exercise the 5th bit (values > 15)
@@ -160,6 +163,8 @@ class TestQ6kCodec:
             kquants.quantize_q6k_raw(np.zeros((1, 100), np.float32))
         with pytest.raises(ValueError):
             kquants.quantize_q6k(np.zeros((100, 4), np.float32))
+        with pytest.raises(ValueError):
+            kquants.quantize_q6k(np.zeros(256, np.float32))
 
     def test_negative_values_signed(self):
         x = -np.abs(np.linspace(0.1, 1, 256, dtype=np.float32))[None]

@@ -552,6 +552,79 @@ class TestXxh32KnownAnswers:
         from whisper_apr_tpu.format.compress import xxh32
         assert xxh32(b"abc", 1) != xxh32(b"abc", 0)
 
+    def test_against_independent_spec_implementation(self):
+        """From-spec scalar xxh32 written independently here; random
+        lengths 0..40 cover every stripe/lane/byte tail combination —
+        including the tail lane ending exactly at EOF (i == n-4), which
+        the known-answer vectors miss (mutation survivor Lt->LtE @247)."""
+        from whisper_apr_tpu.format.compress import xxh32
+        P1, P2, P3, P4, P5 = (2654435761, 2246822519, 3266489917,
+                              668265263, 374761393)
+        M = 0xFFFFFFFF
+
+        def rotl(x, r):
+            return ((x << r) | (x >> (32 - r))) & M
+
+        def ref_xxh32(data, seed=0):
+            n, i = len(data), 0
+            if n >= 16:
+                v1, v2 = (seed + P1 + P2) & M, (seed + P2) & M
+                v3, v4 = seed & M, (seed - P1) & M
+                while i + 16 <= n:
+                    for j, v in enumerate((v1, v2, v3, v4)):
+                        lane = int.from_bytes(data[i + 4 * j:i + 4 * j + 4],
+                                              "little")
+                        v = (v + lane * P2) & M
+                        v = (rotl(v, 13) * P1) & M
+                        if j == 0:
+                            v1 = v
+                        elif j == 1:
+                            v2 = v
+                        elif j == 2:
+                            v3 = v
+                        else:
+                            v4 = v
+                    i += 16
+                h = (rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12)
+                     + rotl(v4, 18)) & M
+            else:
+                h = (seed + P5) & M
+            h = (h + n) & M
+            while i + 4 <= n:
+                lane = int.from_bytes(data[i:i + 4], "little")
+                h = (h + lane * P3) & M
+                h = (rotl(h, 17) * P4) & M
+                i += 4
+            while i < n:
+                h = (h + data[i] * P5) & M
+                h = (rotl(h, 11) * P1) & M
+                i += 1
+            h ^= h >> 15
+            h = (h * P2) & M
+            h ^= h >> 13
+            h = (h * P3) & M
+            h ^= h >> 16
+            return h
+
+        rng = np.random.default_rng(11)
+        for n in range(41):
+            data = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+            assert xxh32(data) == ref_xxh32(data), n
+            assert xxh32(data, 7) == ref_xxh32(data, 7), n
+
+    def test_decompress_block_size_cap_boundary(self, no_native):
+        """Exactly MAX_BLOCK_SIZE must decompress; one byte over raises
+        (mutation survivor Gt->GtE @26)."""
+        from whisper_apr_tpu.format.compress import (MAX_BLOCK_SIZE,
+                                                     compress_block,
+                                                     decompress_block)
+        from whisper_apr_tpu.errors import FormatError
+        data = b"\x00" * MAX_BLOCK_SIZE
+        comp = compress_block(data)
+        assert decompress_block(comp, MAX_BLOCK_SIZE) == data
+        with pytest.raises(FormatError):
+            decompress_block(comp, MAX_BLOCK_SIZE + 1)
+
 
 class TestLz4BoundaryLengths:
     def test_literal_run_exactly_270(self, no_native):

@@ -81,6 +81,40 @@ class TestBpe:
             text = "".join(chr(int(c)) for c in rng.integers(32, 127, size=n))
             assert t.decode(t.encode(text)) == text
 
+    def test_equal_rank_tie_merges_leftmost(self):
+        """Repeated same-rank pairs must merge LEFT-first (GPT-2 greedy
+        convention): 'aaa' with merge (a,a) -> [aa, a], never [a, aa]."""
+        v = Vocabulary.with_base_tokens()
+        v.add_token(b"aa")
+        v.add_merge_rule(b"a", b"a")
+        t = BpeTokenizer(v)
+        assert t.encode("aaa") == [v.get_id(b"aa"), v.get_id(b"a")]
+
+    def test_truncated_token_bytes_raise(self):
+        """Declared token length runs past EOF -> TokenizerError (not a
+        silent short slice)."""
+        import struct
+        from whisper_apr_tpu.errors import TokenizerError
+        data = struct.pack("<II", 1, 0) + struct.pack("<H", 5) + b"ab"
+        with pytest.raises(TokenizerError):
+            Vocabulary.from_bytes(data)
+
+    def test_truncated_merge_bytes_raise(self):
+        import struct
+        from whisper_apr_tpu.errors import TokenizerError
+        data = (struct.pack("<II", 1, 1) + struct.pack("<H", 1) + b"a"
+                + struct.pack("<H", 4) + b"x")
+        with pytest.raises(TokenizerError):
+            Vocabulary.from_bytes(data)
+
+    def test_zero_length_token_at_eof_parses(self):
+        """A zero-length token whose 2-byte header ends exactly at EOF is
+        valid (boundary: off+2 == len must NOT raise)."""
+        import struct
+        data = struct.pack("<II", 1, 0) + struct.pack("<H", 0)
+        v = Vocabulary.from_bytes(data)
+        assert len(v) == 1 and v.get_bytes(0) == b""
+
     def test_skip_special(self):
         t = BpeTokenizer.with_base_tokens()
         ids = t.encode("hi")

@@ -35,50 +35,67 @@ input-major ``[K, N]`` weights become
 
 carried on a QTensor with a ``zero`` child (ops/quant.py).
 """
+
 from __future__ import annotations
+
 from typing import Tuple
+
 import jax.numpy as jnp
 import numpy as np
+
 from .quant import QTensor
+
 QK_K = 256
 BLOCK_BYTES = 144
-SUB = 32
-NSUB = QK_K // SUB
+SUB = 32                     # values per sub-block
+NSUB = QK_K // SUB           # 8 sub-blocks per super-block
+
+
+# ---------------------------------------------------------------------------
+# byte-exact codec (numpy, host side)
+# ---------------------------------------------------------------------------
 
 def quantize_q4k_raw(x: np.ndarray) -> np.ndarray:
     """[..., K] f32 (K % 256 == 0) -> raw super-blocks [..., K/256, 144]."""
     x = np.asarray(x, np.float32)
     K = x.shape[-1]
     if K % QK_K:
-        raise ValueError(f'last dim {K} not a multiple of {QK_K}')
+        raise ValueError(f"last dim {K} not a multiple of {QK_K}")
     lead = x.shape[:-1]
     S = K // QK_K
     xb = np.ascontiguousarray(x).reshape(-1, S, NSUB, SUB)
     R = xb.shape[0]
-    xmin = np.minimum(xb.min(-1), 0.0)
+
+    xmin = np.minimum(xb.min(-1), 0.0)           # [R, S, 8]
     xmax = np.maximum(xb.max(-1), 0.0)
     scale = (xmax - xmin) / 15.0
     mins = -xmin
-    d16 = (scale.max(-1) / 63.0).astype(np.float16)
+
+    d16 = (scale.max(-1) / 63.0).astype(np.float16)     # [R, S]
     dm16 = (mins.max(-1) / 63.0).astype(np.float16)
     df = d16.astype(np.float32)[..., None]
     dmf = dm16.astype(np.float32)[..., None]
+
     ls = np.where(df > 0, np.round(scale / np.where(df > 0, df, 1.0)), 0.0)
-    ls = np.clip(ls, 0, 63).astype(np.uint8)
+    ls = np.clip(ls, 0, 63).astype(np.uint8)             # [R, S, 8]
     lm = np.where(dmf > 0, np.round(mins / np.where(dmf > 0, dmf, 1.0)), 0.0)
     lm = np.clip(lm, 0, 63).astype(np.uint8)
-    sc_eff = df * ls
+
+    sc_eff = df * ls                                     # decode-time scales
     m_eff = dmf * lm
     denom = np.where(sc_eff > 0, sc_eff, 1.0)[..., None]
     q = np.round((xb + m_eff[..., None]) / denom)
     q = np.where(sc_eff[..., None] > 0, q, 0.0)
-    q = np.clip(q, 0, 15).astype(np.uint8)
+    q = np.clip(q, 0, 15).astype(np.uint8)               # [R, S, 8, 32]
+
     scales = np.zeros((R, S, 12), np.uint8)
-    scales[..., 0:4] = ls[..., 0:4] | ls[..., 4:8] >> 4 << 6
-    scales[..., 4:8] = lm[..., 0:4] | lm[..., 4:8] >> 4 << 6
-    scales[..., 8:12] = ls[..., 4:8] & 15 | (lm[..., 4:8] & 15) << 4
-    qc = q.reshape(R, S, 4, 2, SUB)
-    qs = (qc[..., 0, :] | qc[..., 1, :] << 4).reshape(R, S, 128)
+    scales[..., 0:4] = ls[..., 0:4] | ((ls[..., 4:8] >> 4) << 6)
+    scales[..., 4:8] = lm[..., 0:4] | ((lm[..., 4:8] >> 4) << 6)
+    scales[..., 8:12] = (ls[..., 4:8] & 0xF) | ((lm[..., 4:8] & 0xF) << 4)
+
+    qc = q.reshape(R, S, 4, 2, SUB)                      # chunks of 64
+    qs = (qc[..., 0, :] | (qc[..., 1, :] << 4)).reshape(R, S, 128)
+
     raw = np.empty((R, S, BLOCK_BYTES), np.uint8)
     raw[..., 0:2] = np.ascontiguousarray(d16[..., None]).view(np.uint8)
     raw[..., 2:4] = np.ascontiguousarray(dm16[..., None]).view(np.uint8)
@@ -86,28 +103,33 @@ def quantize_q4k_raw(x: np.ndarray) -> np.ndarray:
     raw[..., 16:144] = qs.astype(np.uint8)
     return raw.reshape(lead + (S, BLOCK_BYTES))
 
-def _decode_parts(raw: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+
+def _decode_parts(raw: np.ndarray
+                  ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """raw [..., S, 144] -> (q [..., S*256] uint8, sc_eff [..., S*8] f32,
     m_eff [..., S*8] f32)."""
     raw = np.asarray(raw, np.uint8)
-    lead, S = (raw.shape[:-2], raw.shape[-2])
+    lead, S = raw.shape[:-2], raw.shape[-2]
     r = np.ascontiguousarray(raw).reshape(-1, S, BLOCK_BYTES)
-    d = r[..., 0:2].copy().view('<f2')[..., 0].astype(np.float32)
-    dmin = r[..., 2:4].copy().view('<f2')[..., 0].astype(np.float32)
+    d = r[..., 0:2].copy().view("<f2")[..., 0].astype(np.float32)   # [R, S]
+    dmin = r[..., 2:4].copy().view("<f2")[..., 0].astype(np.float32)
     sc = r[..., 4:16]
     ls = np.empty(r.shape[:2] + (NSUB,), np.uint8)
     lm = np.empty_like(ls)
     ls[..., 0:4] = sc[..., 0:4] & 63
     lm[..., 0:4] = sc[..., 4:8] & 63
-    ls[..., 4:8] = sc[..., 8:12] & 15 | sc[..., 0:4] >> 6 << 4
-    lm[..., 4:8] = sc[..., 8:12] >> 4 | sc[..., 4:8] >> 6 << 4
+    ls[..., 4:8] = (sc[..., 8:12] & 0xF) | ((sc[..., 0:4] >> 6) << 4)
+    lm[..., 4:8] = (sc[..., 8:12] >> 4) | ((sc[..., 4:8] >> 6) << 4)
     qs = r[..., 16:144].reshape(-1, S, 4, SUB)
-    lo = qs & 15
+    lo = qs & 0xF
     hi = qs >> 4
     q = np.stack([lo, hi], axis=-2).reshape(-1, S, QK_K)
     sc_eff = (d[..., None] * ls).astype(np.float32)
     m_eff = (dmin[..., None] * lm).astype(np.float32)
-    return (q.reshape(lead + (S * QK_K,)), sc_eff.reshape(lead + (S * NSUB,)), m_eff.reshape(lead + (S * NSUB,)))
+    return (q.reshape(lead + (S * QK_K,)),
+            sc_eff.reshape(lead + (S * NSUB,)),
+            m_eff.reshape(lead + (S * NSUB,)))
+
 
 def dequantize_q4k_raw(raw: np.ndarray) -> np.ndarray:
     """raw super-blocks [..., S, 144] -> f32 values [..., S*256]."""
@@ -118,17 +140,25 @@ def dequantize_q4k_raw(raw: np.ndarray) -> np.ndarray:
     out = qb * sc[..., None] - m[..., None]
     return out.reshape(lead + (K,)).astype(np.float32)
 
-def _planar_from_parts(q: np.ndarray, sc: np.ndarray, m: np.ndarray) -> QTensor:
+
+# ---------------------------------------------------------------------------
+# TPU planar form
+# ---------------------------------------------------------------------------
+
+def _planar_from_parts(q: np.ndarray, sc: np.ndarray,
+                       m: np.ndarray) -> QTensor:
     """(q [..., N, K] 0..15, sc/m [..., N, K/32]) -> planar QTensor."""
-    qk = np.swapaxes(q, -1, -2)
-    scale = np.ascontiguousarray(np.swapaxes(sc, -1, -2))
+    qk = np.swapaxes(q, -1, -2)                  # [..., K, N] values 0..15
+    scale = np.ascontiguousarray(np.swapaxes(sc, -1, -2))  # [..., K/32, N]
     zero = np.ascontiguousarray(np.swapaxes(m, -1, -2))
     lo = qk[..., 0::2, :]
     hi = qk[..., 1::2, :]
-    packed = (lo | hi << 4).astype(np.uint8).view(np.int8)
-    return QTensor(jnp.asarray(packed), jnp.asarray(scale), zero=jnp.asarray(zero), int4=True, group=SUB, kpack=True)
+    packed = (lo | (hi << 4)).astype(np.uint8).view(np.int8)  # [..., K/2, N]
+    return QTensor(jnp.asarray(packed), jnp.asarray(scale),
+                   zero=jnp.asarray(zero), int4=True, group=SUB, kpack=True)
 
-def quantize_q4k(w: np.ndarray, stacked: bool=False) -> QTensor:
+
+def quantize_q4k(w: np.ndarray, stacked: bool = False) -> QTensor:
     """Input-major weight [..., K, N] -> planar Q4_K QTensor.
 
     Quantization runs along K per output column — the same rows the raw
@@ -138,10 +168,12 @@ def quantize_q4k(w: np.ndarray, stacked: bool=False) -> QTensor:
     """
     w = np.asarray(w, np.float32)
     if w.ndim < 2 or w.shape[-2] % QK_K:
-        raise ValueError(f'need [..., K, N] with K % {QK_K} == 0, got {w.shape}')
-    wt = np.swapaxes(w, -1, -2)
+        raise ValueError(f"need [..., K, N] with K % {QK_K} == 0, "
+                         f"got {w.shape}")
+    wt = np.swapaxes(w, -1, -2)                  # [..., N, K]
     raw = quantize_q4k_raw(wt)
     return _planar_from_parts(*_decode_parts(raw))
+
 
 def planar_from_raw(raw: np.ndarray, d_out: int, d_in: int) -> QTensor:
     """File super-blocks for a [d_out, d_in] weight -> planar QTensor.
@@ -151,16 +183,18 @@ def planar_from_raw(raw: np.ndarray, d_out: int, d_in: int) -> QTensor:
     (GGML row-major convention). Bit-exact: no dequantize->requantize.
     """
     raw = np.asarray(raw, np.uint8).reshape(d_out, d_in // QK_K, BLOCK_BYTES)
-    q, sc, m = _decode_parts(raw)
+    q, sc, m = _decode_parts(raw)                # [d_out, d_in], [d_out, g]
     return _planar_from_parts(q, sc, m)
 
-def dequant_q4k(w: QTensor, dtype: jnp.dtype=jnp.float32) -> jnp.ndarray:
+
+def dequant_q4k(w: QTensor, dtype: jnp.dtype = jnp.float32) -> jnp.ndarray:
     """Planar QTensor -> dense [..., K, N] (XLA fuses into the consumer)."""
     u = w.q.astype(jnp.uint8)
-    lo = (u & 15).astype(dtype)
-    hi = (u >> 4 & 15).astype(dtype)
+    lo = (u & 0x0F).astype(dtype)
+    hi = ((u >> 4) & 0x0F).astype(dtype)
+    # even/odd K rows interleave on the second-to-last axis
     full = jnp.stack([lo, hi], axis=-2)
-    Kh, N = (u.shape[-2], u.shape[-1])
+    Kh, N = u.shape[-2], u.shape[-1]
     full = full.reshape(u.shape[:-2] + (2 * Kh, N))
     g = SUB
     K = 2 * Kh
@@ -173,17 +207,49 @@ def dequant_q4k(w: QTensor, dtype: jnp.dtype=jnp.float32) -> jnp.ndarray:
     out = fg * scale[..., :, None, :] - zero[..., :, None, :]
     return out.reshape(full.shape[:-2] + (K, N))
 
+
 def q4k_bytes(n_elements: int) -> int:
     """Stored bytes for a tensor of ``n_elements`` values."""
     if n_elements % QK_K:
-        raise ValueError('not a Q4_K-aligned element count')
+        raise ValueError("not a Q4_K-aligned element count")
     return n_elements // QK_K * BLOCK_BYTES
+
+
+# ---------------------------------------------------------------------------
+# Decode-specialized fused dequant matvec (the k-quant answer to
+# ops/qmatvec.py). Reference semantics: QuantizedLinearQ4K::forward_fused,
+# src/model/quantized.rs:355.
+# ---------------------------------------------------------------------------
+#
+# The group structure (a scale AND zero per 32 K-values per output) breaks
+# the "fold scales after the dot" trick: S depends on both the K-group and
+# the output column. Per-group loops are Mosaic poison (40 skinny matmuls
+# per tile). Instead the kernel uses a BLOCK-DIAGONAL GROUP-EXPANSION of
+# the activation — the same move the decode megakernels use for heads:
+#
+#     Xg [M*G, K/2],  Xg[m*G+g, r] = x[m, r-th even/odd k]  iff r//16 == g
+#
+# so the per-group partial dots become ONE MXU matmul per nibble plane:
+#
+#     P = Xg_even @ W_lo + Xg_odd @ W_hi          [M*G, bn]
+#     y = SelT @ (S_exp * P) - xsum @ Z           [M, bn]
+#
+# with S_exp the group scales row-expanded by a second tiny matmul and
+# xsum[m, g] the per-group activation sums (the zero-point term — exact:
+# sum_k x_k * (S*q - Z) = S * sum(x q) - Z * sum(x)). The extra FLOPs are
+# G x the matvec's — noise for the MXU — while HBM traffic halves vs int8.
+# The planar even/odd split avoids sub-32-bit lane interleaves entirely
+# (round-1 Mosaic rule) and the unpack is 4 int32 VPU ops per byte.
+
 import functools
+
 import jax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
 _LANE = 128
 _TILE_BYTES = 2 * 1024 * 1024
+
 
 def _pick_block_n(k_half: int, n: int) -> int:
     best = _LANE
@@ -197,29 +263,50 @@ def _pick_block_n(k_half: int, n: int) -> int:
         best = n // 2
     return best
 
-def _q4k_kernel(layer_ref, xe_ref, xo_ref, xsum_ref, wq_ref, s_ref, z_ref, o_ref, *, m: int, g: int):
+
+def _q4k_kernel(layer_ref, xe_ref, xo_ref, xsum_ref, wq_ref, s_ref, z_ref,
+                o_ref, *, m: int, g: int):
     cdt = xe_ref.dtype
     rows = m * g
     kh = xe_ref.shape[1]
+    # row i of the expansion serves (sequence i//g, group i%g)
     gi = jax.lax.broadcasted_iota(jnp.int32, (rows, kh), 0) % g
     col = jax.lax.broadcasted_iota(jnp.int32, (rows, kh), 1)
     mask = (col // (SUB // 2) == gi).astype(cdt)
-    sel_rows = (jax.lax.broadcasted_iota(jnp.int32, (rows, m), 0) // g == jax.lax.broadcasted_iota(jnp.int32, (rows, m), 1)).astype(cdt)
-    xe = jax.lax.dot(sel_rows, xe_ref[...], preferred_element_type=jnp.float32).astype(cdt) * mask
-    xo = jax.lax.dot(sel_rows, xo_ref[...], preferred_element_type=jnp.float32).astype(cdt) * mask
-    wi = wq_ref[0].astype(jnp.int32)
-    lo = (wi & 15).astype(cdt)
-    hi = (wi >> 4 & 15).astype(cdt)
-    p = jax.lax.dot(xe, lo, preferred_element_type=jnp.float32) + jax.lax.dot(xo, hi, preferred_element_type=jnp.float32)
-    gsel = (jax.lax.broadcasted_iota(jnp.int32, (rows, g), 0) % g == jax.lax.broadcasted_iota(jnp.int32, (rows, g), 1)).astype(jnp.float32)
-    s_t = jax.lax.dot(gsel, s_ref[0].astype(jnp.float32), preferred_element_type=jnp.float32)
+    sel_rows = (jax.lax.broadcasted_iota(jnp.int32, (rows, m), 0) // g
+                == jax.lax.broadcasted_iota(jnp.int32, (rows, m), 1)
+                ).astype(cdt)                                # [M*G, M]
+    xe = jax.lax.dot(sel_rows, xe_ref[...],
+                     preferred_element_type=jnp.float32).astype(cdt) * mask
+    xo = jax.lax.dot(sel_rows, xo_ref[...],
+                     preferred_element_type=jnp.float32).astype(cdt) * mask
+
+    wi = wq_ref[0].astype(jnp.int32)                         # [K/2, bn]
+    lo = (wi & 0xF).astype(cdt)
+    hi = ((wi >> 4) & 0xF).astype(cdt)
+    p = jax.lax.dot(xe, lo, preferred_element_type=jnp.float32) \
+        + jax.lax.dot(xo, hi, preferred_element_type=jnp.float32)
+
+    # expand group scales over the M copies: [M*G, G] 0/1 selector
+    gsel = (jax.lax.broadcasted_iota(jnp.int32, (rows, g), 0) % g
+            == jax.lax.broadcasted_iota(jnp.int32, (rows, g), 1)
+            ).astype(jnp.float32)
+    s_t = jax.lax.dot(gsel, s_ref[0].astype(jnp.float32),
+                      preferred_element_type=jnp.float32)    # [M*G, bn]
     weighted = s_t * p
-    sel_t = jnp.transpose(sel_rows).astype(jnp.float32)
-    pos_term = jax.lax.dot(sel_t, weighted, preferred_element_type=jnp.float32)
-    neg_term = jax.lax.dot(xsum_ref[...].astype(jnp.float32), z_ref[0].astype(jnp.float32), preferred_element_type=jnp.float32)
+    sel_t = jnp.transpose(sel_rows).astype(jnp.float32)      # [M, M*G]
+    pos_term = jax.lax.dot(sel_t, weighted,
+                           preferred_element_type=jnp.float32)
+    neg_term = jax.lax.dot(xsum_ref[...].astype(jnp.float32),
+                           z_ref[0].astype(jnp.float32),
+                           preferred_element_type=jnp.float32)
     o_ref[...] = (pos_term - neg_term).astype(o_ref.dtype)
 
-def q4k_matvec_stacked(x: jnp.ndarray, wq: jnp.ndarray, scale: jnp.ndarray, zero: jnp.ndarray, layer, block_n=None, interpret: bool=False, out_dtype=None) -> jnp.ndarray:
+
+def q4k_matvec_stacked(x: jnp.ndarray, wq: jnp.ndarray, scale: jnp.ndarray,
+                       zero: jnp.ndarray, layer,
+                       block_n=None, interpret: bool = False,
+                       out_dtype=None) -> jnp.ndarray:
     """x [M, K] @ planar-Q4_K weight stack, layer picked on device.
 
     wq: [L, K/2, N] packed nibbles (even K rows low); scale/zero:
@@ -228,13 +315,32 @@ def q4k_matvec_stacked(x: jnp.ndarray, wq: jnp.ndarray, scale: jnp.ndarray, zero
     M, K = x.shape
     L, KH, N = wq.shape
     assert K == 2 * KH and K % SUB == 0, (x.shape, wq.shape)
-    assert N % _LANE != 0
+    assert N % _LANE == 0
     G = K // SUB
     bn = block_n or _pick_block_n(KH, N)
     grid = (N // bn,)
     layer = jnp.asarray(layer, jnp.int32).reshape((1,))
+
     xe = x[:, 0::2]
     xo = x[:, 1::2]
     xsum = jnp.sum(x.reshape(M, G, SUB).astype(jnp.float32), axis=-1)
+
     kernel = functools.partial(_q4k_kernel, m=M, g=G)
-    return pl.pallas_call(kernel, out_shape=jax.ShapeDtypeStruct((M, N), out_dtype or x.dtype), grid_spec=pltpu.PrefetchScalarGridSpec(num_scalar_prefetch=1, grid=grid, in_specs=[pl.BlockSpec((M, KH), lambda j, l: (0, 0)), pl.BlockSpec((M, KH), lambda j, l: (0, 0)), pl.BlockSpec((M, G), lambda j, l: (0, 0)), pl.BlockSpec((1, KH, bn), lambda j, l: (l[0], 0, j)), pl.BlockSpec((1, G, bn), lambda j, l: (l[0], 0, j)), pl.BlockSpec((1, G, bn), lambda j, l: (l[0], 0, j))], out_specs=pl.BlockSpec((M, bn), lambda j, l: (0, j))), interpret=interpret)(layer, xe.astype(x.dtype), xo.astype(x.dtype), xsum, wq, scale, zero)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype or x.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((M, KH), lambda j, l: (0, 0)),
+                pl.BlockSpec((M, KH), lambda j, l: (0, 0)),
+                pl.BlockSpec((M, G), lambda j, l: (0, 0)),
+                pl.BlockSpec((1, KH, bn), lambda j, l: (l[0], 0, j)),
+                pl.BlockSpec((1, G, bn), lambda j, l: (l[0], 0, j)),
+                pl.BlockSpec((1, G, bn), lambda j, l: (l[0], 0, j)),
+            ],
+            out_specs=pl.BlockSpec((M, bn), lambda j, l: (0, j)),
+        ),
+        interpret=interpret,
+    )(layer, xe.astype(x.dtype), xo.astype(x.dtype), xsum, wq, scale, zero)

@@ -292,3 +292,81 @@ class TestAprCarriage:
         np.testing.assert_array_equal(r.load_tensor("block.bias"), bias)
         # native planar load is bit-identical to dequantizing the file
         np.testing.assert_array_equal(np.asarray(dequant(planar)).T, got)
+
+
+class TestKqFastPath:
+    """Fused dequant-matvec kernel + decode_step_q wiring (the q5k/q6k
+    analog of tests/test_q4k.py TestQ4kFastPath; reference fused-forward
+    semantics: quantized.rs:355)."""
+
+    @pytest.mark.parametrize("quant", [kquants.quantize_q5k,
+                                       kquants.quantize_q6k])
+    def test_matvec_kernel_matches_dequant(self, quant):
+        rng = np.random.default_rng(11)
+        L, K, N = 2, 256, 384
+        w = rng.normal(0, 0.2, (L, K, N)).astype(np.float32)
+        qt = quant(w, stacked=True)
+        dense = np.asarray(dequant(qt, jnp.float32))
+        for m in (1, 4):
+            x = rng.normal(0, 1, (m, K)).astype(np.float32)
+            for l in range(L):
+                got = np.asarray(kquants.kq_matvec_stacked(
+                    jnp.asarray(x), qt.q, qt.scale, qt.zero, l,
+                    interpret=True))
+                np.testing.assert_allclose(got, x @ dense[l],
+                                           rtol=2e-5, atol=2e-5)
+
+    def test_matvec_bad_shapes_raise(self):
+        rng = np.random.default_rng(12)
+        qt = kquants.quantize_q6k(
+            rng.normal(0, 0.2, (1, 256, 384)).astype(np.float32),
+            stacked=True)
+        with pytest.raises(AssertionError):   # K mismatch
+            kquants.kq_matvec_stacked(jnp.zeros((1, 512)), qt.q, qt.scale,
+                                      qt.zero, 0, interpret=True)
+        with pytest.raises(AssertionError):   # non-lane-aligned N
+            kquants.kq_matvec_stacked(
+                jnp.zeros((1, 256)), qt.q[..., :200], qt.scale[..., :200],
+                None, 0, interpret=True)
+
+    @pytest.mark.parametrize("qmode", ["q5k", "q6k"])
+    def test_decode_step_q_matches_xla(self, qmode):
+        from whisper_apr_tpu.config import ModelConfig
+        from whisper_apr_tpu.model import qdecode
+        from whisper_apr_tpu.model.decoder import (decode_step, init_cache,
+                                                   prefill)
+        from whisper_apr_tpu.model.params import (init_params,
+                                                  quantize_params)
+        cfg = ModelConfig(
+            model_type="tiny", n_vocab=512, n_audio_ctx=32,
+            n_audio_state=256, n_audio_head=4, n_audio_layer=2,
+            n_text_ctx=16, n_text_state=256, n_text_head=4,
+            n_text_layer=2, n_mels=80)
+        pq = quantize_params(init_params(cfg, seed=7), qmode)
+        assert not qdecode.supports_qdecode(pq, cfg)
+        assert not qdecode.supports_q4k_decode(pq, cfg)
+        if qmode == "q5k":
+            assert qdecode.supports_q5k_decode(pq, cfg)
+            assert not qdecode.supports_q6k_decode(pq, cfg)
+        else:
+            assert qdecode.supports_q6k_decode(pq, cfg)
+            assert not qdecode.supports_q5k_decode(pq, cfg)
+        qd = qdecode.prepare_kq_decode(pq, cfg)
+        assert qd is not None and qd["mode"] == qmode
+        rng = np.random.default_rng(0)
+        enc = jnp.asarray(rng.normal(0, 0.5, (2, 32, 256)).astype(np.float32))
+        prompt = jnp.full((2, 2), 5, jnp.int32)
+        cache_a = init_cache(pq, enc, cfg, max_len=8)
+        cache_b = init_cache(pq, enc, cfg, max_len=8)
+        _, cache_a = prefill(pq, prompt, enc, cache_a, cfg)
+        _, cache_b = prefill(pq, prompt, enc, cache_b, cfg)
+        tok = jnp.asarray(np.array([7, 11], np.int32))
+        for step in range(2):
+            pos = jnp.int32(2 + step)
+            la, cache_a = decode_step(pq, tok, pos, cache_a, cfg)
+            lb, cache_b = qdecode.decode_step_q(
+                pq, qd, tok, pos, cache_b, cfg,
+                compute_dtype=jnp.float32, interpret=True)
+            np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                       rtol=3e-4, atol=3e-4)
+            tok = jnp.argmax(la, -1).astype(jnp.int32)

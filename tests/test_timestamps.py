@@ -84,6 +84,27 @@ class TestRuleMasks:
                                      is_first=jnp.zeros(1, bool)))
         assert out.argmax(-1)[0] < TS_BASE
 
+    def test_rule4_exact_tie_does_not_force(self):
+        # rule 4 fires on STRICT inequality (OpenAI: timestamp_logprob >
+        # max_text_logprob). Build an EXACT tie: one live text token and one
+        # live timestamp token with bit-identical logits, everything else at
+        # -1e9 (underflows out of both the logsumexp and the max), so
+        # ts_lse == text_max to the bit and the text token must survive.
+        logits = np.full((1, 1000), -1e9, np.float32)
+        logits[0, 5] = 2.0          # text
+        logits[0, TS_BASE + 50] = 2.0  # timestamp, same value
+        s = update_state(init_state(1), jnp.asarray([5]), TS_BASE)
+        out = np.asarray(apply_rules(jnp.asarray(logits), s, TS_BASE, 999,
+                                     is_first=jnp.zeros(1, bool)))
+        assert out[0, 5] > -1e8          # text NOT masked on the tie
+        assert out.argmax(-1)[0] == 5
+        # and a strictly heavier timestamp side must still force
+        logits[0, TS_BASE + 50] = 2.5
+        out = np.asarray(apply_rules(jnp.asarray(logits), s, TS_BASE, 999,
+                                     is_first=jnp.zeros(1, bool)))
+        assert out[0, 5] < -1e8
+        assert out.argmax(-1)[0] == TS_BASE + 50
+
     def test_monotonic_timestamps(self):
         # a logits vector strongly preferring an EARLIER timestamp
         logits = np.zeros((1, 1000), np.float32)

@@ -69,9 +69,38 @@ def find_mutations(tree):
     return sites
 
 
+def _install_restore_signals():
+    """SIGTERM/SIGINT must run the ``finally`` restore: a default SIGTERM
+    (e.g. from ``timeout``) kills the process between mutant-write and
+    restore, leaving a MUTANT on disk as the next run's baseline."""
+    import signal
+
+    def _raise(signum, frame):
+        raise SystemExit(128 + signum)
+
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        signal.signal(sig, _raise)
+
+
 def run_mutations(target: str, test_cmd, max_mutants=None, timeout=300):
+    _install_restore_signals()
     src_path = os.path.join(ROOT, target)
     original = open(src_path).read()
+
+    # baseline sanity: the focused suite must PASS on the unmutated file,
+    # else every result is noise (classic cause: a prior killed run left a
+    # mutant on disk)
+    r = subprocess.run(
+        [sys.executable, "-m", "pytest", "-x", "-q", "--no-header",
+         *test_cmd],
+        cwd=ROOT, capture_output=True, timeout=timeout,
+        env={**os.environ, "PYTHONDONTWRITEBYTECODE": "1"})
+    if r.returncode != 0:
+        print("BASELINE FAILED — focused suite does not pass on the "
+              "unmutated file; aborting (is the target file clean vs git?)")
+        print(r.stdout.decode(errors="replace")[-2000:])
+        raise SystemExit(2)
+
     tree = ast.parse(original)
     sites = find_mutations(tree)
     if max_mutants:

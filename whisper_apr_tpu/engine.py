@@ -240,11 +240,14 @@ class WhisperApr:
         if not hasattr(self, "_qdecode_cache"):
             qd = None
             if jax.default_backend() not in ("cpu",):
-                from .model.qdecode import (prepare_q4k_decode,
+                from .model.qdecode import (prepare_kq_decode,
+                                            prepare_q4k_decode,
                                             prepare_qdecode)
                 qd = prepare_qdecode(self.params, self.config)
                 if qd is None:
                     qd = prepare_q4k_decode(self.params, self.config)
+                if qd is None:
+                    qd = prepare_kq_decode(self.params, self.config)
             self._qdecode_cache = qd
         return self._qdecode_cache
 
@@ -255,8 +258,8 @@ class WhisperApr:
         "bf16"/"int8"/"fp8"."""
         if self._qdecode is None:
             return None
-        if self._qdecode.get("mode") == "q4k":
-            return None               # megakernels are int8-only; scan step
+        if self._qdecode.get("mode") in ("q4k", "q5k", "q6k"):
+            return None          # megakernels are int8-only; kernel scan step
         mode = self.compute.kv_mode
         if mode == "auto":
             return "bf16"

@@ -251,6 +251,112 @@ def prepare_q4k_decode(params: dict, config: ModelConfig) -> Optional[dict]:
     }
 
 
+def _kq_block_leaves(params: dict):
+    blocks = params["decoder"]["blocks"]
+    return [blocks["self_attn"]["q_w"], blocks["self_attn"]["k_w"],
+            blocks["self_attn"]["v_w"], blocks["self_attn"]["o_w"],
+            blocks["cross_attn"]["q_w"], blocks["cross_attn"]["o_w"],
+            blocks["fc1"]["w"], blocks["fc2"]["w"]]
+
+
+def supports_q5k_decode(params: dict, config: ModelConfig) -> bool:
+    """Planar Q5_K block weights (group=32 asymmetric int8-plane QTensors,
+    ops/kquants.py) + int8 token embedding."""
+    emb = params["decoder"]["token_emb"]
+    if not (all(is_quantized(w) and not w.int4
+                and not getattr(w, "kpack", False)
+                and w.group == 32 and w.zero is not None
+                for w in _kq_block_leaves(params))
+            and is_quantized(emb) and not emb.int4):
+        return False
+    return config.n_text_state % _LANE == 0
+
+
+def supports_q6k_decode(params: dict, config: ModelConfig) -> bool:
+    """Planar Q6_K block weights (group=16 symmetric int8-plane QTensors)
+    + int8 token embedding."""
+    emb = params["decoder"]["token_emb"]
+    if not (all(is_quantized(w) and not w.int4
+                and not getattr(w, "kpack", False)
+                and w.group == 16 and w.zero is None
+                for w in _kq_block_leaves(params))
+            and is_quantized(emb) and not emb.int4):
+        return False
+    return config.n_text_state % _LANE == 0
+
+
+def prepare_kq_decode(params: dict, config: ModelConfig) -> Optional[dict]:
+    """qdecode preparation for planar Q5_K/Q6_K params (same fused-forward
+    contract as prepare_q4k_decode; reference: quantized.rs:355 — every
+    k-quant linear forward is dequant-fused). ``lin``/``ffn`` carry
+    (values, scale, zero-or-None) triples consumed by
+    ops/kquants.kq_matvec_stacked inside decode_step_q."""
+    if supports_q5k_decode(params, config):
+        mode = "q5k"
+    elif supports_q6k_decode(params, config):
+        mode = "q6k"
+    else:
+        return None
+    dec = params["decoder"]
+    blocks = dec["blocks"]
+    sa, ca = blocks["self_attn"], blocks["cross_attn"]
+
+    def tri(qt: QTensor):
+        z = None if qt.zero is None else jnp.asarray(qt.zero, jnp.float32)
+        return qt.q, jnp.asarray(qt.scale, jnp.float32), z
+
+    def cat(qts):
+        zs = [t.zero for t in qts]
+        z = None if zs[0] is None else jnp.concatenate(
+            [jnp.asarray(t, jnp.float32) for t in zs], axis=2)
+        return (jnp.concatenate([t.q for t in qts], axis=2),
+                jnp.concatenate(
+                    [jnp.asarray(t.scale, jnp.float32) for t in qts],
+                    axis=2), z)
+
+    lin = {
+        "qkv": cat([sa["q_w"], sa["k_w"], sa["v_w"]]),
+        "self_o": tri(sa["o_w"]),
+        "cross_q": tri(ca["q_w"]),
+        "cross_o": tri(ca["o_w"]),
+    }
+    ffn = {
+        "fc1": tri(blocks["fc1"]["w"]),
+        "fc2": tri(blocks["fc2"]["w"]),
+    }
+    bias = {
+        "qkv": jnp.concatenate([sa["q_b"], sa["k_b"], sa["v_b"]], axis=1),
+        "self_o": sa["o_b"],
+        "cross_q": ca["q_b"],
+        "cross_o": ca["o_b"],
+        "fc1": blocks["fc1"]["b"],
+        "fc2": blocks["fc2"]["b"],
+    }
+    rest = {
+        "ln1": blocks["ln1"], "ln2": blocks["ln2"], "ln3": blocks["ln3"],
+        "bias": bias,
+    }
+
+    emb = dec["token_emb"]
+    V, D = emb.q.shape
+    v_pad = (-V) % _LANE
+    qT = jnp.transpose(emb.q)
+    if v_pad:
+        qT = jnp.pad(qT, ((0, 0), (0, v_pad)))
+    ones = jnp.ones((1, 1, V + v_pad), jnp.float32)
+    k_scale = jnp.asarray(emb.scale, jnp.float32).reshape(1, D)
+
+    return {
+        "mode": mode,
+        "lin": lin,
+        "ffn": ffn,
+        "rest": rest,
+        "vocab_qT": qT[None],
+        "vocab_ones": ones,
+        "vocab_k_scale": k_scale,
+    }
+
+
 def add_layer_operands(qd: dict) -> dict:
     """Augment ``qd['blk']`` with the whole-layer kernel's stacked operands
     (ops/decode_layer.py): the six LayerNorm rows as one [L, 6, D] stack
@@ -385,8 +491,13 @@ def decode_step_ql(params: dict, qd: dict, token: jnp.ndarray,
     return logits[:, : config.n_vocab], new_cache
 
 
-def _qmv(x2: jnp.ndarray, lin, l, b, interpret: bool) -> jnp.ndarray:
-    if len(lin) == 3:                 # planar Q4_K (packed, scale, zero)
+def _qmv(x2: jnp.ndarray, lin, l, b, interpret: bool,
+         mode: str = "int8") -> jnp.ndarray:
+    if mode in ("q5k", "q6k"):        # planar k-quant (values, scale, zero?)
+        from ..ops.kquants import kq_matvec_stacked
+        q, s, z = lin
+        y = kq_matvec_stacked(x2, q, s, z, l, interpret=interpret)
+    elif len(lin) == 3:               # planar Q4_K (packed, scale, zero)
         from ..ops.q4k import q4k_matvec_stacked
         q, s, z = lin
         y = q4k_matvec_stacked(x2, q, s, z, l, interpret=interpret)
@@ -424,10 +535,11 @@ def decode_step_q(params: dict, qd: dict, token: jnp.ndarray,
         x = embed(params, token[:, None], pos, compute_dtype)  # [B,1,D]
     n_heads = config.n_text_head
     lin, ffn, rest = qd["lin"], qd["ffn"], qd["rest"]
-    q4k_mode = qd.get("mode") == "q4k"
+    mode = qd.get("mode", "int8")
+    kq_mode = mode in ("q4k", "q5k", "q6k")
     L = config.n_text_layer
     D = config.n_text_state
-    if q4k_mode:
+    if kq_mode:
         block_h = None
     else:
         H = ffn["w1"].shape[2]
@@ -449,7 +561,7 @@ def decode_step_q(params: dict, qd: dict, token: jnp.ndarray,
         l, r, k_c, v_c, c_k, c_v = layer
         b = r["bias"]
         h = layer_norm(x, r["ln1"]["w"], r["ln1"]["b"])
-        qkv = _qmv(h[:, 0, :], lin["qkv"], l, b["qkv"], interpret)
+        qkv = _qmv(h[:, 0, :], lin["qkv"], l, b["qkv"], interpret, mode)
         q = qkv[:, None, :D]
         k_new = qkv[:, None, D:2 * D]
         v_new = qkv[:, None, 2 * D:]
@@ -457,18 +569,19 @@ def decode_step_q(params: dict, qd: dict, token: jnp.ndarray,
         v_c = _write(v_c, v_new)
         attn = mha(q, k_c, v_c, n_heads, mask=valid)
         x = x + _qmv(attn[:, 0, :], lin["self_o"], l,
-                     b["self_o"], interpret)[:, None, :]
+                     b["self_o"], interpret, mode)[:, None, :]
 
         h = layer_norm(x, r["ln2"]["w"], r["ln2"]["b"])
-        q = _qmv(h[:, 0, :], lin["cross_q"], l, b["cross_q"], interpret)
+        q = _qmv(h[:, 0, :], lin["cross_q"], l, b["cross_q"], interpret,
+                 mode)
         attn = mha(q[:, None, :], c_k, c_v, n_heads)
         x = x + _qmv(attn[:, 0, :], lin["cross_o"], l,
-                     b["cross_o"], interpret)[:, None, :]
+                     b["cross_o"], interpret, mode)[:, None, :]
 
         h = layer_norm(x, r["ln3"]["w"], r["ln3"]["b"])
-        if q4k_mode:
-            t1 = _qmv(h[:, 0, :], ffn["fc1"], l, b["fc1"], interpret)
-            y = _qmv(gelu(t1), ffn["fc2"], l, b["fc2"], interpret)
+        if kq_mode:
+            t1 = _qmv(h[:, 0, :], ffn["fc1"], l, b["fc1"], interpret, mode)
+            y = _qmv(gelu(t1), ffn["fc2"], l, b["fc2"], interpret, mode)
         else:
             y = ffn_fused(h[:, 0, :], ffn["w1"], ffn["s1"], ffn["b1"],
                           ffn["w2"], l, block_h=block_h, interpret=interpret)

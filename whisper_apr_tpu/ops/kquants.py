@@ -331,3 +331,138 @@ def q6k_bytes(n_elements: int) -> int:
     if n_elements % QK_K:
         raise ValueError("not a k-quant-aligned element count")
     return n_elements // QK_K * Q6K_BLOCK_BYTES
+
+
+# ---------------------------------------------------------------------------
+# Decode-specialized fused dequant matvec (the q5k/q6k answer to
+# ops/q4k.q4k_matvec_stacked; reference fused-forward semantics:
+# QuantizedLinearQ4K::forward_fused, src/model/quantized.rs:355 — the
+# reference fuses dequant into every k-quant linear's forward).
+# ---------------------------------------------------------------------------
+#
+# Same BLOCK-DIAGONAL GROUP-EXPANSION move as the Q4_K kernel, simplified:
+# the planar q5k/q6k forms store ONE int8 value per weight (no nibble
+# planes), so a single MXU matmul per output tile does all per-group
+# partial dots at once:
+#
+#     Xg [M*G, K],  Xg[m*G+g, k] = x[m, k]  iff k//sub == g
+#     P  = Xg @ Q                                  [M*G, bn]
+#     y  = SelT @ (S_exp * P)  (- xsum @ Z)        [M, bn]
+#
+# with S_exp the group scales row-expanded by a tiny selector matmul and,
+# for the asymmetric Q5_K, xsum[m, g] the per-group activation sums (the
+# zero-point term is exact: sum_k x_k*(S*q - Z) = S*sum(x q) - Z*sum(x)).
+# The group width ``sub`` comes from the scale shape (32 for Q5_K, 16 for
+# Q6_K), so one kernel serves both formats.
+
+import functools
+
+import jax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANE = 128
+_TILE_BYTES = 2 * 1024 * 1024
+
+
+def _pick_block_n_kq(k: int, n: int) -> int:
+    best = _LANE
+    for cand in range(_LANE, n + 1, _LANE):
+        if n % cand:
+            continue
+        if k * cand > _TILE_BYTES:
+            break
+        best = cand
+    if best == n and n // 2 % _LANE == 0:
+        best = n // 2
+    return best
+
+
+def _kq_expand(x_ref, wq_ref, s_ref, m: int, g: int, sub: int):
+    """Shared body: group-expanded activation -> scaled partial dots.
+
+    Returns (pos_term [M, bn] f32, sel_rows [M*G, M])."""
+    cdt = x_ref.dtype
+    rows = m * g
+    k = x_ref.shape[1]
+    # row i of the expansion serves (sequence i//g, group i%g)
+    gi = jax.lax.broadcasted_iota(jnp.int32, (rows, k), 0) % g
+    col = jax.lax.broadcasted_iota(jnp.int32, (rows, k), 1)
+    mask = (col // sub == gi).astype(cdt)
+    sel_rows = (jax.lax.broadcasted_iota(jnp.int32, (rows, m), 0) // g
+                == jax.lax.broadcasted_iota(jnp.int32, (rows, m), 1)
+                ).astype(cdt)                                # [M*G, M]
+    xg = jax.lax.dot(sel_rows, x_ref[...],
+                     preferred_element_type=jnp.float32).astype(cdt) * mask
+    w = wq_ref[0].astype(cdt)                                # [K, bn] int8
+    p = jax.lax.dot(xg, w, preferred_element_type=jnp.float32)
+    # expand group scales over the M copies: [M*G, G] 0/1 selector
+    gsel = (jax.lax.broadcasted_iota(jnp.int32, (rows, g), 0) % g
+            == jax.lax.broadcasted_iota(jnp.int32, (rows, g), 1)
+            ).astype(jnp.float32)
+    s_t = jax.lax.dot(gsel, s_ref[0].astype(jnp.float32),
+                      preferred_element_type=jnp.float32)    # [M*G, bn]
+    sel_t = jnp.transpose(sel_rows).astype(jnp.float32)      # [M, M*G]
+    pos = jax.lax.dot(sel_t, s_t * p, preferred_element_type=jnp.float32)
+    return pos
+
+
+def _kq_kernel_asym(layer_ref, x_ref, xsum_ref, wq_ref, s_ref, z_ref,
+                    o_ref, *, m: int, g: int, sub: int):
+    pos = _kq_expand(x_ref, wq_ref, s_ref, m, g, sub)
+    neg = jax.lax.dot(xsum_ref[...].astype(jnp.float32),
+                      z_ref[0].astype(jnp.float32),
+                      preferred_element_type=jnp.float32)
+    o_ref[...] = (pos - neg).astype(o_ref.dtype)
+
+
+def _kq_kernel_sym(layer_ref, x_ref, wq_ref, s_ref, o_ref,
+                   *, m: int, g: int, sub: int):
+    o_ref[...] = _kq_expand(x_ref, wq_ref, s_ref, m, g, sub
+                            ).astype(o_ref.dtype)
+
+
+def kq_matvec_stacked(x: jnp.ndarray, wq: jnp.ndarray, scale: jnp.ndarray,
+                      zero, layer, block_n=None, interpret: bool = False,
+                      out_dtype=None) -> jnp.ndarray:
+    """x [M, K] @ planar q5k/q6k weight stack, layer picked on device.
+
+    wq: [L, K, N] int8 values (q5k 0..31, q6k -32..31); scale: [L, G, N]
+    f32 effective per-group scales (G = K/32 for q5k, K/16 for q6k);
+    zero: [L, G, N] f32 per-group offsets (q5k) or None (q6k, symmetric).
+    Returns [M, N]."""
+    M, K = x.shape
+    L, KW, N = wq.shape
+    assert K == KW, (x.shape, wq.shape)
+    G = scale.shape[1]
+    assert G and K % G == 0, (x.shape, scale.shape)
+    sub = K // G
+    assert N % _LANE == 0
+    bn = block_n or _pick_block_n_kq(K, N)
+    grid = (N // bn,)
+    layer = jnp.asarray(layer, jnp.int32).reshape((1,))
+
+    x_spec = pl.BlockSpec((M, K), lambda j, l: (0, 0))
+    w_spec = pl.BlockSpec((1, K, bn), lambda j, l: (l[0], 0, j))
+    s_spec = pl.BlockSpec((1, G, bn), lambda j, l: (l[0], 0, j))
+    if zero is not None:
+        xsum = jnp.sum(x.reshape(M, G, sub).astype(jnp.float32), axis=-1)
+        kernel = functools.partial(_kq_kernel_asym, m=M, g=G, sub=sub)
+        in_specs = [x_spec, pl.BlockSpec((M, G), lambda j, l: (0, 0)),
+                    w_spec, s_spec, s_spec]
+        operands = (x, xsum, wq, scale, zero)
+    else:
+        kernel = functools.partial(_kq_kernel_sym, m=M, g=G, sub=sub)
+        in_specs = [x_spec, w_spec, s_spec]
+        operands = (x, wq, scale)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype or x.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((M, bn), lambda j, l: (0, j)),
+        ),
+        interpret=interpret,
+    )(layer, *operands)

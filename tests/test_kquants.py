@@ -316,6 +316,17 @@ class TestKqFastPath:
                 np.testing.assert_allclose(got, x @ dense[l],
                                            rtol=2e-5, atol=2e-5)
 
+    def test_pick_block_n_tiling(self):
+        # direct pins: the kernel is correct under any divisor tiling, so
+        # only these catch tile-heuristic regressions
+        assert kquants._pick_block_n_kq(256, 384) == 384
+        # byte cap bites mid-scan (q6k fc2: K=5120 int8 rows)
+        assert kquants._pick_block_n_kq(5120, 1280) == 256
+        # full-N winner with lane-aligned half is halved for pipelining
+        assert kquants._pick_block_n_kq(1280, 1024) == 512
+        # a tile of EXACTLY 2 MB is allowed (cap is exclusive)
+        assert kquants._pick_block_n_kq(8192, 1280) == 256
+
     def test_matvec_bad_shapes_raise(self):
         rng = np.random.default_rng(12)
         qt = kquants.quantize_q6k(

@@ -83,6 +83,12 @@ class TestCodec:
         with pytest.raises(ValueError):
             q4k.quantize_q4k_raw(np.zeros((1, 100), np.float32))
 
+    def test_one_dim_guard_is_valueerror(self):
+        # the ndim guard must short-circuit BEFORE shape[-2] is touched
+        # (an `and` there turns the 1-D case into an IndexError)
+        with pytest.raises(ValueError):
+            q4k.quantize_q4k(np.zeros(256, np.float32))
+
 
 class TestPlanar:
     def test_planar_matches_raw_dequant_bitexact(self):
@@ -177,6 +183,36 @@ class TestQuantizeParams:
 
 
 class TestQ4kFastPath:
+    def test_pick_block_n_tiling(self):
+        # pins the tile-size heuristic directly (the kernel is correct
+        # under ANY divisor tiling, so only direct pins catch regressions)
+        # small: whole N fits one 2 MB tile and n/2 is not lane-aligned
+        assert q4k._pick_block_n(128, 384) == 384
+        # byte cap bites: 2560*1280 > 2 MB, largest fitting divisor is 640
+        assert q4k._pick_block_n(2560, 1280) == 640
+        # full-N winner with lane-aligned half is halved for pipelining
+        assert q4k._pick_block_n(640, 1024) == 512
+        # non-divisor candidates are skipped (1280 % 256 == 0 but 384 no)
+        assert q4k._pick_block_n(2560, 384) == 384
+        # a tile of EXACTLY 2 MB is allowed (cap is exclusive)
+        assert q4k._pick_block_n(2048, 2048) == 1024
+
+    def test_matvec_bad_shapes_raise(self):
+        rng = np.random.default_rng(13)
+        qt = q4k.quantize_q4k(
+            rng.normal(0, 0.2, (1, 256, 384)).astype(np.float32),
+            stacked=True)
+        with pytest.raises(AssertionError):   # K != 2 * KH
+            q4k.q4k_matvec_stacked(jnp.zeros((1, 512)), qt.q, qt.scale,
+                                   qt.zero, 0, interpret=True)
+        with pytest.raises(AssertionError):   # K % 32 != 0 (K == 2*KH)
+            q4k.q4k_matvec_stacked(jnp.zeros((1, 48)), qt.q[:, :24],
+                                   qt.scale, qt.zero, 0, interpret=True)
+        with pytest.raises(AssertionError):   # non-lane-aligned N
+            q4k.q4k_matvec_stacked(jnp.zeros((1, 256)), qt.q[..., :200],
+                                   qt.scale[..., :200], qt.zero[..., :200],
+                                   0, interpret=True)
+
     def test_matvec_kernel_matches_dequant(self):
         rng = np.random.default_rng(10)
         L, K, N = 2, 256, 384

@@ -150,19 +150,22 @@ def large_measure(lo, hi, which=("ql_alias",)):
     return results
 
 
-def q4k_measure(lo, hi):
+def q4k_measure(lo, hi, qmode="q4k"):
     from whisper_apr_tpu.config import ModelConfig
     from whisper_apr_tpu.model import qdecode
     from whisper_apr_tpu.model.decoder import init_cache
     from whisper_apr_tpu.model.params import init_params, quantize_params
 
     cfg = ModelConfig.from_name("large-v3")
-    params = quantize_params(init_params(cfg, seed=0), "q4k")
+    params = quantize_params(init_params(cfg, seed=0), qmode)
     params = jax.tree_util.tree_map(
         lambda x: x.astype(jnp.bfloat16)
         if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, params)
-    qd = qdecode.prepare_q4k_decode(params, cfg)
-    assert qd is not None
+    if qmode == "q4k":
+        qd = qdecode.prepare_q4k_decode(params, cfg)
+    else:
+        qd = qdecode.prepare_kq_decode(params, cfg)
+    assert qd is not None and qd["mode"] == qmode
     D = cfg.n_text_state
     enc = jnp.zeros((1, cfg.n_audio_ctx, D), jnp.bfloat16)
     cache = init_cache(params, enc, cfg, max_len=448,
@@ -181,21 +184,30 @@ def q4k_measure(lo, hi):
 
     t0 = time.time()
     s = p.per_step(body, (params, qd), (tok0, cache))
-    print(f"q4k scan step: {s*1e3:8.4f} ms/step "
+    print(f"{qmode} scan step: {s*1e3:8.4f} ms/step "
           f"(compile+measure {time.time()-t0:.0f}s)", flush=True)
-    # per-op: the fused q4k matvec on the qkv shape
-    from whisper_apr_tpu.ops.q4k import q4k_matvec_stacked
+    # per-op: the fused matvec on the qkv shape
     wq, sc, zr = qd["lin"]["qkv"]
     x = jnp.zeros((1, D), jnp.bfloat16)
+    if qmode == "q4k":
+        from whisper_apr_tpu.ops.q4k import q4k_matvec_stacked
 
-    def mv_body(i, env, carry):
-        w, s_, z_ = env
-        y = q4k_matvec_stacked(carry, w, s_, z_, i % cfg.n_text_layer)
-        return y[:, :D].astype(carry.dtype)
+        def mv_body(i, env, carry):
+            w, s_, z_ = env
+            y = q4k_matvec_stacked(carry, w, s_, z_, i % cfg.n_text_layer)
+            return y[:, :D].astype(carry.dtype)
+    else:
+        from whisper_apr_tpu.ops.kquants import kq_matvec_stacked
+
+        def mv_body(i, env, carry):
+            w, s_, z_ = env
+            y = kq_matvec_stacked(carry, w, s_, z_, i % cfg.n_text_layer)
+            return y[:, :D].astype(carry.dtype)
 
     s_mv = p.per_step(mv_body, (wq, sc, zr), x)
-    nbytes = wq.shape[1] * wq.shape[2] + sc.size // cfg.n_text_layer * 8
-    print(f"q4k qkv matvec: {s_mv*1e3:8.4f} ms/step "
+    nbytes = (wq.shape[1] * wq.shape[2]
+              + sc.size // cfg.n_text_layer * (8 if zr is not None else 4))
+    print(f"{qmode} qkv matvec: {s_mv*1e3:8.4f} ms/step "
           f"({nbytes/s_mv/2**30:5.0f} GiB/s eff)", flush=True)
 
 
@@ -475,6 +487,8 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--large", action="store_true")
     ap.add_argument("--q4k", action="store_true")
+    ap.add_argument("--q5k", action="store_true")
+    ap.add_argument("--q6k", action="store_true")
     ap.add_argument("--int8dot", action="store_true")
     ap.add_argument("--tricks", action="store_true")
     ap.add_argument("--batched", action="store_true")
@@ -485,7 +499,8 @@ if __name__ == "__main__":
     ap.add_argument("--hi", type=int, default=144)
     args = ap.parse_args()
     print("devices:", jax.devices(), flush=True)
-    if not (args.large or args.q4k or args.int8dot or args.batched):
+    if not (args.large or args.q4k or args.q5k or args.q6k
+            or args.int8dot or args.batched):
         tiny_probe()
     if args.int8dot:
         int8dot_probe()
@@ -497,3 +512,7 @@ if __name__ == "__main__":
         large_measure(args.lo, args.hi, args.which.split(","))
     if args.q4k:
         q4k_measure(args.lo, args.hi)
+    if args.q5k:
+        q4k_measure(args.lo, args.hi, qmode="q5k")
+    if args.q6k:
+        q4k_measure(args.lo, args.hi, qmode="q6k")

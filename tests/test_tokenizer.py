@@ -162,3 +162,18 @@ class TestGpt2Bytes:
         # "Ġ" is GPT-2's escaped space
         assert gpt2_decode_token("Ġhello") == b" hello"
         assert gpt2_decode_token("abc") == b"abc"
+
+
+class TestDecodeSkipSpecialBoundary:
+    def test_eot_itself_is_dropped(self):
+        # decode_with_options keeps ids STRICTLY below the variant EOT;
+        # the EOT token itself must be skipped (reference:
+        # src/tokenizer/mod.rs:180 decode_with_options).
+        v = Vocabulary.with_base_tokens()
+        while len(v) < 50257:               # EN-variant size -> eot = 50256
+            v.add_token(b"<|tok%d|>" % len(v))
+        assert SpecialTokens.for_vocab_size(len(v)).eot == 50256
+        tok = BpeTokenizer(v)
+        out = tok.decode_with_options([ord("h"), ord("i"), 50256],
+                                      skip_special=True)
+        assert out == "hi"

@@ -339,6 +339,10 @@ class TestKqFastPath:
             kquants.kq_matvec_stacked(
                 jnp.zeros((1, 256)), qt.q[..., :200], qt.scale[..., :200],
                 None, 0, interpret=True)
+        with pytest.raises(AssertionError):   # group count must divide K
+            kquants.kq_matvec_stacked(jnp.zeros((1, 256)), qt.q,
+                                      qt.scale[:, :3], None, 0,
+                                      interpret=True)
 
     @pytest.mark.parametrize("qmode", ["q5k", "q6k"])
     def test_decode_step_q_matches_xla(self, qmode):

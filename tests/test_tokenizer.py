@@ -177,3 +177,11 @@ class TestDecodeSkipSpecialBoundary:
         out = tok.decode_with_options([ord("h"), ord("i"), 50256],
                                       skip_special=True)
         assert out == "hi"
+
+    def test_merge_rule_empty_part_at_eof(self):
+        # a trailing empty merge part puts the final u16 length read
+        # flush against EOF — a VALID read (off + 2 == len)
+        v = Vocabulary.with_base_tokens()
+        v.add_merge_rule(b"x", b"")
+        w = Vocabulary.from_bytes(v.to_bytes())
+        assert w.merge_priority(b"x", b"") == 0

@@ -85,7 +85,19 @@ def _install_restore_signals():
 def run_mutations(target: str, test_cmd, max_mutants=None, timeout=300):
     _install_restore_signals()
     src_path = os.path.join(ROOT, target)
+
+    # Crash-safe journal: SIGKILL (e.g. ``timeout -k``) bypasses every
+    # handler and ``finally``, and once left a live And->Or mutant on disk.
+    # Keep the pristine source in a sidecar for the WHOLE run and restore
+    # from it on the next startup if it is still present.
+    backup = src_path + ".mutorig"
+    if os.path.exists(backup):
+        print(f"restoring {target} from crash journal {backup}")
+        shutil.copyfile(backup, src_path)
+        os.remove(backup)
     original = open(src_path).read()
+    with open(backup, "w") as f:
+        f.write(original)
 
     # baseline sanity: the focused suite must PASS on the unmutated file,
     # else every result is noise (classic cause: a prior killed run left a
@@ -134,6 +146,8 @@ def run_mutations(target: str, test_cmd, max_mutants=None, timeout=300):
     finally:
         with open(src_path, "w") as f:
             f.write(original)
+        if os.path.exists(backup):
+            os.remove(backup)
 
     total = killed + len(survived)
     rate = killed / total if total else 1.0
@@ -149,11 +163,15 @@ def run_mutations(target: str, test_cmd, max_mutants=None, timeout=300):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("target", help="module path relative to repo root")
-    ap.add_argument("tests", nargs="+", help="pytest args for the "
-                    "focused suite")
     ap.add_argument("--max", type=int, default=None)
     ap.add_argument("--timeout", type=int, default=300)
+    # everything after the target (that isn't --max/--timeout) is passed
+    # verbatim to pytest, INCLUDING flags like -k/-x
+    ap.add_argument("tests", nargs=argparse.REMAINDER,
+                    help="pytest args for the focused suite")
     args = ap.parse_args()
+    if not args.tests:
+        ap.error("no pytest args given")
     result = run_mutations(args.target, args.tests, args.max, args.timeout)
     out = os.path.join(ROOT, "MUTATION.json")
     data = {}

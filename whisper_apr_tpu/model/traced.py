@@ -105,3 +105,48 @@ def decoder_forward_traced(params: dict, tokens: jnp.ndarray,
                    params["decoder"]["ln_post"]["b"])
     logits = project_to_vocab(params, x)
     return logits, norms, jnp.stack(cross_weights)
+
+
+def encoder_forward_traced(params: dict, mel: jnp.ndarray,
+                           config: ModelConfig
+                           ) -> Tuple[jnp.ndarray, List[Dict[str, float]]]:
+    """Encoder forward emitting per-layer activation/attention metrics.
+
+    Returns ``(enc_out, metrics)`` where ``metrics[i]`` holds the
+    block-output mean/max |activation| and the self-attention entropy of
+    layer ``i`` — the data the reference's TUI encoder panel tabulates
+    (src/tui/app.rs:96 EncoderLayerMetrics, populated at app.rs:324).
+
+    Python-loop debug path (one layer at a time so weights can be
+    captured); the serving path stays the scanned `encoder.encode`.
+    """
+    from .encoder import conv_stem
+
+    enc = params["encoder"]
+    x = conv_stem(mel.astype(jnp.float32), enc["conv1"], enc["conv2"])
+    x = x + enc["pos_emb"][None, : x.shape[1], :].astype(x.dtype)
+    n_heads = config.n_audio_head
+
+    metrics: List[Dict[str, float]] = []
+    for i in range(config.n_audio_layer):
+        blk = _layer_slice(enc["blocks"], i)
+        h = layer_norm(x, blk["ln1"]["w"], blk["ln1"]["b"])
+        a = blk["attn"]
+        attn, w = _mha_with_weights(
+            linear(h, a["q_w"], a["q_b"]), linear(h, a["k_w"], a["k_b"]),
+            linear(h, a["v_w"], a["v_b"]), n_heads)
+        x = x + linear(attn, a["o_w"], a["o_b"])
+        h = layer_norm(x, blk["ln2"]["w"], blk["ln2"]["b"])
+        h = linear(gelu(linear(h, blk["fc1"]["w"], blk["fc1"]["b"])),
+                   blk["fc2"]["w"], blk["fc2"]["b"])
+        x = x + h
+        w = jnp.clip(w.astype(jnp.float32), 1e-12, 1.0)
+        metrics.append({
+            "layer": i,
+            "mean_activation": float(jnp.mean(jnp.abs(x))),
+            "max_activation": float(jnp.max(jnp.abs(x))),
+            "attention_entropy": float(
+                jnp.mean(-jnp.sum(w * jnp.log(w), axis=-1))),
+        })
+    out = layer_norm(x, enc["ln_post"]["w"], enc["ln_post"]["b"])
+    return out, metrics

@@ -186,3 +186,115 @@ class TestEncoderTraced:
         assert m["max_activation"] >= m["mean_activation"]
         # attention entropy is bounded by log(T_ctx)
         assert 0.0 <= m["attention_entropy"] <= np.log(cfg.n_audio_ctx) + 1e-5
+
+
+class TestRunTuiKeysAndErrors:
+    def _fixture(self, tmp_path):
+        import wave
+
+        from helpers import make_hf_twin, small_config
+
+        from whisper_apr_tpu.audio.mel import mel_filterbank
+        from whisper_apr_tpu.format import AprWriter, MelFilterbankData
+        from whisper_apr_tpu.tokenizer import Vocabulary
+        from whisper_apr_tpu.tools.convert import hf_state_dict_to_apr_tensors
+        cfg = small_config(n_vocab=51_865)
+        hf = make_hf_twin(cfg, seed=0)
+        sd = {k: v.detach().cpu().numpy() for k, v in hf.state_dict().items()}
+        w = AprWriter.from_config(cfg)
+        for name, arr in hf_state_dict_to_apr_tensors(sd).items():
+            w.add_tensor(name, arr)
+        vocab = Vocabulary.with_base_tokens()
+        while len(vocab) < cfg.n_vocab:
+            vocab.add_token(b"<|t%d|>" % len(vocab))
+        w.set_vocabulary(vocab.to_bytes())
+        w.set_mel_filterbank(MelFilterbankData(80, 201, mel_filterbank(80)))
+        model = str(tmp_path / "m.apr")
+        w.write_file(model)
+        clip = str(tmp_path / "c.wav")
+        pcm = (np.clip(np.random.default_rng(0).normal(0, 0.1, 4000), -1, 1)
+               * 32767).astype(np.int16)
+        with wave.open(clip, "wb") as f:
+            f.setnchannels(1)
+            f.setsampwidth(2)
+            f.setframerate(16000)
+            f.writeframes(pcm.tobytes())
+        return model, clip
+
+    def _stub_curses(self, keys):
+        lines = []
+
+        class StubScreen:
+            def nodelay(self, *_):
+                pass
+
+            def erase(self):
+                pass
+
+            def getmaxyx(self):
+                return (40, 100)
+
+            def addnstr(self, y, x, s, n):
+                lines.append(s)
+
+            def refresh(self):
+                pass
+
+            def getch(self):
+                return keys.pop(0) if keys else ord("q")
+
+        class StubCurses:
+            error = Exception
+
+            @staticmethod
+            def wrapper(fn):
+                return fn(StubScreen())
+
+            @staticmethod
+            def curs_set(*_):
+                pass
+
+        return StubCurses, lines
+
+    def test_panel_keys_during_run(self, tmp_path, monkeypatch):
+        import argparse
+        import sys as _sys
+
+        import whisper_apr_tpu.cli.tui as tui_mod
+        model, clip = self._fixture(tmp_path)
+        # draws pop one key each: MEL, ENCODE, then the DECODE-stage draw
+        # (metrics now exist) gets '3' -> encoder panel renders during the
+        # live decode; '5' lands in the wait loop -> attention panel
+        stub, lines = self._stub_curses(
+            [-1, -1, ord("3")] + [-1] * 20 + [ord("5")])
+        monkeypatch.setitem(_sys.modules, "curses", stub)
+        args = argparse.Namespace(model=model, audio=clip, language="en",
+                                  max_tokens=12, verbose=False, quiet=True)
+        assert tui_mod.run_tui(args) == 0
+        joined = "\n".join(lines)
+        assert "attn entropy" in joined        # encoder panel was shown
+        assert "tokens (rows) x audio frames" in joined  # attention panel
+        assert "complete" in joined            # status bar reached complete
+
+    def test_error_path_and_rerun(self, tmp_path, monkeypatch):
+        import argparse
+        import sys as _sys
+
+        import whisper_apr_tpu.cli.tui as tui_mod
+        model, clip = self._fixture(tmp_path)
+
+        def boom(*a, **k):
+            raise RuntimeError("kernel exploded")
+
+        monkeypatch.setattr(tui_mod, "live_decode", boom)
+        # the four stage draws (mel/encode/decode/fail) pop one key each;
+        # 'r' must land in the wait loop to trigger the rerun
+        stub, lines = self._stub_curses(
+            [-1, -1, -1, -1, ord("r")] + [-1] * 4)
+        monkeypatch.setitem(_sys.modules, "curses", stub)
+        args = argparse.Namespace(model=model, audio=clip, language="en",
+                                  max_tokens=4, verbose=False, quiet=True)
+        assert tui_mod.run_tui(args) == 0      # error is surfaced, not raised
+        joined = "\n".join(lines)
+        assert "kernel exploded" in joined
+        assert joined.count("kernel exploded") >= 2   # the rerun also failed

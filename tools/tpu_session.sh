@@ -1,0 +1,35 @@
+#!/bin/bash
+# One patient TPU measurement session (run when the tunnel is healthy).
+# NO kills: every stage runs to completion; compiles can take ~10 min each.
+# Order: cheapest/highest-value first so a re-wedge costs the least.
+cd /root/repo
+log=/tmp/tpu_session.log
+echo "=== session start $(date -u) ===" | tee -a $log
+
+echo "--- health probe ---" | tee -a $log
+python - <<'PY' 2>&1 | tail -1 | tee -a $log
+import time, numpy as np, jax.numpy as jnp
+t0=time.time()
+np.asarray(jnp.dot(jnp.ones((128,128), jnp.bfloat16), jnp.ones((128,128), jnp.bfloat16)))
+print("probe ok %.1fs" % (time.time()-t0))
+PY
+
+echo "--- q4k step + matvec ---" | tee -a $log
+python -u tools/probe_layer_kernel.py --q4k --lo 16 --hi 144 2>&1 | tee -a $log
+
+echo "--- q5k step + matvec ---" | tee -a $log
+python -u tools/probe_layer_kernel.py --q5k --lo 16 --hi 144 2>&1 | tee -a $log
+
+echo "--- q6k step + matvec ---" | tee -a $log
+python -u tools/probe_layer_kernel.py --q6k --lo 16 --hi 144 2>&1 | tee -a $log
+
+echo "--- encoder remeasure int8/noflash only (GEMM stem; baseline 18.9 ms) ---" | tee -a $log
+QUANT=int8 FLASH=0 SKIP_MEL=1 python -u tools/profile_encoder.py large-v3 2 10 2>&1 | tee -a $log
+
+echo "--- lineup regeneration ---" | tee -a $log
+python -u tools/bench_lineup.py --emit json > /root/repo/LINEUP_r03.json 2>>$log && tail -1 /root/repo/LINEUP_r03.json | head -c 400 | tee -a $log
+
+echo "--- bench.py headline ---" | tee -a $log
+python -u bench.py 2>&1 | tee -a $log
+
+echo "=== session done $(date -u) ===" | tee -a $log

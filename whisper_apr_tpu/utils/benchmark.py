@@ -31,6 +31,10 @@ class BenchmarkReport:
     total_seconds: float
     components: List[ComponentTiming]
     tokens_decoded: int
+    # analytic speed-of-light bound for the same workload (utils/roofline;
+    # the reference's SimulationModel analog, benchmark.rs:283) — 0 when
+    # no model config was available to derive it
+    rtf_floor: float = 0.0
 
     @property
     def rtf(self) -> float:
@@ -51,6 +55,9 @@ class BenchmarkReport:
             "rtf": round(self.rtf, 6),
             "tokens_per_second": round(self.tokens_per_second, 2),
             "bottleneck": self.bottleneck(),
+            "rtf_floor": round(self.rtf_floor, 6),
+            "vs_floor": round(self.rtf / self.rtf_floor, 2)
+            if self.rtf_floor else None,
             "components": [{
                 "name": c.name, "seconds": round(c.seconds, 6),
                 "fraction": round(c.fraction, 4)} for c in self.components],
@@ -71,6 +78,10 @@ class BenchmarkReport:
             lines.append(f"  {c.name:<12} {c.seconds * 1e3:9.2f} ms "
                          f"{100 * c.fraction:5.1f}%")
         lines.append(f"  bottleneck: {self.bottleneck()}")
+        if self.rtf_floor:
+            lines.append(f"  roofline: rtf floor {self.rtf_floor:.4f} "
+                         f"({self.rtf / self.rtf_floor:.2f}x above "
+                         f"speed-of-light)")
         return "\n".join(lines)
 
 
@@ -157,7 +168,16 @@ def run_pipeline_benchmark(model_path: Optional[str] = None,
     total = time.perf_counter() - t0
 
     components = [ComponentTiming(k, v, v / total) for k, v in timings.items()]
-    report = BenchmarkReport(audio_seconds, total, components, decode_tokens)
+    from .roofline import rtf_floor
+    quant = "bf16"
+    if model_path:
+        quant = {0: "f32", 2: "int8", 4: "q4k", 5: "q5k",
+                 6: "q6k"}.get(eng.quantization_code, "bf16") \
+            if hasattr(eng, "quantization_code") else "bf16"
+    floor = rtf_floor(cfg, decode_tokens=decode_tokens, quant=quant,
+                      audio_s=audio_seconds)
+    report = BenchmarkReport(audio_seconds, total, components, decode_tokens,
+                             rtf_floor=floor)
 
     if emit == "json":
         return report.to_json()

@@ -178,6 +178,16 @@ def run_model_info(args) -> int:
     print(f"parameters: ~{cfg.parameter_count() / 1e6:.1f}M")
     print(f"file size: {reader.file_size() if hasattr(reader, 'file_size') else len(reader.data)} bytes")
     print(f"crc32: {'ok' if reader.verify_crc() else 'MISMATCH'}")
+    # v5e roofline (utils/roofline): speed-of-light bounds for this model
+    from ..utils.roofline import (decode_step_floor_ms, rtf_floor,
+                                  streams_per_chip_floor)
+    quant = {"int8": "int8", "q4k": "q4k", "q5k": "q5k",
+             "q6k": "q6k"}.get(h.quantization_name, "bf16")
+    print(f"v5e floors ({quant}): decode "
+          f"{decode_step_floor_ms(cfg, quant=quant):.3f} ms/step, "
+          f"rtf {rtf_floor(cfg, quant=quant):.5f}, "
+          f"<= {streams_per_chip_floor(cfg, quant=quant):.0f} "
+          f"realtime streams/chip")
     return 0
 
 

@@ -131,12 +131,18 @@ def run_mutations(target: str, test_cmd, max_mutants=None, timeout=300):
             mutated = ast.unparse(tree)
             with open(src_path, "w") as f:
                 f.write(mutated)
-            r = subprocess.run(
-                [sys.executable, "-m", "pytest", "-x", "-q",
-                 "--no-header", *test_cmd],
-                cwd=ROOT, capture_output=True, timeout=timeout,
-                env={**os.environ, "PYTHONDONTWRITEBYTECODE": "1"})
-            if r.returncode != 0:
+            try:
+                r = subprocess.run(
+                    [sys.executable, "-m", "pytest", "-x", "-q",
+                     "--no-header", *test_cmd],
+                    cwd=ROOT, capture_output=True, timeout=timeout,
+                    env={**os.environ, "PYTHONDONTWRITEBYTECODE": "1"})
+                failed = r.returncode != 0
+            except subprocess.TimeoutExpired:
+                # a hanging suite means the mutant broke termination —
+                # that IS a kill (cargo-mutants counts timeouts the same)
+                failed = True
+            if failed:
                 killed += 1
                 mark = "killed"
             else:

@@ -188,3 +188,13 @@ def test_refine_degenerate_snap_restores_end():
     out = refine_boundaries_by_silence(words, audio, window_s=0.1)
     assert out[0].end == pytest.approx(0.33)
     assert out[0].end > out[0].start
+
+def test_refine_window_covers_exact_upper_edge():
+    # the snap window's hi bound is c + window + 1 (inclusive of frame
+    # c+window): a dip EXACTLY at the upper edge must be found
+    from whisper_apr_tpu.alignment import refine_boundaries_by_silence
+    audio = np.full(SR, 0.5, np.float32)
+    audio[int(0.35 * SR):int(0.36 * SR)] = 0.0    # dip at frame 35
+    words = [_word(start=0.02, end=0.25)]          # end c=25, window 10
+    out = refine_boundaries_by_silence(words, audio, window_s=0.1)
+    assert out[0].end == pytest.approx(0.35, abs=0.006)

@@ -119,3 +119,22 @@ def test_full_length_decode_matches_greedy_exactly(setup):
     assert np.array_equal(np.asarray(g), np.asarray(s))
     assert np.array_equal(np.asarray(gl), np.asarray(sl))
     assert np.all(np.asarray(sl) == 12)
+
+
+def test_sampling_qd_path_without_qf_mode(setup):
+    # qd WITHOUT qf_mode must keep the plain KVCache (decode_step_q path);
+    # coercing it through quantize_cache would hand the wrong cache type
+    # to the per-token kernel step
+    from whisper_apr_tpu.model.params import quantize_params
+    from whisper_apr_tpu.model.qdecode import prepare_qdecode
+    cfg, params, enc = setup
+    qparams = quantize_params(params, "int8")
+    qd = prepare_qdecode(qparams, cfg)
+    eot = cfg.n_vocab - 1
+    prompt = jnp.asarray(np.full((1, 3), 5, np.int32))
+    bias = jnp.zeros(cfg.n_vocab, jnp.float32)
+    toks, lengths, _, _ = sample_generate(
+        qparams, enc[:1], prompt, bias, eot, jax.random.PRNGKey(0),
+        config=cfg, max_len=8, prompt_len=3, temperature=0.0, qd=qd)
+    assert np.asarray(toks).shape == (1, 8)
+    assert 4 <= int(lengths[0]) <= 8

@@ -33,6 +33,30 @@ ENTRIES = {
             "at equality the chunking loop emits the identical single "
             "full-length chunk and stops on its first iteration",
     },
+    "whisper_apr_tpu/inference/sampling.py": {
+        "cmp Gt->GtE @41 (top_k > 0)":
+            "with top_k==0 the mutant computes kth = row MINIMUM and the "
+            ">= kth filter keeps every token — identical to skipping the "
+            "filter",
+        "cmp GtE->Gt @49 (cum >= top_p argmax)":
+            "differs only when a float32 softmax cumulative sum equals "
+            "top_p EXACTLY — a measure-zero boundary no deterministic "
+            "input hits",
+    },
+    "whisper_apr_tpu/audio/resample.py": {
+        "cmp Lt->LtE @78/@80 (|sinc_arg| < 1e-10)":
+            "differs only when cutoff*(k - frac) lands exactly on the "
+            "1e-10 epsilon — a measure-zero float boundary",
+        "cmp Gt->GtE @97 (|den| > 1e-10)":
+            "same epsilon-boundary argument for the renormalization "
+            "denominator (den is ~1.0 for every reachable window)",
+    },
+    "whisper_apr_tpu/utils/benchmark.py": {
+        "cmp GtE->Gt @125/@128 (n_vocab >= 51865 prompt-token choice)":
+            "the sot/eot id choice is not observable in the report "
+            "output (random weights; the report carries no token ids) — "
+            "the real prompt semantics are pinned by engine/CLI tests",
+    },
     "whisper_apr_tpu/diarization.py": {
         "cmp Gt->GtE @86 (while len(clusters) > 1)":
             "the extra iteration at one cluster finds no pair (best "

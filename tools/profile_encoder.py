@@ -63,6 +63,50 @@ def main():
             print(f"encoder {quant} flash={flash}: {s*1e3:8.2f} ms",
                   flush=True)
 
+    # stage attribution: conv stem alone / blocks alone / final LN alone,
+    # so a remeasure says WHERE the floor gap lives (stem vs block glue)
+    if os.environ.get("STAGES") == "1":
+        from whisper_apr_tpu.model.encoder import conv_stem, encoder_block
+        from whisper_apr_tpu.ops.basic import layer_norm
+
+        params = init_params(cfg, seed=0)
+        if (only_quant or "int8") == "int8":
+            params = quantize_params(params, "int8")
+        params = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, params)
+        enc_p = params["encoder"]
+        mel = jnp.zeros((1, 2 * cfg.n_audio_ctx, cfg.n_mels), jnp.float32)
+        xin = jnp.zeros((1, cfg.n_audio_ctx, cfg.n_text_state), jnp.bfloat16)
+
+        def stem_body(i, env, x):
+            # + x keeps the stem loop-carried so XLA can't hoist it
+            out = conv_stem((mel + x[0, 0]).astype(jnp.bfloat16),
+                            env["conv1"], env["conv2"])
+            return x + out[:, 0, :1].astype(jnp.float32)
+
+        s = p.per_step(stem_body, enc_p, jnp.zeros((1, 1), jnp.float32))
+        print(f"conv stem alone     : {s*1e3:8.2f} ms", flush=True)
+
+        def blocks_body(i, env, x):
+            def body(carry, blk):
+                return encoder_block(carry, blk, cfg.n_audio_head), None
+            out, _ = jax.lax.scan(body, xin + x[0, 0].astype(jnp.bfloat16),
+                                  env["blocks"])
+            return x + out[:, 0, :1].astype(jnp.float32)
+
+        s = p.per_step(blocks_body, enc_p, jnp.zeros((1, 1), jnp.float32))
+        print(f"blocks alone (x{cfg.n_audio_layer:3d}): {s*1e3:8.2f} ms",
+              flush=True)
+
+        def ln_body(i, env, x):
+            out = layer_norm(xin + x[0, 0].astype(jnp.bfloat16),
+                             env["ln_post"]["w"], env["ln_post"]["b"])
+            return x + out[:, 0, :1].astype(jnp.float32)
+
+        s = p.per_step(ln_body, enc_p, jnp.zeros((1, 1), jnp.float32))
+        print(f"one LN [1500,D]     : {s*1e3:8.2f} ms", flush=True)
+
     # mel stage
     if skip_mel:
         return

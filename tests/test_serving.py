@@ -167,6 +167,72 @@ class TestBatchScheduler:
         assert comp.queue_seconds >= 0.0
         assert comp.decode_seconds >= 0.0
 
+    def test_batched_admission_matches_staged(self, engine):
+        """A burst admitted through fused_admit_step + slot scatter produces
+        exactly the staged per-slot admission's tokens (and both match
+        engine.transcribe)."""
+        rng = np.random.default_rng(11)
+        audios = [rng.normal(0, 0.1, 3000 + 700 * i).astype(np.float32)
+                  for i in range(4)]
+        opts = TranscribeOptions(language="en", max_tokens=8)
+        expected = [engine.transcribe(a, opts).tokens for a in audios]
+        for batched in (True, False):
+            sched = BatchScheduler(engine, n_slots=4,
+                                   batched_admission=batched)
+            assert sched.batched_admission is batched
+            ids = [sched.submit(a, "en", max_tokens=8) for a in audios]
+            sched.run_until_drained()
+            for rid, exp in zip(ids, expected):
+                comp = sched.result(rid)
+                assert comp is not None, f"batched={batched}"
+                assert comp.tokens[: len(exp)] == exp, f"batched={batched}"
+
+    def test_bucket_padding_uses_spare_slots(self, engine):
+        """3 requests into 4 free slots pad up to the 4-bucket; the spare
+        slot takes a garbage write and must still serve a later request
+        exactly (its real prefill overwrites the padding)."""
+        rng = np.random.default_rng(12)
+        audios = [rng.normal(0, 0.1, 2500 + 900 * i).astype(np.float32)
+                  for i in range(4)]
+        opts = TranscribeOptions(language="en", max_tokens=8)
+        expected = [engine.transcribe(a, opts).tokens for a in audios]
+        sched = BatchScheduler(engine, n_slots=4)
+        assert sched.admit_buckets == (1, 2, 4)
+        ids = [sched.submit(a, "en", max_tokens=8) for a in audios[:3]]
+        # first tick admits the 3-burst (padded to bucket 4 via the spare)
+        sched.step()
+        assert int(sched._active.sum()) == 3
+        # late arrival lands in the previously-padded spare slot
+        ids.append(sched.submit(audios[3], "en", max_tokens=8))
+        sched.run_until_drained()
+        for rid, exp in zip(ids, expected):
+            comp = sched.result(rid)
+            assert comp is not None
+            assert comp.tokens[: len(exp)] == exp
+
+    def test_mixed_prompt_lengths_admit_in_groups(self, engine):
+        """Requests with different prompt lengths admit in one tick via
+        per-length fused groups and still match single-request decodes."""
+        from whisper_apr_tpu.parallel.serving import Request
+
+        rng = np.random.default_rng(13)
+        a1 = rng.normal(0, 0.1, 3000).astype(np.float32)
+        a2 = rng.normal(0, 0.1, 4000).astype(np.float32)
+        p_short = engine.get_initial_tokens("en")
+        p_long = p_short + [p_short[-1]]  # one extra forced token
+        sched = BatchScheduler(engine, n_slots=4)
+        sched._queue.put(Request(100, a1, list(p_short), 8))
+        sched._queue.put(Request(101, a2, list(p_long), 8))
+        sched.step()
+        assert int(sched._active.sum()) in (1, 2)  # EOT-first may finish one
+        sched.run_until_drained()
+        for rid, audio, prompt in ((100, a1, p_short), (101, a2, p_long)):
+            ref = BatchScheduler(engine, n_slots=1)
+            ref._queue.put(Request(rid, audio, list(prompt), 8))
+            ref.run_until_drained()
+            comp, exp = sched._completions[rid], ref._completions[rid]
+            assert comp.tokens == exp.tokens
+
 
 class TestSlidingKVCache:
     def test_matches_full_within_window(self, setup, cfg, engine):

@@ -47,9 +47,11 @@ class TranscribeServer:
     """HTTP front end + main-thread device loop."""
 
     def __init__(self, engine, host: str = "127.0.0.1", port: int = 8000,
-                 n_slots: int = 8, single_thread: bool = False) -> None:
+                 n_slots: int = 8, single_thread: bool = False,
+                 batched_admission: bool = True) -> None:
         self.engine = engine
-        self.scheduler = BatchScheduler(engine, n_slots=n_slots)
+        self.scheduler = BatchScheduler(engine, n_slots=n_slots,
+                                        batched_admission=batched_admission)
         self.host = host
         self.port = port
         self.single_thread = single_thread

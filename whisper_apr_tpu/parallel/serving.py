@@ -16,10 +16,11 @@ head-of-line blocking on long utterances).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import queue
 import threading
 import time
-from typing import Callable, Dict, List, Optional
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -29,6 +30,50 @@ from ..config import ModelConfig
 from ..model.decoder import KVCache, init_cache, prefill
 from ..model.kv_variants import (PAGE_SIZE, PagedKVCache, decode_step_multi,
                                  decode_steps_multi_jit)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _scatter_dense_slots(cache: KVCache, slots: jnp.ndarray,
+                         new: KVCache) -> KVCache:
+    """Write a batch of freshly-admitted sequences into their slots in ONE
+    dispatch (donated in-place update). ``new`` holds prompt-width self K/V
+    [L, n, P, D] and full cross K/V [L, n, S, D]; ``slots`` [n] int32."""
+    P = new.self_k.shape[2]
+    return KVCache(
+        cache.self_k.at[:, slots, :P].set(new.self_k.astype(cache.self_k.dtype)),
+        cache.self_v.at[:, slots, :P].set(new.self_v.astype(cache.self_v.dtype)),
+        cache.cross_k.at[:, slots].set(new.cross_k.astype(cache.cross_k.dtype)),
+        cache.cross_v.at[:, slots].set(new.cross_v.astype(cache.cross_v.dtype)))
+
+
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("int8",))
+def _scatter_qf_slots(cache, slots: jnp.ndarray, new: KVCache, int8: bool):
+    """Slot scatter for the fused-megakernel cache (QKVCache): bf16 rows or
+    per-row int8 quantization (ops/decode_attention.quantize_rows) fused
+    into the same program."""
+    from ..ops.decode_attention import quantize_rows
+
+    P = new.self_k.shape[2]
+    S = new.cross_k.shape[2]
+    if int8:
+        sk, sks = quantize_rows(new.self_k)
+        sv, svs = quantize_rows(new.self_v)
+        ck, cks = quantize_rows(new.cross_k)
+        cv, cvs = quantize_rows(new.cross_v)
+        cache = cache._replace(
+            self_ks=cache.self_ks.at[:, slots, :P].set(sks),
+            self_vs=cache.self_vs.at[:, slots, :P].set(svs),
+            cross_ks=cache.cross_ks.at[:, slots, :S].set(cks),
+            cross_vs=cache.cross_vs.at[:, slots, :S].set(cvs))
+    else:
+        dt = cache.self_kq.dtype
+        sk, sv = new.self_k.astype(dt), new.self_v.astype(dt)
+        ck, cv = new.cross_k.astype(dt), new.cross_v.astype(dt)
+    return cache._replace(
+        self_kq=cache.self_kq.at[:, slots, :P].set(sk),
+        self_vq=cache.self_vq.at[:, slots, :P].set(sv),
+        cross_kq=cache.cross_kq.at[:, slots, :S].set(ck),
+        cross_vq=cache.cross_vq.at[:, slots, :S].set(cv))
 
 
 @dataclasses.dataclass
@@ -62,7 +107,9 @@ class BatchScheduler:
                  steps_per_tick: int = 1,
                  paged: bool = False,
                  n_pages: Optional[int] = None,
-                 mesh=None) -> None:
+                 mesh=None,
+                 batched_admission: bool = True,
+                 admit_buckets: Optional[Sequence[int]] = None) -> None:
         """``mesh``: a jax.sharding.Mesh with a ``dp`` axis — the slot
         batch (and every KV cache) shards over it, params/bias replicate,
         and GSPMD partitions the fused tick so one scheduler serves
@@ -78,6 +125,18 @@ class BatchScheduler:
         self.max_len = max_len or self.config.n_text_ctx
         self.paged = paged
         self.mesh = mesh
+        # Batched admission: bursts of queued requests admit through ONE
+        # fused mel->encode->prefill program (pipeline.fused_admit_step)
+        # plus one donated slot-scatter, instead of ~3 dispatches per
+        # request. Buckets bound the number of compiled batch sizes; a
+        # burst pads up to the next bucket using spare free slots as
+        # harmless write targets. Paged slots keep the staged path (their
+        # prefill writes route through the page pool per slot).
+        self.batched_admission = batched_admission and not paged
+        if admit_buckets is None:
+            admit_buckets = sorted({1, n_slots} | {
+                b for b in (2, 4, 8, 16) if b < n_slots})
+        self.admit_buckets = tuple(sorted(admit_buckets))
         if mesh is not None:
             if paged:
                 raise ValueError("paged serving is per-device; use dense "
@@ -199,80 +258,154 @@ class BatchScheduler:
     # -- scheduling core --------------------------------------------------------
     def _fill_slots(self) -> None:
         """Admit queued requests into free slots (prefill their caches)."""
-        for slot in range(self.n_slots):
-            if self._active[slot]:
-                continue
+        free = [s for s in range(self.n_slots) if not self._active[s]]
+        if not free:
+            return
+        reqs: List[Request] = []
+        for _ in free:
             try:
-                req = self._queue.get_nowait()
+                reqs.append(self._queue.get_nowait())
             except queue.Empty:
-                return
-            mel = self.engine.compute_mel(req.audio)
-            enc = self.engine.encode(mel)  # [1, S, D]
-            # per-slot cross K/V + prompt prefill into the shared cache
-            one = init_cache(self.engine.params, enc, self.config,
-                             max_len=self.max_len,
-                             compute_dtype=self.engine._compute_dtype)
-            prompt = jnp.asarray(np.asarray(req.prompt, np.int32)[None])
-            logits, one = prefill(self.engine.params, prompt, enc, one,
-                                  self.config,
-                                  compute_dtype=self.engine._compute_dtype)
-            first = int(np.asarray(
-                jnp.argmax(logits[0] + self._bias)))
+                break
+        if not reqs:
+            return
+        if not self.batched_admission:
+            for slot, req in zip(free, reqs):
+                self._admit_one(slot, req)
+            return
+        # one fused admission per prompt length (prompts in a batch must
+        # stack rectangularly); slots assigned in order, leftovers spare
+        by_len: Dict[int, List[Tuple[Request, int]]] = {}
+        it = iter(free)
+        for req in reqs:
+            by_len.setdefault(len(req.prompt), []).append((req, next(it)))
+        spare = list(it)
+        for group in by_len.values():
+            self._admit_batch([r for r, _ in group], [s for _, s in group],
+                              spare)
+
+    def _admit_batch(self, reqs: List[Request], slots: List[int],
+                     spare: List[int]) -> None:
+        """Admit ``reqs`` into ``slots`` via fused_admit_step + one donated
+        slot scatter; pads the batch up to the smallest admissible bucket
+        using ``spare`` free slots as garbage write targets (inactive slots
+        — the next occupant's prefill overwrites them)."""
+        from ..pipeline import fused_admit_step, pad_audio_batch
+
+        n = len(reqs)
+        b = n
+        for cand in self.admit_buckets:
+            if cand >= n and (cand - n) <= len(spare):
+                b = cand
+                break
+        pad = b - n
+        targets = slots + spare[:pad]
+        eng = self.engine
+        n_samples = 2 * self.config.n_audio_ctx * 160
+        audio = pad_audio_batch(
+            [r.audio for r in reqs] + [reqs[-1].audio] * pad, n_samples)
+        prompt = np.asarray([list(r.prompt) for r in reqs]
+                            + [list(reqs[-1].prompt)] * pad, np.int32)
+        mf = eng.mel_filters
+        first, new = fused_admit_step(
+            self._params, jnp.asarray(audio), mf._window, mf._basis,
+            mf._filters_t, jnp.asarray(prompt), self._bias, self.config,
+            compute_dtype=eng._compute_dtype, fidelity=eng._fidelity,
+            use_flash=eng._use_flash)
+        slots_arr = jnp.asarray(np.asarray(targets, np.int32))
+        if self.mesh is not None:
+            new = KVCache(*[jax.device_put(c, self._rep) for c in new])
+            slots_arr = jax.device_put(slots_arr, self._rep)
+        if getattr(self, "_qf", None):
+            self._cache = _scatter_qf_slots(self._cache, slots_arr, new,
+                                            int8=self._qf == "int8")
+        else:
+            self._cache = _scatter_dense_slots(self._cache, slots_arr, new)
+        first = np.asarray(first)
+        now = time.time()
+        eot = eng.specials.eot
+        for i, (req, slot) in enumerate(zip(reqs, slots)):
             P = len(req.prompt)
-            if self.paged:
-                from ..model.paged_decode import write_prefill_to_pool
-                pk = self._paged_kv
-                pk.free(slot)  # clear any previous occupant
-                pk.alloc(slot, P + 1)  # prompt + the first generated token
-                table = np.asarray(pk._tables[slot], np.int32)
-                pk.k_pool, pk.v_pool = write_prefill_to_pool(
-                    pk.k_pool, pk.v_pool, one.self_k, one.self_v, table, P)
-                pk._lengths[slot] = P
-                self._cache = KVCache(
-                    self._cache.self_k, self._cache.self_v,
-                    self._cache.cross_k.at[:, slot].set(one.cross_k[:, 0]),
-                    self._cache.cross_v.at[:, slot].set(one.cross_v[:, 0]))
-            elif getattr(self, "_qf", None):
-                from ..ops.decode_attention import quantize_rows
-                c = self._cache
-                T0 = one.self_k.shape[2]
-                S0 = one.cross_k.shape[2]
-                if self._qf == "int8":
-                    sk, sks = quantize_rows(one.self_k)
-                    sv, svs = quantize_rows(one.self_v)
-                    ck, cks = quantize_rows(one.cross_k)
-                    cv, cvs = quantize_rows(one.cross_v)
-                    c = c._replace(
-                        self_ks=c.self_ks.at[:, slot, :T0].set(sks[:, 0]),
-                        self_vs=c.self_vs.at[:, slot, :T0].set(svs[:, 0]),
-                        cross_ks=c.cross_ks.at[:, slot, :S0].set(cks[:, 0]),
-                        cross_vs=c.cross_vs.at[:, slot, :S0].set(cvs[:, 0]))
-                else:
-                    sk, sv = one.self_k, one.self_v
-                    ck, cv = one.cross_k, one.cross_v
-                self._cache = c._replace(
-                    self_kq=c.self_kq.at[:, slot, :T0].set(sk[:, 0]),
-                    self_vq=c.self_vq.at[:, slot, :T0].set(sv[:, 0]),
-                    cross_kq=c.cross_kq.at[:, slot, :S0].set(ck[:, 0]),
-                    cross_vq=c.cross_vq.at[:, slot, :S0].set(cv[:, 0]))
-            else:
-                if self.mesh is not None:
-                    one = KVCache(*[jax.device_put(c, self._rep)
-                                    for c in one])
-                self._cache = KVCache(
-                    self._cache.self_k.at[:, slot].set(one.self_k[:, 0]),
-                    self._cache.self_v.at[:, slot].set(one.self_v[:, 0]),
-                    self._cache.cross_k.at[:, slot].set(one.cross_k[:, 0]),
-                    self._cache.cross_v.at[:, slot].set(one.cross_v[:, 0]))
-            self._tokens[slot] = self.engine.specials.eot
+            self._tokens[slot] = eot
             self._tokens[slot, :P] = req.prompt
-            self._tokens[slot, P] = first
+            self._tokens[slot, P] = first[i]
             self._pos[slot] = P
             self._active[slot] = True
             self._req[slot] = req
-            self._decode_start[slot] = time.time()
-            if first == self.engine.specials.eot:
+            self._decode_start[slot] = now
+            if first[i] == eot:
                 self._finish(slot)
+
+    def _admit_one(self, slot: int, req: Request) -> None:
+        """Staged per-slot admission (paged slots, or batched_admission
+        off): mel -> encode -> prefill as separate dispatches."""
+        mel = self.engine.compute_mel(req.audio)
+        enc = self.engine.encode(mel)  # [1, S, D]
+        # per-slot cross K/V + prompt prefill into the shared cache
+        one = init_cache(self.engine.params, enc, self.config,
+                         max_len=self.max_len,
+                         compute_dtype=self.engine._compute_dtype)
+        prompt = jnp.asarray(np.asarray(req.prompt, np.int32)[None])
+        logits, one = prefill(self.engine.params, prompt, enc, one,
+                              self.config,
+                              compute_dtype=self.engine._compute_dtype)
+        first = int(np.asarray(
+            jnp.argmax(logits[0] + self._bias)))
+        P = len(req.prompt)
+        if self.paged:
+            from ..model.paged_decode import write_prefill_to_pool
+            pk = self._paged_kv
+            pk.free(slot)  # clear any previous occupant
+            pk.alloc(slot, P + 1)  # prompt + the first generated token
+            table = np.asarray(pk._tables[slot], np.int32)
+            pk.k_pool, pk.v_pool = write_prefill_to_pool(
+                pk.k_pool, pk.v_pool, one.self_k, one.self_v, table, P)
+            pk._lengths[slot] = P
+            self._cache = KVCache(
+                self._cache.self_k, self._cache.self_v,
+                self._cache.cross_k.at[:, slot].set(one.cross_k[:, 0]),
+                self._cache.cross_v.at[:, slot].set(one.cross_v[:, 0]))
+        elif getattr(self, "_qf", None):
+            from ..ops.decode_attention import quantize_rows
+            c = self._cache
+            T0 = one.self_k.shape[2]
+            S0 = one.cross_k.shape[2]
+            if self._qf == "int8":
+                sk, sks = quantize_rows(one.self_k)
+                sv, svs = quantize_rows(one.self_v)
+                ck, cks = quantize_rows(one.cross_k)
+                cv, cvs = quantize_rows(one.cross_v)
+                c = c._replace(
+                    self_ks=c.self_ks.at[:, slot, :T0].set(sks[:, 0]),
+                    self_vs=c.self_vs.at[:, slot, :T0].set(svs[:, 0]),
+                    cross_ks=c.cross_ks.at[:, slot, :S0].set(cks[:, 0]),
+                    cross_vs=c.cross_vs.at[:, slot, :S0].set(cvs[:, 0]))
+            else:
+                sk, sv = one.self_k, one.self_v
+                ck, cv = one.cross_k, one.cross_v
+            self._cache = c._replace(
+                self_kq=c.self_kq.at[:, slot, :T0].set(sk[:, 0]),
+                self_vq=c.self_vq.at[:, slot, :T0].set(sv[:, 0]),
+                cross_kq=c.cross_kq.at[:, slot, :S0].set(ck[:, 0]),
+                cross_vq=c.cross_vq.at[:, slot, :S0].set(cv[:, 0]))
+        else:
+            if self.mesh is not None:
+                one = KVCache(*[jax.device_put(c, self._rep)
+                                for c in one])
+            self._cache = KVCache(
+                self._cache.self_k.at[:, slot].set(one.self_k[:, 0]),
+                self._cache.self_v.at[:, slot].set(one.self_v[:, 0]),
+                self._cache.cross_k.at[:, slot].set(one.cross_k[:, 0]),
+                self._cache.cross_v.at[:, slot].set(one.cross_v[:, 0]))
+        self._tokens[slot] = self.engine.specials.eot
+        self._tokens[slot, :P] = req.prompt
+        self._tokens[slot, P] = first
+        self._pos[slot] = P
+        self._active[slot] = True
+        self._req[slot] = req
+        self._decode_start[slot] = time.time()
+        if first == self.engine.specials.eot:
+            self._finish(slot)
 
     def _finish(self, slot: int) -> None:
         req = self._req[slot]

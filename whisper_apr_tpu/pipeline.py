@@ -84,3 +84,53 @@ def pad_audio_batch(audios, n_samples: int) -> np.ndarray:
         n = min(len(a), n_samples)
         out[i, :n] = a[:n]
     return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "compute_dtype", "fidelity", "use_flash"))
+def fused_admit_step(params: dict, audio: jnp.ndarray, window: jnp.ndarray,
+                     basis: jnp.ndarray, filters_t: jnp.ndarray,
+                     prompt: jnp.ndarray, suppress_bias: jnp.ndarray,
+                     config: ModelConfig,
+                     compute_dtype: jnp.dtype = jnp.float32,
+                     fidelity: bool = False,
+                     use_flash: bool = False):
+    """Batched serving ADMISSION in one XLA program: log-mel (vmapped) ->
+    encoder -> cross-K/V precompute -> prompt prefill -> suppressed
+    first-token argmax.
+
+    The reference admits browser sessions one postMessage at a time
+    (src/wasm/worker.rs:38); on a remotely-attached TPU each staged
+    admission costs ~3 dispatched executables per request, so a burst of
+    N requests pays ~3N round-trips. This fuses the whole admission of a
+    request batch into ONE dispatch.
+
+    audio: [n, n_samples] pre-padded; prompt: [n, P] (equal lengths).
+    Returns (first_token [n] int32, KVCache with self K/V [L, n, P, D]
+    holding exactly the prompt rows and cross K/V [L, n, S, D]).
+    """
+    from .model.decoder import init_cache, prefill
+
+    precision = _HIGHEST if fidelity else None
+    n_frames_target = 2 * config.n_audio_ctx
+
+    def one_mel(a):
+        return log_mel_body(a, window, basis, filters_t, N_FFT, HOP_LENGTH)
+
+    mel = jax.vmap(one_mel)(audio)  # [n, n_frames, n_mels]
+    pad = n_frames_target - mel.shape[1]
+    if pad > 0:
+        mel = jnp.concatenate(
+            [mel, jnp.full((mel.shape[0], pad, mel.shape[2]), -1.0,
+                           mel.dtype)], axis=1)
+    mel = mel[:, :n_frames_target]
+
+    enc = encode(params, mel, config, compute_dtype, precision,
+                 use_flash=use_flash)
+    cache = init_cache(params, enc, config, max_len=prompt.shape[1],
+                       precision=precision, compute_dtype=compute_dtype)
+    logits, cache = prefill(params, prompt, enc, cache, config,
+                            compute_dtype=compute_dtype, precision=precision)
+    first = jnp.argmax(logits + suppress_bias[None, :], axis=-1)
+    return first.astype(jnp.int32), cache

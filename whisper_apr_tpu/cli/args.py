@@ -176,6 +176,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--single-thread", action="store_true",
                    help="serial server pumping the device loop inline "
                         "(required on remotely-tunneled TPUs)")
+    p.add_argument("--staged-admission", action="store_true",
+                   help="admit requests one slot at a time (default: "
+                        "bursts admit through one fused batched program)")
 
     # tui dashboard (reference: src/tui/)
     p = sub.add_parser("tui", help="terminal transcription dashboard")

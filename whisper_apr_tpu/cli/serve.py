@@ -158,9 +158,10 @@ class TranscribeServer:
 def run_serve(args) -> int:
     from .commands import _load_engine
     engine = _load_engine(args)
-    server = TranscribeServer(engine, host=args.host, port=args.port,
-                              n_slots=args.slots,
-                              single_thread=args.single_thread)
+    server = TranscribeServer(
+        engine, host=args.host, port=args.port, n_slots=args.slots,
+        single_thread=args.single_thread,
+        batched_admission=not getattr(args, "staged_admission", False))
     try:
         server.serve_forever()
     except KeyboardInterrupt:

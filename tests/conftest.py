@@ -59,3 +59,18 @@ def golden_mel(golden_dir):
     """Expected 148x80 log-mel for the 1.5 s clip (reference: test_data/ref_c_mel_numpy.bin)."""
     mel = np.fromfile(os.path.join(golden_dir, "ref_c_mel_numpy.bin"), dtype=np.float32)
     return mel.reshape(148, 80)
+
+
+# -- compiled-program pressure relief ----------------------------------------
+# The full single-process suite compiles 500+ XLA CPU programs; past ~500
+# the CPU client segfaults inside backend_compile_and_load (LLVM JIT state,
+# reproducible at the same test index, gone when the suite is split).
+# Periodically dropping JAX's executable caches bounds the accumulation;
+# affected fixtures simply recompile.
+_teardown_count = {"n": 0}
+
+
+def pytest_runtest_teardown(item, nextitem):
+    _teardown_count["n"] += 1
+    if _teardown_count["n"] % 100 == 0:
+        jax.clear_caches()

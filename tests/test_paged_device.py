@@ -131,15 +131,18 @@ class TestPagedScheduler:
         paged_decode.INTERPRET = True
         try:
             results = {}
-            for mode in ("dense", "paged"):
-                sched = BatchScheduler(eng, n_slots=2, max_len=32,
-                                       paged=(mode == "paged"))
+            for mode in ("dense", "paged", "paged-staged"):
+                sched = BatchScheduler(
+                    eng, n_slots=2, max_len=32,
+                    paged=mode.startswith("paged"),
+                    batched_admission=(mode != "paged-staged"))
                 ids = [sched.submit(a, max_tokens=8) for a in audios]
                 sched.run_until_drained(max_steps=500)
                 results[mode] = [sched.result(i).tokens for i in ids]
         finally:
             paged_decode.INTERPRET = False
         assert results["dense"] == results["paged"]
+        assert results["paged"] == results["paged-staged"]
 
     def test_pool_pages_are_recycled(self, cfg, setup):
         params, _ = setup

@@ -145,6 +145,21 @@ def paged_decode_steps_jit(params: dict, token: jnp.ndarray,
     return jnp.transpose(toks, (1, 0)), k_pool, v_pool
 
 
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def write_prefills_to_pool(k_pool: jnp.ndarray, v_pool: jnp.ndarray,
+                           self_k: jnp.ndarray, self_v: jnp.ndarray,
+                           pages: jnp.ndarray, offs: jnp.ndarray
+                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Scatter a BATCH of prefilled K/V into their pages in one donated
+    program (batched serving admission). self_k/v: [L, n, P, D];
+    pages/offs: [n, P] int32 (page id and in-page offset per position).
+    Duplicate (page, off) targets across rows must carry identical values
+    (the admission pad convention)."""
+    k_pool = k_pool.at[:, pages, offs].set(self_k.astype(k_pool.dtype))
+    v_pool = v_pool.at[:, pages, offs].set(self_v.astype(v_pool.dtype))
+    return k_pool, v_pool
+
+
 def write_prefill_to_pool(k_pool: jnp.ndarray, v_pool: jnp.ndarray,
                           self_k: jnp.ndarray, self_v: jnp.ndarray,
                           table: np.ndarray, n_tokens: int

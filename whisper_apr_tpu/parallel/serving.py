@@ -76,6 +76,17 @@ def _scatter_qf_slots(cache, slots: jnp.ndarray, new: KVCache, int8: bool):
         cross_vq=cache.cross_vq.at[:, slots, :S].set(cv))
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _scatter_cross_slots(cache: KVCache, slots: jnp.ndarray,
+                         new: KVCache) -> KVCache:
+    """Cross-K/V-only slot scatter (paged serving: self K/V live in the
+    page pool, only the cross cache is dense per-slot)."""
+    return KVCache(
+        cache.self_k, cache.self_v,
+        cache.cross_k.at[:, slots].set(new.cross_k.astype(cache.cross_k.dtype)),
+        cache.cross_v.at[:, slots].set(new.cross_v.astype(cache.cross_v.dtype)))
+
+
 @dataclasses.dataclass
 class Request:
     """One transcription request submitted to the scheduler."""
@@ -130,9 +141,10 @@ class BatchScheduler:
         # plus one donated slot-scatter, instead of ~3 dispatches per
         # request. Buckets bound the number of compiled batch sizes; a
         # burst pads up to the next bucket using spare free slots as
-        # harmless write targets. Paged slots keep the staged path (their
-        # prefill writes route through the page pool per slot).
-        self.batched_admission = batched_admission and not paged
+        # harmless write targets (paged slots instead repeat the last real
+        # slot — identical values, idempotent writes). Paged self K/V
+        # route into the page pool via one batched scatter.
+        self.batched_admission = batched_admission
         if admit_buckets is None:
             admit_buckets = sorted({1, n_slots} | {
                 b for b in (2, 4, 8, 16) if b < n_slots})
@@ -295,11 +307,14 @@ class BatchScheduler:
         n = len(reqs)
         b = n
         for cand in self.admit_buckets:
-            if cand >= n and (cand - n) <= len(spare):
+            if cand >= n and (self.paged or (cand - n) <= len(spare)):
                 b = cand
                 break
         pad = b - n
-        targets = slots + spare[:pad]
+        # paged pads repeat the last real slot (idempotent duplicate
+        # writes of identical values — spare slots own no pages)
+        targets = (slots + [slots[-1]] * pad if self.paged
+                   else slots + spare[:pad])
         eng = self.engine
         n_samples = 2 * self.config.n_audio_ctx * 160
         audio = pad_audio_batch(
@@ -316,7 +331,24 @@ class BatchScheduler:
         if self.mesh is not None:
             new = KVCache(*[jax.device_put(c, self._rep) for c in new])
             slots_arr = jax.device_put(slots_arr, self._rep)
-        if getattr(self, "_qf", None):
+        if self.paged:
+            from ..model.paged_decode import write_prefills_to_pool
+            pk = self._paged_kv
+            Pn = prompt.shape[1]
+            for slot in slots:
+                pk.free(slot)  # clear any previous occupant
+                pk.alloc(slot, Pn + 1)  # prompt + first generated token
+                pk._lengths[slot] = Pn
+            positions = np.arange(Pn)
+            pages = np.stack([
+                np.asarray(pk._tables[s], np.int32)[positions // PAGE_SIZE]
+                for s in targets])  # [b, Pn]
+            offs = np.broadcast_to(positions % PAGE_SIZE, (b, Pn))
+            pk.k_pool, pk.v_pool = write_prefills_to_pool(
+                pk.k_pool, pk.v_pool, new.self_k, new.self_v,
+                jnp.asarray(pages), jnp.asarray(offs, jnp.int32))
+            self._cache = _scatter_cross_slots(self._cache, slots_arr, new)
+        elif getattr(self, "_qf", None):
             self._cache = _scatter_qf_slots(self._cache, slots_arr, new,
                                             int8=self._qf == "int8")
         else:
@@ -337,8 +369,8 @@ class BatchScheduler:
                 self._finish(slot)
 
     def _admit_one(self, slot: int, req: Request) -> None:
-        """Staged per-slot admission (paged slots, or batched_admission
-        off): mel -> encode -> prefill as separate dispatches."""
+        """Staged per-slot admission (batched_admission off): mel ->
+        encode -> prefill as separate dispatches."""
         mel = self.engine.compute_mel(req.audio)
         enc = self.engine.encode(mel)  # [1, S, D]
         # per-slot cross K/V + prompt prefill into the shared cache

@@ -72,6 +72,83 @@ class TestTranscribeServer:
             server.shutdown()
             t.join(timeout=10)
 
+    def test_async_jobs_cancel_and_metrics(self, engine):
+        """Async submit -> poll /v1/jobs; POST /v1/cancel aborts (Worker
+        Abort parity, reference src/wasm/worker.rs:38); GET /metrics
+        emits Prometheus text from scheduler.stats()."""
+        from whisper_apr_tpu.cli.serve import TranscribeServer
+
+        port = 18732
+        server = TranscribeServer(engine, port=port, n_slots=1)
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        base = f"http://127.0.0.1:{port}"
+        try:
+            for _ in range(100):
+                try:
+                    urllib.request.urlopen(f"{base}/healthz", timeout=2)
+                    break
+                except OSError:
+                    time.sleep(0.1)
+            else:
+                pytest.fail("server did not come up")
+
+            rng = np.random.default_rng(2)
+            audio = rng.normal(0, 0.1, 3200).astype("<f4")
+
+            def submit_async(max_tokens):
+                req = urllib.request.Request(
+                    f"{base}/v1/transcribe?language=en"
+                    f"&max_tokens={max_tokens}&async=1",
+                    data=audio.tobytes(),
+                    headers={"X-Sample-Format": "f32le"})
+                with urllib.request.urlopen(req, timeout=30) as r:
+                    assert r.status == 202
+                    return json.loads(r.read())["id"]
+
+            # async job completes and is pollable
+            rid = submit_async(4)
+            deadline = time.time() + 120
+            out = {"status": "pending"}
+            while out.get("status") == "pending" and time.time() < deadline:
+                with urllib.request.urlopen(f"{base}/v1/jobs/{rid}",
+                                            timeout=10) as r:
+                    out = json.loads(r.read())
+                time.sleep(0.05)
+            assert out["status"] == "ok" and "tokens" in out
+
+            # a queued job behind a long one can be cancelled
+            r_long = submit_async(24)
+            r_cancel = submit_async(24)
+            creq = urllib.request.Request(
+                f"{base}/v1/cancel?id={r_cancel}", data=b"")
+            with urllib.request.urlopen(creq, timeout=10) as r:
+                assert json.loads(r.read())["cancelled"] is True
+            deadline = time.time() + 120
+            out = {"status": "pending"}
+            while out.get("status") == "pending" and time.time() < deadline:
+                with urllib.request.urlopen(f"{base}/v1/jobs/{r_cancel}",
+                                            timeout=10) as r:
+                    out = json.loads(r.read())
+                time.sleep(0.05)
+            assert out["status"] == "cancelled"
+
+            # unknown job id -> 404
+            try:
+                urllib.request.urlopen(f"{base}/v1/jobs/99999", timeout=10)
+                pytest.fail("expected 404")
+            except urllib.error.HTTPError as e:
+                assert e.code == 404
+
+            with urllib.request.urlopen(f"{base}/metrics", timeout=10) as r:
+                text = r.read().decode()
+            assert "whisper_apr_completed_ok" in text
+            assert "# TYPE whisper_apr_queue_depth gauge" in text
+            assert "whisper_apr_cancelled 1" in text
+        finally:
+            server.shutdown()
+            t.join(timeout=10)
+
 
 class TestBenchmarkReport:
     def test_emitters_and_breakdown(self):

@@ -289,6 +289,39 @@ class TestFusedDecode:
             tok = jnp.argmax(la, -1).astype(jnp.int32)
             pos_v = pos_v + 1
 
+    def test_deferred_kv_writes_bit_identical(self, cfg, qsetup):
+        """DEFER_KV_WRITES batches the per-layer row writes into one
+        scatter per cache after the layer loop; logits AND caches must be
+        bit-identical to the interleaved-write path (same kernel outputs,
+        only the write schedule moves). Covers scalar-pos bf16 and
+        multi-pos int8 (scales included)."""
+        for kv_int8, multi in ((False, False), (True, True)):
+            params, qd, cache = self._prefilled(cfg, qsetup)
+            qc = qdecode.quantize_cache(cache, kv_int8=kv_int8)
+            tok = jnp.asarray(np.array([7, 11], np.int32))
+            pos = (jnp.asarray(np.array([2, 3], np.int32)) if multi
+                   else jnp.int32(2))
+            # deferred path reads the pre-step cache; run it first, then
+            # the interleaved path on an identical copy
+            assert qdecode.DEFER_KV_WRITES is False
+            la, qa = qdecode.decode_step_qf(
+                params, qd, tok, pos, qc, cfg,
+                compute_dtype=jnp.float32, interpret=True)
+            qdecode.DEFER_KV_WRITES = True
+            try:
+                lb, qb = qdecode.decode_step_qf(
+                    params, qd, tok, pos, qc, cfg,
+                    compute_dtype=jnp.float32, interpret=True)
+            finally:
+                qdecode.DEFER_KV_WRITES = False
+            np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+            for fa, fb in zip(qa, qb):
+                if fa is None:
+                    assert fb is None
+                    continue
+                np.testing.assert_array_equal(np.asarray(fa),
+                                              np.asarray(fb))
+
     def test_fp8_kv_mode(self, cfg, qsetup):
         """kv_mode="fp8": float8_e4m3fn caches, no scales, same tokens.
 

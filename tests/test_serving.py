@@ -234,6 +234,81 @@ class TestBatchScheduler:
             assert comp.tokens == exp.tokens
 
 
+class TestCancelAndDeadlines:
+    """Abort + deadline semantics (reference parity: the Worker protocol's
+    Abort message, src/wasm/worker.rs:38) and the stats() surface."""
+
+    def _audio(self, seed=5, n=4000):
+        return np.random.default_rng(seed).normal(0, 0.1, n).astype(np.float32)
+
+    def test_cancel_queued_never_decodes(self, engine):
+        sched = BatchScheduler(engine, n_slots=1)
+        r0 = sched.submit(self._audio(0), "en", max_tokens=6)
+        r1 = sched.submit(self._audio(1), "en", max_tokens=6)
+        assert sched.cancel(r1) is True
+        sched.run_until_drained()
+        c0, c1 = sched.result(r0), sched.result(r1)
+        assert c0.status == "ok" and len(c0.tokens) > 0
+        assert c1.status == "cancelled" and c1.tokens == []
+        assert c1.decode_seconds == 0.0
+        # cancel of a completed request is a no-op
+        assert sched.cancel(r0) is False
+
+    def test_cancel_inflight_returns_partial(self, engine):
+        sched = BatchScheduler(engine, n_slots=1)
+        rid = sched.submit(self._audio(2), "en", max_tokens=20)
+        sched.step()  # admit + first decode step
+        assert sched._active.any()
+        assert sched.cancel(rid) is True
+        sched.step()  # sweep honors the abort before decoding further
+        comp = sched.result(rid)
+        assert comp is not None and comp.status == "cancelled"
+        # partial result: prompt + at least the first generated token
+        assert len(comp.tokens) > comp.prompt_len
+        assert not sched._active.any()
+
+    def test_timeout_queued(self, engine):
+        sched = BatchScheduler(engine, n_slots=1)
+        rid = sched.submit(self._audio(3), "en", max_tokens=6,
+                           timeout_s=-0.001)  # already expired
+        sched.run_until_drained()
+        comp = sched.result(rid)
+        assert comp.status == "timeout" and comp.tokens == []
+
+    def test_timeout_inflight(self, engine):
+        import time as _t
+        sched = BatchScheduler(engine, n_slots=1)
+        rid = sched.submit(self._audio(4), "en", max_tokens=448,
+                           timeout_s=0.2)
+        sched.step()
+        if sched._active.any():  # not finished by EOT already
+            _t.sleep(0.25)
+            sched.step()
+            comp = sched.result(rid)
+            assert comp is not None and comp.status == "timeout"
+            assert len(comp.tokens) > comp.prompt_len  # partial kept
+
+    def test_stats_counters(self, engine):
+        sched = BatchScheduler(engine, n_slots=2)
+        r0 = sched.submit(self._audio(6), "en", max_tokens=5)
+        r1 = sched.submit(self._audio(7), "en", max_tokens=5)
+        r2 = sched.submit(self._audio(8), "en", max_tokens=5)
+        sched.cancel(r2)
+        sched.run_until_drained()
+        s = sched.stats()
+        assert s["completed_ok"] == 2
+        assert s["cancelled"] == 1
+        assert s["completed_total"] == 3
+        assert s["admitted"] == 2
+        assert s["active_slots"] == 0 and s["queue_depth"] == 0
+        gen = sum(len(sched.result(r).tokens) - sched.result(r).prompt_len
+                  for r in (r0, r1))
+        assert s["tokens_generated"] == gen
+        assert s["ticks"] >= 1
+        assert s["decode_seconds_sum"] > 0
+        assert s["tokens_per_decode_second"] > 0
+
+
 class TestSlidingKVCache:
     def test_matches_full_within_window(self, setup, cfg, engine):
         """Until the window wraps, sliding == full cache."""

@@ -131,6 +131,10 @@ def large_measure(lo, hi, which=("ql_alias",)):
         alias = name == "ql_alias"
         step_fn = (qdecode.decode_step_ql if name.startswith("ql")
                    else qdecode.decode_step_qf)
+        # "qf_defer": one batched KV scatter after the layer loop instead
+        # of 2L mid-loop row writes (qdecode.DEFER_KV_WRITES — trace-time
+        # flag, so it must be set across compile)
+        qdecode.DEFER_KV_WRITES = name == "qf_defer"
 
         def body(i, env, carry, _alias=alias, _fn=step_fn):
             prm, q_d, const = env
@@ -143,7 +147,10 @@ def large_measure(lo, hi, which=("ql_alias",)):
             return (jnp.argmax(logits, -1).astype(jnp.int32), c)
 
         t0 = time.time()
-        s = p.per_step(body, (params, qd, 0), (tok0, qc))
+        try:
+            s = p.per_step(body, (params, qd, 0), (tok0, qc))
+        finally:
+            qdecode.DEFER_KV_WRITES = False
         print(f"{name:<12}: {s*1e3:8.4f} ms/step  "
               f"(compile+measure {time.time()-t0:.0f}s)", flush=True)
         results[name] = s

@@ -23,11 +23,17 @@ python -u tools/probe_layer_kernel.py --q5k --lo 16 --hi 144 2>&1 | tee -a $log
 echo "--- q6k step + matvec ---" | tee -a $log
 python -u tools/probe_layer_kernel.py --q6k --lo 16 --hi 144 2>&1 | tee -a $log
 
+echo "--- deferred KV writes vs interleaved (B=1 qf; baseline 1.836 ms) ---" | tee -a $log
+python -u tools/probe_layer_kernel.py --large --which qf,qf_defer --lo 16 --hi 144 2>&1 | tee -a $log
+
 echo "--- encoder remeasure int8/noflash only (GEMM stem; baseline 18.9 ms) ---" | tee -a $log
 QUANT=int8 FLASH=0 SKIP_MEL=1 STAGES=1 python -u tools/profile_encoder.py large-v3 2 10 2>&1 | tee -a $log
 
 echo "--- serving admission: staged vs fused batched ---" | tee -a $log
 python -u tools/bench_admission.py large-v3 8 3 2>&1 | tee -a $log
+
+echo "--- batched pipeline scale: B=16 and B=32 (B=8 baseline in LINEUP) ---" | tee -a $log
+python -u tools/bench_batch.py large-v3 16 32 2>&1 | tee -a $log
 
 echo "--- lineup regeneration ---" | tee -a $log
 python -u tools/bench_lineup.py --emit json > /root/repo/LINEUP_r03.json 2>>$log && tail -1 /root/repo/LINEUP_r03.json | head -c 400 | tee -a $log

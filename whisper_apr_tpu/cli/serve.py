@@ -11,7 +11,15 @@ API:
   POST /v1/transcribe   body: WAV bytes (or raw f32 PCM with
                         X-Sample-Format: f32le + X-Sample-Rate header)
                         query: ?language=en&task=transcribe&max_tokens=224
-                        -> {"text": ..., "tokens": [...], "queue_ms": ...}
+                               &timeout_s=30 (deadline -> status "timeout")
+                               &async=1 (return {"id": N} immediately)
+                        -> {"text": ..., "tokens": [...], "queue_ms": ...,
+                            "status": "ok"|"cancelled"|"timeout"}
+  GET  /v1/jobs/<id>    poll an async job -> result, or {"status":"pending"}
+  POST /v1/cancel?id=N  abort a queued/in-flight request (Worker-protocol
+                        Abort parity, reference: src/wasm/worker.rs:38)
+  GET  /metrics         Prometheus text: slots, queue depth, completions,
+                        tokens/sec (scheduler.stats(); SURVEY §5.5)
   GET  /healthz         -> {"status": "ok", "pending": N}
 """
 
@@ -73,15 +81,68 @@ class TranscribeServer:
                 self.end_headers()
                 self.wfile.write(data)
 
+            def _completion_payload(self, comp) -> dict:
+                text = (server.scheduler.decode_text(comp)
+                        if comp.tokens else "")
+                return {
+                    "text": text,
+                    "tokens": comp.tokens,
+                    "queue_ms": round(comp.queue_seconds * 1e3, 1),
+                    "decode_ms": round(comp.decode_seconds * 1e3, 1),
+                    "status": comp.status,
+                }
+
             def do_GET(self):
                 if self.path.startswith("/healthz"):
                     self._json(200, {"status": "ok",
                                      "pending": server.scheduler.pending()})
+                elif self.path.startswith("/metrics"):
+                    stats = server.scheduler.stats()
+                    lines = []
+                    for key, val in sorted(stats.items()):
+                        name = f"whisper_apr_{key}"
+                        kind = ("gauge" if key in (
+                            "queue_depth", "active_slots", "n_slots",
+                            "tokens_per_decode_second") else "counter")
+                        lines.append(f"# TYPE {name} {kind}")
+                        lines.append(f"{name} {val}")
+                    data = ("\n".join(lines) + "\n").encode("utf-8")
+                    self.send_response(200)
+                    self.send_header("Content-Type",
+                                     "text/plain; version=0.0.4")
+                    self.send_header("Content-Length", str(len(data)))
+                    self.end_headers()
+                    self.wfile.write(data)
+                elif self.path.startswith("/v1/jobs/"):
+                    try:
+                        rid = int(self.path.rsplit("/", 1)[1])
+                    except ValueError:
+                        self._json(400, {"error": "bad job id"})
+                        return
+                    if server.single_thread:
+                        server.scheduler.step()
+                    comp = server.scheduler.result(rid)
+                    if comp is not None:
+                        self._json(200, self._completion_payload(comp))
+                    elif rid < server.scheduler._next_id:
+                        self._json(200, {"status": "pending"})
+                    else:
+                        self._json(404, {"error": "unknown job"})
                 else:
                     self._json(404, {"error": "not found"})
 
             def do_POST(self):
                 parsed = urllib.parse.urlparse(self.path)
+                q = urllib.parse.parse_qs(parsed.query)
+                if parsed.path == "/v1/cancel":
+                    try:
+                        rid = int(q.get("id", [""])[0])
+                    except ValueError:
+                        self._json(400, {"error": "bad or missing id"})
+                        return
+                    ok = server.scheduler.cancel(rid)
+                    self._json(200, {"id": rid, "cancelled": ok})
+                    return
                 if parsed.path != "/v1/transcribe":
                     self._json(404, {"error": "not found"})
                     return
@@ -89,11 +150,16 @@ class TranscribeServer:
                     length = int(self.headers.get("Content-Length", 0))
                     body = self.rfile.read(length)
                     audio = _decode_body(self, body)
-                    q = urllib.parse.parse_qs(parsed.query)
                     lang = q.get("language", ["en"])[0]
                     task = q.get("task", ["transcribe"])[0]
                     max_tokens = int(q.get("max_tokens", ["224"])[0])
-                    rid = server.scheduler.submit(audio, lang, task, max_tokens)
+                    timeout_s = q.get("timeout_s", [None])[0]
+                    timeout_s = float(timeout_s) if timeout_s else None
+                    rid = server.scheduler.submit(
+                        audio, lang, task, max_tokens, timeout_s=timeout_s)
+                    if q.get("async", ["0"])[0] in ("1", "true"):
+                        self._json(202, {"id": rid, "status": "pending"})
+                        return
                     deadline = time.time() + 300
                     while time.time() < deadline:
                         if server.single_thread:
@@ -103,15 +169,7 @@ class TranscribeServer:
                             server.scheduler.step()
                         comp = server.scheduler.result(rid)
                         if comp is not None:
-                            prompt_len = len(
-                                server.engine.get_initial_tokens(lang, task))
-                            text = server.scheduler.decode_text(comp, prompt_len)
-                            self._json(200, {
-                                "text": text,
-                                "tokens": comp.tokens,
-                                "queue_ms": round(comp.queue_seconds * 1e3, 1),
-                                "decode_ms": round(comp.decode_seconds * 1e3, 1),
-                            })
+                            self._json(200, self._completion_payload(comp))
                             return
                         time.sleep(0.005)
                     self._json(504, {"error": "decode timeout"})

@@ -645,6 +645,13 @@ SELF_TILE_T = 128        # kernel block (divides SELF_BLOCK_T)
 CROSS_TILE_T = 256       # kernel block (divides CROSS_BLOCK_T)
 # batched-kernel tile override for tuning sweeps (None = 64*8/B heuristic)
 BATCHED_TILE_T = None
+# Defer per-layer KV-row writes: collect the new rows in small [L, B, D]
+# carries and scatter each cache ONCE after the layer loop (2L-4L mid-loop
+# dynamic_update_slices on the multi-GB stacks -> 2-4 total). Safe because
+# the block kernels never read the current row (it is computed in-kernel;
+# rows < pos are the history). Candidate for the 0.41 ms/step XLA-glue gap
+# (BENCH_NOTES round-2b); measured via probe_layer_kernel --defer.
+DEFER_KV_WRITES = False
 
 
 def _pad_t(a: jnp.ndarray, block: int) -> jnp.ndarray:
@@ -770,26 +777,75 @@ def decode_step_qf(params: dict, qd: dict, token: jnp.ndarray,
         _self, _cross, _ffn = (self_block_batched, cross_block_batched,
                                ffn_block_batched)
 
-    def body(l, carry):
-        x, skq, sks, svq, svs = carry
-        x, k8, ksc, v8, vsc = _self(
-            x, blk, skq, sks, svq, svs, pos, l, n_heads,
-            block_t=self_bt, interpret=interpret)
-        skq = row_write(skq, k8, l)
-        svq = row_write(svq, v8, l)
-        if kv_int8:
-            sks = scale_write(sks, ksc, l)
-            svs = scale_write(svs, vsc, l)
-        x = _cross(
-            x, blk, qcache.cross_kq, qcache.cross_ks, qcache.cross_vq,
-            qcache.cross_vs, enc_len, l, n_heads,
-            block_t=cross_bt, interpret=interpret)
-        x = _ffn(x, blk, l, block_h=block_h, interpret=interpret)
-        return (x, skq, sks, svq, svs)
+    if DEFER_KV_WRITES:
+        # kernels only read rows < pos, so the new rows can accumulate in
+        # small [L, B, D] carries and land in ONE scatter per cache below
+        def body(l, carry):
+            x, krows, ksc_all, vrows, vsc_all = carry
+            x, k8, ksc, v8, vsc = _self(
+                x, blk, qcache.self_kq, qcache.self_ks, qcache.self_vq,
+                qcache.self_vs, pos, l, n_heads,
+                block_t=self_bt, interpret=interpret)
+            krows = jax.lax.dynamic_update_slice(krows, k8[None], (l, 0, 0))
+            vrows = jax.lax.dynamic_update_slice(vrows, v8[None], (l, 0, 0))
+            if kv_int8:
+                ksc_all = jax.lax.dynamic_update_slice(
+                    ksc_all, ksc[None], (l, 0))
+                vsc_all = jax.lax.dynamic_update_slice(
+                    vsc_all, vsc[None], (l, 0))
+            x = _cross(
+                x, blk, qcache.cross_kq, qcache.cross_ks, qcache.cross_vq,
+                qcache.cross_vs, enc_len, l, n_heads,
+                block_t=cross_bt, interpret=interpret)
+            x = _ffn(x, blk, l, block_h=block_h, interpret=interpret)
+            return (x, krows, ksc_all, vrows, vsc_all)
 
-    x, skq, sks, svq, svs = jax.lax.fori_loop(
-        0, L, body,
-        (x, qcache.self_kq, qcache.self_ks, qcache.self_vq, qcache.self_vs))
+        row_dtype = qcache.self_kq.dtype
+        zr = jnp.zeros((L, B, qcache.self_kq.shape[-1]), row_dtype)
+        zs = jnp.zeros((L, B), jnp.float32)
+        x, krows, ksc_all, vrows, vsc_all = jax.lax.fori_loop(
+            0, L, body, (x, zr, zs, zr, zs))
+
+        def rows_write(stack, rows):
+            if multi_pos:
+                return stack.at[:, jnp.arange(B), pos].set(rows)
+            return jax.lax.dynamic_update_slice(
+                stack, rows[:, :, None, :], (0, 0, pos, 0))
+
+        def scales_write(scales, s):
+            if multi_pos:
+                return scales.at[:, jnp.arange(B), pos, 0].set(s)
+            return jax.lax.dynamic_update_slice(
+                scales, s[:, :, None, None], (0, 0, pos, 0))
+
+        skq = rows_write(qcache.self_kq, krows)
+        svq = rows_write(qcache.self_vq, vrows)
+        sks, svs = qcache.self_ks, qcache.self_vs
+        if kv_int8:
+            sks = scales_write(sks, ksc_all)
+            svs = scales_write(svs, vsc_all)
+    else:
+        def body(l, carry):
+            x, skq, sks, svq, svs = carry
+            x, k8, ksc, v8, vsc = _self(
+                x, blk, skq, sks, svq, svs, pos, l, n_heads,
+                block_t=self_bt, interpret=interpret)
+            skq = row_write(skq, k8, l)
+            svq = row_write(svq, v8, l)
+            if kv_int8:
+                sks = scale_write(sks, ksc, l)
+                svs = scale_write(svs, vsc, l)
+            x = _cross(
+                x, blk, qcache.cross_kq, qcache.cross_ks, qcache.cross_vq,
+                qcache.cross_vs, enc_len, l, n_heads,
+                block_t=cross_bt, interpret=interpret)
+            x = _ffn(x, blk, l, block_h=block_h, interpret=interpret)
+            return (x, skq, sks, svq, svs)
+
+        x, skq, sks, svq, svs = jax.lax.fori_loop(
+            0, L, body,
+            (x, qcache.self_kq, qcache.self_ks, qcache.self_vq,
+             qcache.self_vs))
     x = layer_norm(x, dec["ln_post"]["w"], dec["ln_post"]["b"])
 
     xs = (x.astype(jnp.float32) * qd["vocab_k_scale"]).astype(x.dtype)

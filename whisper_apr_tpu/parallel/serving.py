@@ -96,6 +96,7 @@ class Request:
     prompt: List[int]
     max_tokens: int = 224
     submitted_at: float = dataclasses.field(default_factory=time.time)
+    deadline: Optional[float] = None  # absolute wall clock; None = no limit
 
 
 @dataclasses.dataclass
@@ -104,6 +105,10 @@ class Completion:
     tokens: List[int]
     queue_seconds: float
     decode_seconds: float
+    # "ok" | "cancelled" | "timeout" — cancelled/timed-out requests still
+    # carry whatever tokens were decoded before the stop (partial result)
+    status: str = "ok"
+    prompt_len: int = 0  # tokens[:prompt_len] is the forced prompt
 
 
 class BatchScheduler:
@@ -163,6 +168,14 @@ class BatchScheduler:
         self._lock = threading.Lock()
         self._thread: Optional[threading.Thread] = None
         self._running = False
+        # ids cancelled via cancel(); honored at the next tick (all slot
+        # mutation stays on the scheduler thread). Reference parity: the
+        # Worker protocol's Abort message (src/wasm/worker.rs:38).
+        self._cancelled: set = set()
+        self._counters = {
+            "completed_ok": 0, "cancelled": 0, "timeout": 0,
+            "tokens_generated": 0, "queue_seconds_sum": 0.0,
+            "decode_seconds_sum": 0.0, "admitted": 0, "ticks": 0}
 
         # slot state (host mirrors; device arrays built lazily)
         D = self.config.n_text_state
@@ -251,21 +264,52 @@ class BatchScheduler:
     # -- public API -----------------------------------------------------------
     def submit(self, audio: np.ndarray, language: str = "en",
                task: str = "transcribe",
-               max_tokens: int = 224) -> int:
-        """Enqueue a request; returns its id."""
+               max_tokens: int = 224,
+               timeout_s: Optional[float] = None) -> int:
+        """Enqueue a request; returns its id. ``timeout_s`` sets a wall-clock
+        deadline — a request still queued/decoding past it completes with
+        status "timeout" and whatever tokens it has."""
         with self._lock:
             rid = self._next_id
             self._next_id += 1
         prompt = self.engine.get_initial_tokens(language, task)
+        deadline = None if timeout_s is None else time.time() + timeout_s
         self._queue.put(Request(rid, np.asarray(audio, np.float32),
-                                prompt, max_tokens))
+                                prompt, max_tokens, deadline=deadline))
         return rid
+
+    def cancel(self, request_id: int) -> bool:
+        """Abort a queued or in-flight request (reference parity: the Worker
+        protocol's Abort message, src/wasm/worker.rs:38). Honored at the next
+        scheduler tick; the completion carries status "cancelled" plus any
+        tokens decoded so far. Returns False if the request already
+        completed (nothing to cancel)."""
+        with self._lock:
+            if request_id in self._completions:
+                return False
+            self._cancelled.add(request_id)
+            return True
 
     def result(self, request_id: int) -> Optional[Completion]:
         return self._completions.get(request_id)
 
     def pending(self) -> int:
         return self._queue.qsize() + int(self._active.sum())
+
+    def stats(self) -> Dict[str, float]:
+        """Cumulative serving counters + instantaneous gauges (the
+        observability surface behind ``GET /metrics``; SURVEY §5.5)."""
+        with self._lock:
+            out = dict(self._counters)
+        out["queue_depth"] = self._queue.qsize()
+        out["active_slots"] = int(self._active.sum())
+        out["n_slots"] = self.n_slots
+        done = out["completed_ok"] + out["cancelled"] + out["timeout"]
+        out["completed_total"] = done
+        out["tokens_per_decode_second"] = (
+            out["tokens_generated"] / out["decode_seconds_sum"]
+            if out["decode_seconds_sum"] > 0 else 0.0)
+        return out
 
     # -- scheduling core --------------------------------------------------------
     def _fill_slots(self) -> None:
@@ -274,11 +318,20 @@ class BatchScheduler:
         if not free:
             return
         reqs: List[Request] = []
-        for _ in free:
+        now = time.time()
+        while len(reqs) < len(free):
             try:
-                reqs.append(self._queue.get_nowait())
+                req = self._queue.get_nowait()
             except queue.Empty:
                 break
+            # cancelled / deadline-expired while queued: complete without
+            # ever touching a slot
+            if req.request_id in self._cancelled:
+                self._complete_unadmitted(req, "cancelled", now)
+            elif req.deadline is not None and now > req.deadline:
+                self._complete_unadmitted(req, "timeout", now)
+            else:
+                reqs.append(req)
         if not reqs:
             return
         if not self.batched_admission:
@@ -356,6 +409,7 @@ class BatchScheduler:
         first = np.asarray(first)
         now = time.time()
         eot = eng.specials.eot
+        self._counters["admitted"] += len(reqs)
         for i, (req, slot) in enumerate(zip(reqs, slots)):
             P = len(req.prompt)
             self._tokens[slot] = eot
@@ -436,10 +490,24 @@ class BatchScheduler:
         self._active[slot] = True
         self._req[slot] = req
         self._decode_start[slot] = time.time()
+        self._counters["admitted"] += 1
         if first == self.engine.specials.eot:
             self._finish(slot)
 
-    def _finish(self, slot: int) -> None:
+    def _complete_unadmitted(self, req: Request, status: str,
+                             now: float) -> None:
+        """Finish a request that never reached a slot (cancelled/expired in
+        the queue): no tokens, queue time only."""
+        with self._lock:
+            self._completions[req.request_id] = Completion(
+                request_id=req.request_id, tokens=[],
+                queue_seconds=now - req.submitted_at,
+                decode_seconds=0.0, status=status)
+            self._cancelled.discard(req.request_id)
+            self._counters[status] += 1
+            self._counters["queue_seconds_sum"] += now - req.submitted_at
+
+    def _finish(self, slot: int, status: str = "ok") -> None:
         req = self._req[slot]
         if req is None:
             return
@@ -449,11 +517,20 @@ class BatchScheduler:
         end = self._pos[slot] + 1
         seq = toks[:end].tolist()
         now = time.time()
-        self._completions[req.request_id] = Completion(
-            request_id=req.request_id,
-            tokens=[int(t) for t in seq],
-            queue_seconds=self._decode_start[slot] - req.submitted_at,
-            decode_seconds=now - self._decode_start[slot])
+        queue_s = self._decode_start[slot] - req.submitted_at
+        decode_s = now - self._decode_start[slot]
+        with self._lock:
+            self._completions[req.request_id] = Completion(
+                request_id=req.request_id,
+                tokens=[int(t) for t in seq],
+                queue_seconds=queue_s,
+                decode_seconds=decode_s, status=status, prompt_len=P)
+            self._cancelled.discard(req.request_id)
+            c = self._counters
+            c["completed_ok" if status == "ok" else status] += 1
+            c["tokens_generated"] += max(0, int(end) - P)
+            c["queue_seconds_sum"] += queue_s
+            c["decode_seconds_sum"] += decode_s
         self._active[slot] = False
         self._req[slot] = None
         if self.paged:
@@ -463,9 +540,23 @@ class BatchScheduler:
         """One scheduler tick: admit, then advance every active slot by one
         token in a single fused device step. Returns number of active slots.
         """
+        # honor aborts/deadlines on in-flight slots before spending a
+        # device dispatch on them
+        if self._cancelled or any(
+                r is not None and r.deadline is not None for r in self._req):
+            now = time.time()
+            for slot in range(self.n_slots):
+                req = self._req[slot]
+                if req is None or not self._active[slot]:
+                    continue
+                if req.request_id in self._cancelled:
+                    self._finish(slot, status="cancelled")
+                elif req.deadline is not None and now > req.deadline:
+                    self._finish(slot, status="timeout")
         self._fill_slots()
         if not self._active.any():
             return 0
+        self._counters["ticks"] += 1
 
         token = jnp.asarray(self._tokens[np.arange(self.n_slots),
                                          self._pos])
@@ -568,6 +659,9 @@ class BatchScheduler:
             self._thread.join(timeout=5)
             self._thread = None
 
-    def decode_text(self, completion: Completion, prompt_len: int = 4) -> str:
+    def decode_text(self, completion: Completion,
+                    prompt_len: Optional[int] = None) -> str:
+        if prompt_len is None:
+            prompt_len = completion.prompt_len
         gen = completion.tokens[prompt_len:]
         return self.engine.tokenizer.decode_with_options(gen, skip_special=True)

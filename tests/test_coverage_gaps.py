@@ -149,6 +149,85 @@ class TestTranscribeServer:
             server.shutdown()
             t.join(timeout=10)
 
+    def test_streaming_session_over_http(self, engine):
+        """POST /v1/sessions -> push f32le audio chunks -> poll events ->
+        finalize (HTTP analog of the reference's WASM streaming-session
+        wrappers, src/wasm/mod.rs:1090-1560)."""
+        from whisper_apr_tpu.cli.serve import TranscribeServer
+
+        port = 18733
+        server = TranscribeServer(engine, port=port, n_slots=1)
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        base = f"http://127.0.0.1:{port}"
+        try:
+            for _ in range(100):
+                try:
+                    urllib.request.urlopen(f"{base}/healthz", timeout=2)
+                    break
+                except OSError:
+                    time.sleep(0.1)
+            else:
+                pytest.fail("server did not come up")
+
+            req = urllib.request.Request(
+                f"{base}/v1/sessions?language=en&rate=16000&latency=low",
+                data=b"")
+            with urllib.request.urlopen(req, timeout=30) as r:
+                assert r.status == 201
+                sid = json.loads(r.read())["session"]
+
+            # 1.5 s of speech-like audio in 250 ms chunks (low-latency
+            # preset chunks every 500 ms)
+            n = 4000
+            tgrid = np.arange(6 * n) / 16_000.0
+            rng = np.random.default_rng(0)
+            audio = (0.5 * np.sin(2 * np.pi * 220.0 * tgrid)
+                     + 0.1 * rng.normal(size=6 * n)).astype("<f4")
+            for i in range(6):
+                chunk = audio[i * n: (i + 1) * n]
+                areq = urllib.request.Request(
+                    f"{base}/v1/sessions/{sid}/audio",
+                    data=chunk.tobytes())
+                with urllib.request.urlopen(areq, timeout=30) as r:
+                    assert json.loads(r.read())["queued_samples"] == n
+
+            freq = urllib.request.Request(
+                f"{base}/v1/sessions/{sid}/finalize", data=b"")
+            with urllib.request.urlopen(freq, timeout=30) as r:
+                assert r.status == 202
+
+            deadline = time.time() + 120
+            final = None
+            nxt = 0
+            kinds = []
+            while final is None and time.time() < deadline:
+                with urllib.request.urlopen(
+                        f"{base}/v1/sessions/{sid}/events?since={nxt}",
+                        timeout=10) as r:
+                    out = json.loads(r.read())
+                kinds += [e["kind"] for e in out["events"]]
+                nxt = out["next"]
+                final = out["final"]
+                time.sleep(0.05)
+            assert final is not None
+            assert "final" in kinds and "error" not in kinds
+
+            dreq = urllib.request.Request(
+                f"{base}/v1/sessions/{sid}", method="DELETE")
+            with urllib.request.urlopen(dreq, timeout=10) as r:
+                assert json.loads(r.read())["deleted"] is True
+            # the session is gone now
+            try:
+                urllib.request.urlopen(
+                    f"{base}/v1/sessions/{sid}/events", timeout=10)
+                pytest.fail("expected 404")
+            except urllib.error.HTTPError as e:
+                assert e.code == 404
+        finally:
+            server.shutdown()
+            t.join(timeout=10)
+
 
 class TestBenchmarkReport:
     def test_emitters_and_breakdown(self):

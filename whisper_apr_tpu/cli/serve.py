@@ -21,11 +21,29 @@ API:
   GET  /metrics         Prometheus text: slots, queue depth, completions,
                         tokens/sec (scheduler.stats(); SURVEY §5.5)
   GET  /healthz         -> {"status": "ok", "pending": N}
+
+Streaming sessions (HTTP analog of the reference's WASM streaming-session
+wrappers, src/wasm/mod.rs:1090-1560, over engine.create_streaming_session):
+  POST   /v1/sessions                 ?language=en&rate=16000
+                                      &latency=standard|low|ultra
+                                      -> {"session": id}
+  POST   /v1/sessions/<id>/audio      body: raw f32le at the session rate;
+                                      -> {"queued_samples": n}
+  GET    /v1/sessions/<id>/events     ?since=N -> {"events": [...],
+                                      "next": N', "final": text|null}
+  POST   /v1/sessions/<id>/finalize   flush -> final event + "final" text
+  DELETE /v1/sessions/<id>            drop the session
+
+Audio is pumped into the session state machine (VAD, chunking, partials)
+on the DEVICE-LOOP thread between scheduler ticks, so session decodes
+never race batch decodes on the device.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import json
+import queue
 import threading
 import time
 import urllib.parse
@@ -37,6 +55,19 @@ import numpy as np
 from ..audio import SAMPLE_RATE, parse_wav
 from ..audio.resample import SincResampler
 from ..parallel.serving import BatchScheduler
+
+
+class _HttpSession:
+    """One HTTP streaming session: an inbox of raw audio chunks (filled by
+    handler threads) plus the events the device-loop pump emitted."""
+
+    def __init__(self, session) -> None:
+        self.session = session  # engine-level StreamingSession
+        self.inbox: "queue.Queue[np.ndarray]" = queue.Queue()
+        self.events: list = []  # [{"kind", "text", "time"}] append-only
+        self.final: Optional[str] = None
+        self.finalize_requested = False
+        self.last_touch = time.time()
 
 
 def _decode_body(handler: BaseHTTPRequestHandler, body: bytes) -> np.ndarray:
@@ -65,6 +96,77 @@ class TranscribeServer:
         self.single_thread = single_thread
         self._httpd = None
         self._stop = threading.Event()
+        # streaming sessions: id -> _HttpSession; mutated only under the
+        # lock; audio pumped on the device-loop thread (_pump_sessions)
+        self._sessions = {}
+        self._session_lock = threading.Lock()
+        self._next_session = 0
+        self.session_idle_timeout = 600.0
+
+    # -- streaming sessions ---------------------------------------------------
+    def _create_session(self, language: str, rate: int,
+                        latency: str) -> int:
+        from ..audio.streaming import StreamingConfig
+        from ..engine import TranscribeOptions
+
+        if latency == "low":
+            scfg = StreamingConfig.low_latency()
+        elif latency == "ultra":
+            scfg = StreamingConfig.ultra_low_latency()
+        else:
+            scfg = StreamingConfig()
+        scfg = dataclasses.replace(scfg, input_sample_rate=rate)
+        sess = self.engine.create_streaming_session(
+            TranscribeOptions(language=language), rate, config=scfg)
+        with self._session_lock:
+            sid = self._next_session
+            self._next_session += 1
+            self._sessions[sid] = _HttpSession(sess)
+        return sid
+
+    def _get_session(self, sid_str: str, handler):
+        """Resolve a session id from a path segment; answers 400/404 and
+        returns None when it can't."""
+        try:
+            sid = int(sid_str)
+        except ValueError:
+            handler._json(400, {"error": "bad session id"})
+            return None
+        with self._session_lock:
+            hs = self._sessions.get(sid)
+        if hs is None:
+            handler._json(404, {"error": "unknown session"})
+        return hs
+
+    def _pump_sessions(self) -> None:
+        """Drain session inboxes through the streaming state machines.
+        Runs ONLY on the device-loop thread (or inline in single-thread
+        mode), so session decodes serialize with scheduler ticks."""
+        with self._session_lock:
+            items = list(self._sessions.items())
+        now = time.time()
+        for sid, hs in items:
+            try:
+                while True:
+                    try:
+                        chunk = hs.inbox.get_nowait()
+                    except queue.Empty:
+                        break
+                    for r in hs.session.push(chunk):
+                        hs.events.append({"kind": r.kind, "text": r.text,
+                                          "time": r.time})
+                if hs.finalize_requested and hs.final is None:
+                    hs.final = hs.session.finalize()
+                    hs.events.append({"kind": "final", "text": hs.final,
+                                      "time": 0.0})
+            except Exception as e:  # noqa: BLE001 — surface to the client
+                hs.events.append({"kind": "error", "text": str(e),
+                                  "time": 0.0})
+                if hs.final is None:
+                    hs.final = ""
+            if now - hs.last_touch > self.session_idle_timeout:
+                with self._session_lock:
+                    self._sessions.pop(sid, None)
 
     def _make_handler(self):
         server = self
@@ -113,6 +215,25 @@ class TranscribeServer:
                     self.send_header("Content-Length", str(len(data)))
                     self.end_headers()
                     self.wfile.write(data)
+                elif self.path.startswith("/v1/sessions/"):
+                    parsed = urllib.parse.urlparse(self.path)
+                    parts = parsed.path.strip("/").split("/")
+                    # /v1/sessions/<id>/events
+                    if len(parts) != 4 or parts[3] != "events":
+                        self._json(404, {"error": "not found"})
+                        return
+                    hs = server._get_session(parts[2], self)
+                    if hs is None:
+                        return
+                    if server.single_thread:
+                        server._pump_sessions()
+                    q = urllib.parse.parse_qs(parsed.query)
+                    since = int(q.get("since", ["0"])[0])
+                    events = hs.events[since:]
+                    hs.last_touch = time.time()
+                    self._json(200, {"events": events,
+                                     "next": since + len(events),
+                                     "final": hs.final})
                 elif self.path.startswith("/v1/jobs/"):
                     try:
                         rid = int(self.path.rsplit("/", 1)[1])
@@ -131,9 +252,58 @@ class TranscribeServer:
                 else:
                     self._json(404, {"error": "not found"})
 
+            def do_DELETE(self):
+                parts = self.path.strip("/").split("/")
+                if len(parts) == 3 and parts[:2] == ["v1", "sessions"]:
+                    hs = server._get_session(parts[2], self)
+                    if hs is None:
+                        return
+                    with server._session_lock:
+                        server._sessions = {
+                            k: v for k, v in server._sessions.items()
+                            if v is not hs}
+                    self._json(200, {"deleted": True})
+                else:
+                    self._json(404, {"error": "not found"})
+
             def do_POST(self):
                 parsed = urllib.parse.urlparse(self.path)
                 q = urllib.parse.parse_qs(parsed.query)
+                if parsed.path == "/v1/sessions":
+                    try:
+                        sid = server._create_session(
+                            q.get("language", ["en"])[0],
+                            int(q.get("rate", [str(SAMPLE_RATE)])[0]),
+                            q.get("latency", ["standard"])[0])
+                        self._json(201, {"session": sid})
+                    except Exception as e:  # noqa: BLE001 - HTTP boundary
+                        self._json(400, {"error": str(e)})
+                    return
+                if parsed.path.startswith("/v1/sessions/"):
+                    parts = parsed.path.strip("/").split("/")
+                    if len(parts) != 4 or parts[3] not in ("audio",
+                                                           "finalize"):
+                        self._json(404, {"error": "not found"})
+                        return
+                    hs = server._get_session(parts[2], self)
+                    if hs is None:
+                        return
+                    hs.last_touch = time.time()
+                    if parts[3] == "audio":
+                        length = int(self.headers.get("Content-Length", 0))
+                        body = self.rfile.read(length)
+                        samples = np.frombuffer(
+                            body, dtype="<f4").astype(np.float32)
+                        hs.inbox.put(samples)
+                        if server.single_thread:
+                            server._pump_sessions()
+                        self._json(200, {"queued_samples": len(samples)})
+                    else:
+                        hs.finalize_requested = True
+                        if server.single_thread:
+                            server._pump_sessions()
+                        self._json(202, {"status": "finalizing"})
+                    return
                 if parsed.path == "/v1/cancel":
                     try:
                         rid = int(q.get("id", [""])[0])
@@ -204,7 +374,9 @@ class TranscribeServer:
               f"({self.scheduler.n_slots} slots)")
         try:
             while not self._stop.is_set():
-                if self.scheduler.step() == 0:
+                idle = self.scheduler.step() == 0
+                self._pump_sessions()
+                if idle:
                     time.sleep(0.002)
         finally:
             self._httpd.shutdown()

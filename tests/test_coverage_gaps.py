@@ -149,6 +149,83 @@ class TestTranscribeServer:
             server.shutdown()
             t.join(timeout=10)
 
+    def test_openai_compatible_endpoint(self, engine):
+        """POST /v1/audio/transcriptions (multipart form-data) answers in
+        json / text / verbose_json — drop-in for Whisper API clients."""
+        import io
+        import wave
+
+        from whisper_apr_tpu.cli.serve import TranscribeServer
+
+        port = 18734
+        server = TranscribeServer(engine, port=port, n_slots=1)
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        base = f"http://127.0.0.1:{port}"
+        try:
+            for _ in range(100):
+                try:
+                    urllib.request.urlopen(f"{base}/healthz", timeout=2)
+                    break
+                except OSError:
+                    time.sleep(0.1)
+            else:
+                pytest.fail("server did not come up")
+
+            rng = np.random.default_rng(4)
+            pcm = (rng.normal(0, 0.05, 3200) * 32767).astype("<i2")
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as f:
+                f.setnchannels(1)
+                f.setsampwidth(2)
+                f.setframerate(16000)
+                f.writeframes(pcm.tobytes())
+            wav = buf.getvalue()
+
+            def post(fields):
+                boundary = "x-test-boundary"
+                parts = []
+                for name, (fname, payload) in fields.items():
+                    head = f'Content-Disposition: form-data; name="{name}"'
+                    if fname:
+                        head += f'; filename="{fname}"'
+                    parts.append(
+                        f"--{boundary}\r\n{head}\r\n\r\n".encode()
+                        + payload + b"\r\n")
+                body = b"".join(parts) + f"--{boundary}--\r\n".encode()
+                req = urllib.request.Request(
+                    f"{base}/v1/audio/transcriptions", data=body,
+                    headers={"Content-Type":
+                             f"multipart/form-data; boundary={boundary}"})
+                return urllib.request.urlopen(req, timeout=120)
+
+            with post({"file": ("a.wav", wav),
+                       "language": (None, b"en")}) as r:
+                out = json.loads(r.read())
+            assert set(out) == {"text"}
+
+            with post({"file": ("a.wav", wav),
+                       "response_format": (None, b"text")}) as r:
+                assert r.headers["Content-Type"].startswith("text/plain")
+                body = r.read().decode()
+            assert body.endswith("\n")
+
+            with post({"file": ("a.wav", wav),
+                       "response_format": (None, b"verbose_json")}) as r:
+                out = json.loads(r.read())
+            assert out["task"] == "transcribe"
+            assert abs(out["duration"] - 0.2) < 1e-6
+
+            # missing file field -> 400
+            try:
+                post({"language": (None, b"en")})
+                pytest.fail("expected 400")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+        finally:
+            server.shutdown()
+            t.join(timeout=10)
+
     def test_streaming_session_over_http(self, engine):
         """POST /v1/sessions -> push f32le audio chunks -> poll events ->
         finalize (HTTP analog of the reference's WASM streaming-session

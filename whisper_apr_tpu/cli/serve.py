@@ -15,6 +15,9 @@ API:
                                &async=1 (return {"id": N} immediately)
                         -> {"text": ..., "tokens": [...], "queue_ms": ...,
                             "status": "ok"|"cancelled"|"timeout"}
+  POST /v1/audio/transcriptions  OpenAI-compatible (multipart form-data:
+                        file / language / response_format json|text|
+                        verbose_json) — drop-in for Whisper API clients
   GET  /v1/jobs/<id>    poll an async job -> result, or {"status":"pending"}
   POST /v1/cancel?id=N  abort a queued/in-flight request (Worker-protocol
                         Abort parity, reference: src/wasm/worker.rs:38)
@@ -68,6 +71,25 @@ class _HttpSession:
         self.final: Optional[str] = None
         self.finalize_requested = False
         self.last_touch = time.time()
+
+
+def _parse_multipart(content_type: str, body: bytes) -> dict:
+    """Parse a multipart/form-data body into {field-name: bytes} using the
+    stdlib email parser (the cgi module is gone in 3.13)."""
+    import email.parser
+    import email.policy
+
+    msg = email.parser.BytesParser(policy=email.policy.HTTP).parsebytes(
+        b"Content-Type: " + content_type.encode("latin-1") + b"\r\n\r\n"
+        + body)
+    if not msg.is_multipart():
+        raise ValueError("expected multipart/form-data")
+    fields = {}
+    for part in msg.iter_parts():
+        name = part.get_param("name", header="content-disposition")
+        if name:
+            fields[name] = part.get_payload(decode=True)
+    return fields
 
 
 def _decode_body(handler: BaseHTTPRequestHandler, body: bytes) -> np.ndarray:
@@ -182,6 +204,19 @@ class TranscribeServer:
                 self.send_header("Content-Length", str(len(data)))
                 self.end_headers()
                 self.wfile.write(data)
+
+            def _wait(self, rid, timeout=300.0):
+                """Poll for a completion, pumping the device loop inline in
+                single-thread mode; None on timeout."""
+                deadline = time.time() + timeout
+                while time.time() < deadline:
+                    if server.single_thread:
+                        server.scheduler.step()
+                    comp = server.scheduler.result(rid)
+                    if comp is not None:
+                        return comp
+                    time.sleep(0.005)
+                return None
 
             def _completion_payload(self, comp) -> dict:
                 text = (server.scheduler.decode_text(comp)
@@ -304,6 +339,54 @@ class TranscribeServer:
                             server._pump_sessions()
                         self._json(202, {"status": "finalizing"})
                     return
+                if parsed.path == "/v1/audio/transcriptions":
+                    # OpenAI-compatible endpoint (drop-in for existing
+                    # Whisper API clients; whisper.cpp's server exposes
+                    # the same surface): multipart fields file / language /
+                    # response_format (json | text | verbose_json)
+                    try:
+                        length = int(self.headers.get("Content-Length", 0))
+                        body = self.rfile.read(length)
+                        ctype = self.headers.get("Content-Type", "")
+                        if not ctype.startswith("multipart/form-data"):
+                            raise ValueError("expected multipart/form-data")
+                        fields = _parse_multipart(ctype, body)
+                        if "file" not in fields:
+                            raise ValueError("missing 'file' field")
+                        samples, rate = parse_wav(fields["file"])
+                        if rate != SAMPLE_RATE:
+                            samples = SincResampler(
+                                rate, SAMPLE_RATE).resample(samples)
+                        lang = (fields.get("language") or b"en").decode()
+                        fmt = (fields.get("response_format")
+                               or b"json").decode()
+                    except Exception as e:  # noqa: BLE001 - HTTP boundary
+                        self._json(400, {"error": str(e)})
+                        return
+                    rid = server.scheduler.submit(samples, lang,
+                                                  "transcribe")
+                    comp = self._wait(rid)
+                    if comp is None:
+                        self._json(504, {"error": "decode timeout"})
+                        return
+                    text = (server.scheduler.decode_text(comp)
+                            if comp.tokens else "")
+                    if fmt == "text":
+                        data = (text + "\n").encode("utf-8")
+                        self.send_response(200)
+                        self.send_header("Content-Type",
+                                         "text/plain; charset=utf-8")
+                        self.send_header("Content-Length", str(len(data)))
+                        self.end_headers()
+                        self.wfile.write(data)
+                    elif fmt == "verbose_json":
+                        self._json(200, {
+                            "task": "transcribe", "language": lang,
+                            "duration": len(samples) / SAMPLE_RATE,
+                            "text": text, "segments": []})
+                    else:
+                        self._json(200, {"text": text})
+                    return
                 if parsed.path == "/v1/cancel":
                     try:
                         rid = int(q.get("id", [""])[0])
@@ -330,18 +413,13 @@ class TranscribeServer:
                     if q.get("async", ["0"])[0] in ("1", "true"):
                         self._json(202, {"id": rid, "status": "pending"})
                         return
-                    deadline = time.time() + 300
-                    while time.time() < deadline:
-                        if server.single_thread:
-                            # single-threaded mode: pump the device loop
-                            # inline (remote-TPU tunnels deadlock when device
-                            # dispatch coexists with other Python threads)
-                            server.scheduler.step()
-                        comp = server.scheduler.result(rid)
-                        if comp is not None:
-                            self._json(200, self._completion_payload(comp))
-                            return
-                        time.sleep(0.005)
+                    # single-thread mode pumps the device loop inline in
+                    # _wait (remote-TPU tunnels deadlock when device
+                    # dispatch coexists with other Python threads)
+                    comp = self._wait(rid)
+                    if comp is not None:
+                        self._json(200, self._completion_payload(comp))
+                        return
                     self._json(504, {"error": "decode timeout"})
                 except Exception as e:  # noqa: BLE001 - HTTP boundary
                     self._json(400, {"error": str(e)})

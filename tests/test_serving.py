@@ -288,6 +288,19 @@ class TestCancelAndDeadlines:
             assert comp is not None and comp.status == "timeout"
             assert len(comp.tokens) > comp.prompt_len  # partial kept
 
+    def test_language_auto_detect_matches_transcribe(self, engine):
+        """submit(language="auto") resolves the language at admission
+        (scheduler thread) and matches engine.transcribe's auto path."""
+        audio = self._audio(9)
+        exp = engine.transcribe(
+            audio, TranscribeOptions(language="auto", max_tokens=8)).tokens
+        sched = BatchScheduler(engine, n_slots=1)
+        rid = sched.submit(audio, "auto", max_tokens=8)
+        sched.run_until_drained()
+        comp = sched.result(rid)
+        assert comp.status == "ok"
+        assert comp.tokens[: len(exp)] == exp
+
     def test_stats_counters(self, engine):
         sched = BatchScheduler(engine, n_slots=2)
         r0 = sched.submit(self._audio(6), "en", max_tokens=5)

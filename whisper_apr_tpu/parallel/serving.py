@@ -93,10 +93,11 @@ class Request:
 
     request_id: int
     audio: np.ndarray
-    prompt: List[int]
+    prompt: Optional[List[int]]  # None -> language auto-detect at admission
     max_tokens: int = 224
     submitted_at: float = dataclasses.field(default_factory=time.time)
     deadline: Optional[float] = None  # absolute wall clock; None = no limit
+    task: str = "transcribe"  # used to build the prompt when auto-detecting
 
 
 @dataclasses.dataclass
@@ -268,14 +269,18 @@ class BatchScheduler:
                timeout_s: Optional[float] = None) -> int:
         """Enqueue a request; returns its id. ``timeout_s`` sets a wall-clock
         deadline — a request still queued/decoding past it completes with
-        status "timeout" and whatever tokens it has."""
+        status "timeout" and whatever tokens it has. ``language`` None or
+        "auto" detects the language at admission (on the scheduler thread —
+        one extra mel+encode dispatch for that request)."""
         with self._lock:
             rid = self._next_id
             self._next_id += 1
-        prompt = self.engine.get_initial_tokens(language, task)
+        prompt = (None if language in (None, "auto")
+                  else self.engine.get_initial_tokens(language, task))
         deadline = None if timeout_s is None else time.time() + timeout_s
         self._queue.put(Request(rid, np.asarray(audio, np.float32),
-                                prompt, max_tokens, deadline=deadline))
+                                prompt, max_tokens, deadline=deadline,
+                                task=task))
         return rid
 
     def cancel(self, request_id: int) -> bool:
@@ -331,6 +336,11 @@ class BatchScheduler:
             elif req.deadline is not None and now > req.deadline:
                 self._complete_unadmitted(req, "timeout", now)
             else:
+                if req.prompt is None:  # language="auto" (reference
+                    # parity: lib.rs transcribe's detect-then-decode path)
+                    lang = self.engine.detect_language(req.audio).best[0]
+                    req.prompt = self.engine.get_initial_tokens(
+                        lang, req.task)
                 reqs.append(req)
         if not reqs:
             return

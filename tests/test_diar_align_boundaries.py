@@ -198,3 +198,90 @@ def test_refine_window_covers_exact_upper_edge():
     words = [_word(start=0.02, end=0.25)]          # end c=25, window 10
     out = refine_boundaries_by_silence(words, audio, window_s=0.1)
     assert out[0].end == pytest.approx(0.35, abs=0.006)
+
+
+class TestDtwAlignment:
+    """AlignmentConfig(method="dtw"): native-DP dynamic time warping."""
+
+    def test_dtw_path_native_matches_python_fallback(self):
+        from whisper_apr_tpu import native
+        rng = np.random.default_rng(0)
+        cost = rng.normal(size=(12, 37)).astype(np.float32)
+        ti_n, tj_n = native.dtw_path(cost)  # native (lib is built in CI)
+        lib = native.get_lib()
+        try:
+            native._lib = None
+            native._build_failed = True  # force the Python fallback
+            ti_p, tj_p = native.dtw_path(cost)
+        finally:
+            native._lib = lib
+            native._build_failed = lib is None
+        np.testing.assert_array_equal(ti_n, ti_p)
+        np.testing.assert_array_equal(tj_n, tj_p)
+
+    def test_dtw_path_is_monotonic_and_covers(self):
+        from whisper_apr_tpu import native
+        rng = np.random.default_rng(1)
+        cost = rng.normal(size=(5, 50)).astype(np.float32)
+        ti, tj = native.dtw_path(cost)
+        assert ti[0] == 0 and tj[0] == 0
+        assert ti[-1] == 4 and tj[-1] == 49
+        assert (np.diff(ti) >= 0).all() and (np.diff(tj) >= 0).all()
+        # every step advances at least one axis by exactly 0 or 1
+        assert (np.diff(ti) <= 1).all() and (np.diff(tj) <= 1).all()
+        assert ((np.diff(ti) + np.diff(tj)) >= 1).all()
+
+    def test_dtw_recovers_clean_diagonal_alignment(self):
+        """Attention concentrated at frame 10+20i per token: DTW spans
+        must each contain their token's true peak, partition the frame
+        axis, and stay monotonic."""
+        from whisper_apr_tpu.alignment import (AlignmentConfig,
+                                               CrossAttentionAlignment)
+        n_tokens, n_frames = 4, 100
+        w = np.full((2, 1, 3, n_tokens, n_frames), 1e-4, np.float32)
+        for i in range(n_tokens):
+            w[:, :, :, i, 10 + 20 * i] = 1.0
+        al = CrossAttentionAlignment(AlignmentConfig(method="dtw"))
+        aligns = al.extract_token_alignments(w, [5, 6, 7, 8])
+        prev_end = 0
+        for i, a in enumerate(aligns):
+            assert a.start_frame <= 10 + 20 * i < a.end_frame
+            assert a.start_frame == prev_end  # partition, no gaps
+            prev_end = a.end_frame
+            assert a.confidence > 0
+        assert aligns[-1].end_frame == n_frames
+
+    def test_dtw_beats_peak_on_a_noisy_row(self):
+        """A token whose argmax is a spurious early spike: the DTW path
+        (held by its neighbors) stays near the true diagonal, while the
+        peak method's monotonic clamp keeps the outlier."""
+        from whisper_apr_tpu.alignment import (AlignmentConfig,
+                                               CrossAttentionAlignment)
+        n_tokens, n_frames = 5, 60
+        w = np.full((1, 1, 1, n_tokens, n_frames), 1e-4, np.float32)
+        true = [5, 15, 25, 35, 45]
+        for i, p in enumerate(true):
+            w[0, 0, 0, i, p] = 1.0
+        w[0, 0, 0, 3, 55] = 1.2  # spurious late spike on token 3
+        dtw = CrossAttentionAlignment(AlignmentConfig(method="dtw"))
+        peak = CrossAttentionAlignment(AlignmentConfig(method="peak"))
+        a_dtw = dtw.extract_token_alignments(w, list(range(5)))
+        a_peak = peak.extract_token_alignments(w, list(range(5)))
+        err_dtw = sum(abs(a.start_frame - t) <= 10
+                      for a, t in zip(a_dtw, true))
+        # peak method: token 3 jumps to 55 and drags token 4 with it
+        assert a_peak[3].start_frame == 55
+        assert err_dtw >= 4  # dtw keeps at least tokens 0-3 near truth
+
+    def test_word_extractor_with_dtw(self):
+        from whisper_apr_tpu.alignment import (AlignmentConfig,
+                                               WordTimestampExtractor)
+        tok = _Tok({258: " hel", 259: "lo", 257: " world"})
+        w = np.full((1, 1, 1, 3, 90), 1e-4, np.float32)
+        for i in range(3):
+            w[0, 0, 0, i, 10 + 25 * i] = 1.0
+        ext = WordTimestampExtractor(tok, AlignmentConfig(method="dtw"))
+        words = ext.extract(w, [258, 259, 257])
+        assert [x.word for x in words] == ["hello", "world"]
+        assert words[0].start < words[1].start
+        assert words[0].end <= words[1].start + 1e-9

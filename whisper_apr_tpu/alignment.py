@@ -27,6 +27,12 @@ class AlignmentConfig:
     layers: Optional[Sequence[int]] = None  # None = all layers
     heads: Optional[Sequence[int]] = None   # None = all heads
     monotonic: bool = True                  # enforce non-decreasing peaks
+    # "peak" (default): the reference's per-token argmax (alignment.rs:223
+    # — start = peak frame, end = next token's peak). "dtw": globally
+    # optimal monotonic token->frame assignment via dynamic time warping
+    # over the averaged attention (native C++ DP, openai/whisper-style
+    # timing) — spans PARTITION the frame axis instead of peak-to-peak.
+    method: str = "peak"
 
 
 @dataclasses.dataclass
@@ -88,6 +94,8 @@ class CrossAttentionAlignment:
         if num_frames is not None:
             avg = avg[:, :num_frames]
         n = min(len(token_ids), avg.shape[0])
+        if self.config.method == "dtw":
+            return self._extract_dtw(avg[:n], token_ids[:n])
         peaks = avg[:n].argmax(axis=1)
         if self.config.monotonic:
             peaks = np.maximum.accumulate(peaks)
@@ -100,6 +108,32 @@ class CrossAttentionAlignment:
             end = int(peaks[i + 1]) if i + 1 < n else avg.shape[1]
             out.append(TokenAlignment(i, int(token_ids[i]), peak,
                                       max(end, peak + 1), conf))
+        return out
+
+    def _extract_dtw(self, avg: np.ndarray,
+                     token_ids: Sequence[int]) -> List[TokenAlignment]:
+        """DTW alignment: cost = -(row-standardized attention); the path's
+        frames on row i are token i's span. Globally optimal and monotonic
+        by construction (vs the per-token argmax, which the ``monotonic``
+        clamp can drag forward on noisy rows)."""
+        from .native import dtw_path
+
+        n, m = avg.shape
+        std = avg.std(axis=1, keepdims=True)
+        z = (avg - avg.mean(axis=1, keepdims=True)) / np.maximum(std, 1e-9)
+        ti, tj = dtw_path(-z.astype(np.float32))
+        out: List[TokenAlignment] = []
+        for i in range(n):
+            frames = tj[ti == i]
+            start = int(frames[0]) if len(frames) else (
+                out[-1].end_frame if out else 0)
+            end = int(frames[-1]) + 1 if len(frames) else start + 1
+            row = avg[i]
+            total = float(row.sum())
+            conf = (float(row[start:end].max() / total)
+                    if total > 0 and end > start else 0.0)
+            out.append(TokenAlignment(i, int(token_ids[i]), start,
+                                      max(end, start + 1), conf))
         return out
 
 

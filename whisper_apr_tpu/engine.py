@@ -64,6 +64,10 @@ class TranscribeOptions:
     temperature: float = 0.0
     max_tokens: Optional[int] = None
     word_timestamps: bool = False
+    # word alignment method: "dtw" (globally optimal monotonic DTW over
+    # cross-attention — native C++ DP, beats per-token peaks on noisy
+    # rows) or "peak" (the reference's argmax, alignment.rs:223)
+    word_alignment: str = "dtw"
     timestamps: bool = False  # emit timestamp tokens (segment-level)
     top_k: Optional[int] = None
     top_p: Optional[float] = None
@@ -601,7 +605,8 @@ class WhisperApr:
                 temperature=options.temperature))
 
         if options.word_timestamps:
-            self._attach_word_timestamps(results, audios)
+            self._attach_word_timestamps(results, audios,
+                                         method=options.word_alignment)
 
         return BatchTranscriptionResult(results, time.time() - t0)
 
@@ -738,13 +743,18 @@ class WhisperApr:
                 tokens=toks, temperature=options.temperature))
         return BatchTranscriptionResult(results, time.time() - t0)
 
-    def _attach_word_timestamps(self, results, audios) -> None:
+    def _attach_word_timestamps(self, results, audios,
+                                method: str = "dtw") -> None:
         """Word-level timestamps via cross-attention alignment
         (reference: src/timestamps/alignment.rs; needs the attention-weight
-        decoder mode, a debug-path teacher-forced replay)."""
-        from .alignment import WordTimestampExtractor, refine_boundaries_by_silence
+        decoder mode, a debug-path teacher-forced replay). ``method``
+        "dtw" (default) runs the native-DP monotonic DTW pass; "peak" is
+        the reference's per-token argmax."""
+        from .alignment import (AlignmentConfig, WordTimestampExtractor,
+                                refine_boundaries_by_silence)
         from .model.traced import decoder_forward_traced
-        extractor = WordTimestampExtractor(self.tokenizer)
+        extractor = WordTimestampExtractor(
+            self.tokenizer, AlignmentConfig(method=method))
         for result, audio in zip(results, audios):
             if not result.tokens:
                 continue

@@ -72,6 +72,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.aprcore_lz4_decompress_block.argtypes = [
             ctypes.c_char_p, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_char), ctypes.c_int64]
+        lib.aprcore_dtw.restype = ctypes.c_int64
+        lib.aprcore_dtw.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
         _lib = lib
         return _lib
 
@@ -150,3 +154,55 @@ def frame_energy_zcr(audio: np.ndarray, frame_size: int):
         energy.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         zcr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
     return energy, zcr
+
+
+def dtw_path(cost: np.ndarray):
+    """Monotonic DTW path over a [n_tokens, n_frames] cost matrix; returns
+    (text_indices, frame_indices) int32 arrays. Native C++ DP with a pure-
+    NumPy fallback (identical tie-breaking: diagonal < down < right)."""
+    cost = np.ascontiguousarray(cost, dtype=np.float32)
+    n, m = cost.shape
+    lib = get_lib()
+    if lib is not None:
+        ti = np.empty(n + m, dtype=np.int32)
+        tj = np.empty(n + m, dtype=np.int32)
+        ln = lib.aprcore_dtw(
+            cost.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n, m,
+            ti.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            tj.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        if ln > 0:
+            return ti[:ln], tj[:ln]
+    # fallback: same DP in Python (rows vectorized where possible)
+    INF = np.inf
+    prev = np.full(m + 1, INF, dtype=np.float64)
+    prev[0] = 0.0
+    ptr = np.zeros((n, m), dtype=np.int8)
+    for i in range(n):
+        cur = np.full(m + 1, INF, dtype=np.float64)
+        crow = cost[i]
+        for j in range(1, m + 1):
+            d0, d1, d2 = prev[j - 1], prev[j], cur[j - 1]
+            if d0 <= d1 and d0 <= d2:
+                best, p = d0, 0
+            elif d1 <= d2:
+                best, p = d1, 1
+            else:
+                best, p = d2, 2
+            cur[j] = crow[j - 1] + best
+            ptr[i, j - 1] = p
+        prev = cur
+    i, j = n, m
+    ti_l, tj_l = [], []
+    while i > 0 and j > 0:
+        ti_l.append(i - 1)
+        tj_l.append(j - 1)
+        p = ptr[i - 1, j - 1]
+        if p == 0:
+            i -= 1
+            j -= 1
+        elif p == 1:
+            i -= 1
+        else:
+            j -= 1
+    return (np.asarray(ti_l[::-1], np.int32),
+            np.asarray(tj_l[::-1], np.int32))

@@ -198,4 +198,59 @@ int64_t aprcore_lz4_decompress_block(const uint8_t* src, int64_t src_len,
     return di;
 }
 
+// ---------------------------------------------------------------------------
+// Monotonic DTW over a token x frame cost matrix (word-timestamp alignment;
+// reference: src/timestamps/alignment.rs picks per-token argmax peaks — the
+// DTW path is strictly better: a globally optimal monotonic assignment of
+// decode tokens to encoder frames, as in openai/whisper's timing pass)
+// ---------------------------------------------------------------------------
+
+// cost: row-major [n, m] (lower = better match). Writes the backtraced path
+// (text index, frame index) pairs into out_ti/out_tj (capacity n + m) and
+// returns its length, or -1 on bad input. Steps: diagonal, down (advance
+// token), right (advance frame); ties prefer the diagonal.
+int64_t aprcore_dtw(const float* cost, int64_t n, int64_t m,
+                    int32_t* out_ti, int32_t* out_tj) {
+    if (n <= 0 || m <= 0) return -1;
+    const double INF = 1e30;
+    // rolling two-row DP over (n+1) x (m+1); ptr keeps full backtrace
+    std::vector<double> prev((size_t)m + 1, INF), cur((size_t)m + 1, INF);
+    std::vector<uint8_t> ptr((size_t)n * (size_t)m);
+    prev[0] = 0.0;
+    for (int64_t i = 1; i <= n; ++i) {
+        cur[0] = INF;
+        const float* crow = cost + (size_t)(i - 1) * (size_t)m;
+        for (int64_t j = 1; j <= m; ++j) {
+            const double d0 = prev[j - 1];  // diagonal
+            const double d1 = prev[j];      // down  (new token, same frame)
+            const double d2 = cur[j - 1];   // right (same token, next frame)
+            double best = d0;
+            uint8_t p = 0;
+            if (d1 < best) { best = d1; p = 1; }
+            if (d2 < best) { best = d2; p = 2; }
+            cur[j] = (double)crow[j - 1] + best;
+            ptr[(size_t)(i - 1) * (size_t)m + (size_t)(j - 1)] = p;
+        }
+        std::swap(prev, cur);
+    }
+    int64_t i = n, j = m, k = 0;
+    std::vector<int32_t> ti, tj;
+    ti.reserve((size_t)(n + m));
+    tj.reserve((size_t)(n + m));
+    while (i > 0 && j > 0) {
+        ti.push_back((int32_t)(i - 1));
+        tj.push_back((int32_t)(j - 1));
+        const uint8_t p = ptr[(size_t)(i - 1) * (size_t)m + (size_t)(j - 1)];
+        if (p == 0) { --i; --j; }
+        else if (p == 1) { --i; }
+        else { --j; }
+    }
+    const int64_t len = (int64_t)ti.size();
+    for (int64_t q = 0; q < len; ++q) {  // reverse into the out buffers
+        out_ti[q] = ti[(size_t)(len - 1 - q)];
+        out_tj[q] = tj[(size_t)(len - 1 - q)];
+    }
+    return len;
+}
+
 }  // extern "C"

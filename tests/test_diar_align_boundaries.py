@@ -273,6 +273,19 @@ class TestDtwAlignment:
         assert a_peak[3].start_frame == 55
         assert err_dtw >= 4  # dtw keeps at least tokens 0-3 near truth
 
+    def test_dtw_zero_attention_row_confidence_zero(self):
+        """An all-zero attention row must yield confidence exactly 0.0
+        (no 0/0 NaN) and still get a valid >=1-frame span."""
+        from whisper_apr_tpu.alignment import (AlignmentConfig,
+                                               CrossAttentionAlignment)
+        w = _weights([3, None, 7], n_frames=12)  # middle row all-zero
+        al = CrossAttentionAlignment(AlignmentConfig(method="dtw"))
+        aligns = al.extract_token_alignments(w, [10, 11, 12])
+        assert aligns[1].confidence == 0.0
+        assert np.isfinite(aligns[1].confidence)
+        for a in aligns:
+            assert a.end_frame > a.start_frame
+
     def test_word_extractor_with_dtw(self):
         from whisper_apr_tpu.alignment import (AlignmentConfig,
                                                WordTimestampExtractor)

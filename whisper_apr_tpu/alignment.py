@@ -130,10 +130,11 @@ class CrossAttentionAlignment:
             end = int(frames[-1]) + 1 if len(frames) else start + 1
             row = avg[i]
             total = float(row.sum())
+            # end >= start + 1 in both branches above, so no clamp needed
             conf = (float(row[start:end].max() / total)
-                    if total > 0 and end > start else 0.0)
+                    if total > 0 else 0.0)
             out.append(TokenAlignment(i, int(token_ids[i]), start,
-                                      max(end, start + 1), conf))
+                                      end, conf))
         return out
 
 

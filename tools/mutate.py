@@ -110,7 +110,10 @@ def run_mutations(target: str, test_cmd, max_mutants=None, timeout=300):
     if r.returncode != 0:
         print("BASELINE FAILED — focused suite does not pass on the "
               "unmutated file; aborting (is the target file clean vs git?)")
+        print("rc:", r.returncode)
         print(r.stdout.decode(errors="replace")[-2000:])
+        print(r.stderr.decode(errors="replace")[-2000:])
+        os.remove(backup)  # clean exit — no mutant was ever on disk
         raise SystemExit(2)
 
     tree = ast.parse(original)

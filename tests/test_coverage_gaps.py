@@ -182,7 +182,7 @@ class TestTranscribeServer:
                 f.writeframes(pcm.tobytes())
             wav = buf.getvalue()
 
-            def post(fields):
+            def post(fields, path="/v1/audio/transcriptions"):
                 boundary = "x-test-boundary"
                 parts = []
                 for name, (fname, payload) in fields.items():
@@ -194,7 +194,7 @@ class TestTranscribeServer:
                         + payload + b"\r\n")
                 body = b"".join(parts) + f"--{boundary}--\r\n".encode()
                 req = urllib.request.Request(
-                    f"{base}/v1/audio/transcriptions", data=body,
+                    f"{base}{path}", data=body,
                     headers={"Content-Type":
                              f"multipart/form-data; boundary={boundary}"})
                 return urllib.request.urlopen(req, timeout=120)
@@ -215,6 +215,13 @@ class TestTranscribeServer:
                 out = json.loads(r.read())
             assert out["task"] == "transcribe"
             assert abs(out["duration"] - 0.2) < 1e-6
+
+            # /v1/audio/translations runs the translate task
+            with post({"file": ("a.wav", wav),
+                       "response_format": (None, b"verbose_json")},
+                      path="/v1/audio/translations") as r:
+                out = json.loads(r.read())
+            assert out["task"] == "translate"
 
             # missing file field -> 400
             try:

@@ -144,6 +144,95 @@ class TestPagedScheduler:
         assert results["dense"] == results["paged"]
         assert results["paged"] == results["paged-staged"]
 
+    def test_paged_bucket_padding_duplicates_last_slot(self, cfg, setup):
+        """A 3-request burst into 4 slots pads up to the 4-bucket by
+        repeating the last real slot's prefill (idempotent duplicate pool
+        writes); tokens must still match the dense scheduler."""
+        params, _ = setup
+        from whisper_apr_tpu.parallel.serving import BatchScheduler
+        eng = WhisperApr(cfg, params, specials=small_specials(cfg))
+        rng = np.random.default_rng(8)
+        audios = [rng.normal(0, 0.1, 3000 + 300 * i).astype(np.float32)
+                  for i in range(3)]
+        paged_decode.INTERPRET = True
+        try:
+            results = {}
+            for mode in ("dense", "paged"):
+                sched = BatchScheduler(eng, n_slots=4, max_len=32,
+                                       paged=(mode == "paged"))
+                assert 4 in sched.admit_buckets
+                ids = [sched.submit(a, max_tokens=6) for a in audios]
+                sched.run_until_drained(max_steps=500)
+                results[mode] = [sched.result(i).tokens for i in ids]
+        finally:
+            paged_decode.INTERPRET = False
+        assert results["dense"] == results["paged"]
+
+    def test_pool_reserves_full_occupancy_plus_sentinel(self, cfg, setup):
+        """Default pool sizing must let EVERY slot reach its full max_len
+        reservation at once, plus the garbage sentinel page — a one-page
+        shortfall only surfaces as alloc failures under full occupancy."""
+        params, _ = setup
+        from whisper_apr_tpu.parallel.serving import BatchScheduler
+        eng = WhisperApr(cfg, params, specials=small_specials(cfg))
+        sched = BatchScheduler(eng, n_slots=2, max_len=32, paged=True)
+        pk = sched._paged_kv
+        assert pk.n_pages == 2 * sched._p_max + 1
+        # sentinel holds one page; everything else must be free
+        assert pk.free_pages == pk.n_pages - 1
+
+    def test_batched_prefill_scatter_places_rows(self, cfg, setup):
+        """write_prefills_to_pool: row t of sequence b must land exactly at
+        pool[:, pages[b, t], offs[b, t]] (a flipped mod/div in the offset
+        arithmetic stacks rows on top of each other)."""
+        from whisper_apr_tpu.model.kv_variants import PAGE_SIZE, PagedKVCache
+        from whisper_apr_tpu.model.paged_decode import write_prefills_to_pool
+        L, D, P = cfg.n_text_layer, cfg.n_text_state, PAGE_SIZE + 3
+        pk = PagedKVCache(cfg, 8, compute_dtype=jnp.float32)
+        pk.alloc(0, P)
+        table = np.asarray(pk._tables[0], np.int32)
+        rng = np.random.default_rng(0)
+        k = jnp.asarray(rng.normal(size=(L, 1, P, D)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(L, 1, P, D)).astype(np.float32))
+        positions = np.arange(P)
+        pages = table[positions // PAGE_SIZE][None]        # [1, P]
+        offs = (positions % PAGE_SIZE)[None]               # [1, P]
+        pk.k_pool, pk.v_pool = write_prefills_to_pool(
+            pk.k_pool, pk.v_pool, k, v,
+            jnp.asarray(pages, jnp.int32), jnp.asarray(offs, jnp.int32))
+        got_k = np.asarray(pk.k_pool)
+        for t in range(P):
+            np.testing.assert_array_equal(
+                got_k[:, table[t // PAGE_SIZE], t % PAGE_SIZE],
+                np.asarray(k)[:, 0, t])
+
+    def test_staged_paged_long_prompt_spans_pages(self, cfg, setup):
+        """Staged paged admission with a prompt longer than one page
+        (17 tokens > PAGE_SIZE=16): the prompt+1 reservation must cover the
+        second page or the prefill scatter runs off the table."""
+        params, _ = setup
+        from whisper_apr_tpu.model.kv_variants import PAGE_SIZE
+        from whisper_apr_tpu.parallel.serving import BatchScheduler, Request
+        assert PAGE_SIZE == 16
+        eng = WhisperApr(cfg, params, specials=small_specials(cfg))
+        rng = np.random.default_rng(9)
+        audio = rng.normal(0, 0.1, 3200).astype(np.float32)
+        prompt = [5] * (PAGE_SIZE + 1)  # 17 tokens -> 2 pages (+1 for gen)
+        paged_decode.INTERPRET = True
+        try:
+            results = {}
+            for mode in ("dense", "paged"):
+                sched = BatchScheduler(eng, n_slots=1, max_len=48,
+                                       paged=(mode == "paged"),
+                                       batched_admission=False)
+                sched._queue.put(Request(77, audio, list(prompt), 6))
+                sched.run_until_drained(max_steps=200)
+                results[mode] = sched.result(77).tokens
+        finally:
+            paged_decode.INTERPRET = False
+        assert results["dense"] == results["paged"]
+        assert len(results["paged"]) > len(prompt)
+
     def test_pool_pages_are_recycled(self, cfg, setup):
         params, _ = setup
         from whisper_apr_tpu.parallel.serving import BatchScheduler

@@ -301,6 +301,73 @@ class TestCancelAndDeadlines:
         assert comp.status == "ok"
         assert comp.tokens[: len(exp)] == exp
 
+    def test_timing_fields_are_durations_not_timestamps(self, engine):
+        """queue/decode seconds must be small elapsed durations — a flipped
+        sign (t0 + t1 instead of t1 - t0) yields epoch-scale numbers."""
+        sched = BatchScheduler(engine, n_slots=1)
+        r0 = sched.submit(self._audio(10), "en", max_tokens=5)
+        r1 = sched.submit(self._audio(11), "en", max_tokens=5)
+        sched.cancel(r1)  # completes unadmitted -> queue-time-only path
+        sched.run_until_drained()
+        c0, c1 = sched.result(r0), sched.result(r1)
+        assert 0.0 <= c0.queue_seconds < 600.0
+        assert 0.0 <= c0.decode_seconds < 600.0
+        assert 0.0 <= c1.queue_seconds < 600.0
+        s = sched.stats()
+        assert 0.0 <= s["queue_seconds_sum"] < 1200.0
+        assert 0.0 <= s["decode_seconds_sum"] < 600.0
+
+    def test_completion_length_is_bounded_by_budget(self, engine):
+        """A finished slot carries prompt + at most max_tokens (+EOT) —
+        never the whole max_len reservation."""
+        sched = BatchScheduler(engine, n_slots=1, max_len=32)
+        rid = sched.submit(self._audio(12), "en", max_tokens=6)
+        sched.run_until_drained()
+        comp = sched.result(rid)
+        assert len(comp.tokens) <= comp.prompt_len + 6 + 1
+        assert len(comp.tokens) < 32
+
+    def test_cancel_inflight_with_empty_sibling_slot(self, engine):
+        """The abort sweep must skip empty slots (req None) instead of
+        dereferencing them."""
+        sched = BatchScheduler(engine, n_slots=2)
+        rid = sched.submit(self._audio(13), "en", max_tokens=20)
+        sched.step()  # slot 0 active, slot 1 empty
+        sched.cancel(rid)
+        sched.step()  # sweep visits both slots
+        comp = sched.result(rid)
+        assert comp is not None and comp.status in ("cancelled", "ok")
+        assert not sched._active.any()
+
+    def test_pending_counts_active_slots(self, engine):
+        sched = BatchScheduler(engine, n_slots=1)
+        assert sched.pending() == 0
+        sched.submit(self._audio(16), "en", max_tokens=20)
+        r2 = sched.submit(self._audio(17), "en", max_tokens=20)
+        sched.step()  # first request admitted+decoding, second queued
+        if sched._active.any():
+            assert sched.pending() == 2  # 1 queued + 1 active
+        sched.cancel(r2)
+        sched.run_until_drained()
+        assert sched.pending() == 0
+
+    def test_stats_total_includes_timeouts(self, engine):
+        sched = BatchScheduler(engine, n_slots=1)
+        r0 = sched.submit(self._audio(14), "en", max_tokens=5)
+        r1 = sched.submit(self._audio(15), "en", max_tokens=5,
+                          timeout_s=-0.001)  # expires in the queue
+        sched.run_until_drained()
+        assert sched.result(r1).status == "timeout"
+        s = sched.stats()
+        assert s["timeout"] == 1 and s["completed_ok"] == 1
+        assert s["completed_total"] == 2
+
+    def test_fresh_scheduler_stats(self, engine):
+        """stats() on an idle scheduler: all zeros, no division by zero."""
+        s = BatchScheduler(engine, n_slots=1).stats()
+        assert s["completed_total"] == 0
+        assert s["tokens_per_decode_second"] == 0.0
+
     def test_stats_counters(self, engine):
         sched = BatchScheduler(engine, n_slots=2)
         r0 = sched.submit(self._audio(6), "en", max_tokens=5)
@@ -505,6 +572,29 @@ class TestFusedScheduler:
             comp = sched.result(rid)
             assert comp is not None
             assert comp.tokens[: len(exp)] == exp
+
+    @pytest.mark.parametrize("mode", ["bf16", "int8"])
+    def test_fused_staged_admission_matches_batched(self, qf_engine, mode):
+        """Staged per-slot admission through the qf cache-scatter branch
+        (_admit_one routes bf16 rows vs int8 row-quantization by kv mode)."""
+        from whisper_apr_tpu.model import qdecode
+        eng = qf_engine
+        eng.compute = eng.compute.replace(kv_mode=mode)
+        rng = np.random.default_rng(6)
+        audios = [rng.normal(0, 0.1, 3000 + 400 * i).astype(np.float32)
+                  for i in range(2)]
+        qdecode.INTERPRET = True
+        try:
+            out = {}
+            for staged in (False, True):
+                sched = BatchScheduler(eng, n_slots=2,
+                                       batched_admission=not staged)
+                ids = [sched.submit(a, "en", max_tokens=6) for a in audios]
+                sched.run_until_drained()
+                out[staged] = [sched.result(i).tokens for i in ids]
+        finally:
+            qdecode.INTERPRET = False
+        assert out[True] == out[False]
 
 
 class TestSchedulerSuppressorVariant:

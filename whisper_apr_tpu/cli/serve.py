@@ -16,8 +16,9 @@ API:
                         -> {"text": ..., "tokens": [...], "queue_ms": ...,
                             "status": "ok"|"cancelled"|"timeout"}
   POST /v1/audio/transcriptions  OpenAI-compatible (multipart form-data:
-                        file / language / response_format json|text|
-                        verbose_json) — drop-in for Whisper API clients
+  POST /v1/audio/translations     file / language / response_format json|
+                        text|verbose_json) — drop-in for Whisper API
+                        clients; /translations runs the translate task
   GET  /v1/jobs/<id>    poll an async job -> result, or {"status":"pending"}
   POST /v1/cancel?id=N  abort a queued/in-flight request (Worker-protocol
                         Abort parity, reference: src/wasm/worker.rs:38)
@@ -339,11 +340,15 @@ class TranscribeServer:
                             server._pump_sessions()
                         self._json(202, {"status": "finalizing"})
                     return
-                if parsed.path == "/v1/audio/transcriptions":
-                    # OpenAI-compatible endpoint (drop-in for existing
+                if parsed.path in ("/v1/audio/transcriptions",
+                                   "/v1/audio/translations"):
+                    # OpenAI-compatible endpoints (drop-in for existing
                     # Whisper API clients; whisper.cpp's server exposes
                     # the same surface): multipart fields file / language /
-                    # response_format (json | text | verbose_json)
+                    # response_format (json | text | verbose_json);
+                    # /translations runs the translate task (-> English)
+                    task = ("translate" if parsed.path.endswith("translations")
+                            else "transcribe")
                     try:
                         length = int(self.headers.get("Content-Length", 0))
                         body = self.rfile.read(length)
@@ -363,8 +368,7 @@ class TranscribeServer:
                     except Exception as e:  # noqa: BLE001 - HTTP boundary
                         self._json(400, {"error": str(e)})
                         return
-                    rid = server.scheduler.submit(samples, lang,
-                                                  "transcribe")
+                    rid = server.scheduler.submit(samples, lang, task)
                     comp = self._wait(rid)
                     if comp is None:
                         self._json(504, {"error": "decode timeout"})
@@ -381,7 +385,7 @@ class TranscribeServer:
                         self.wfile.write(data)
                     elif fmt == "verbose_json":
                         self._json(200, {
-                            "task": "transcribe", "language": lang,
+                            "task": task, "language": lang,
                             "duration": len(samples) / SAMPLE_RATE,
                             "text": text, "segments": []})
                     else:

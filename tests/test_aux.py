@@ -356,6 +356,34 @@ class TestCheckpoint:
                         jax.tree_util.tree_leaves(back)):
             assert np.array_equal(np.asarray(a), np.asarray(b))
 
+    def test_v1_pickled_treedef_refused(self, tmp_path):
+        # v1 files carried a pickled treedef (arbitrary-code-execution on
+        # load); the loader must refuse them rather than unpickle.
+        import json
+        import pytest
+        from whisper_apr_tpu.utils.checkpoint import load_params
+        path = str(tmp_path / "v1.npz")
+        meta = {"version": 1, "n_leaves": 1, "treedef": "deadbeef"}
+        with open(path, "wb") as f:
+            np.savez(f, __meta__=np.frombuffer(
+                json.dumps(meta).encode(), dtype=np.uint8),
+                leaf_0=np.zeros(3, np.float32))
+        with pytest.raises(ValueError, match="version 1"):
+            load_params(path)
+
+    def test_roundtrip_structures(self, tmp_path):
+        # tuples, lists, Nones, and nested dicts survive the declarative spec
+        from whisper_apr_tpu.utils.checkpoint import load_params, save_params
+        tree = {"a": (np.arange(4.0), [np.ones(2), None]),
+                "b": {"c": np.int32(7) * np.ones(1, np.int32)}}
+        path = str(tmp_path / "s.npz")
+        save_params(path, tree)
+        back = load_params(path, device_put=False)
+        assert isinstance(back["a"], tuple) and isinstance(back["a"][1], list)
+        assert back["a"][1][1] is None
+        assert np.array_equal(back["a"][0], np.arange(4.0))
+        assert np.array_equal(back["b"]["c"], np.full(1, 7, np.int32))
+
 
 class TestMmapRead:
     def test_mmap_matches_plain(self, tmp_path):

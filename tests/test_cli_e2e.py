@@ -187,7 +187,28 @@ class TestCliDarkPaths:
                   "-o", out, "--max-tokens", "4", "-l", "en", "--verbose"])
         assert rc == 0
         assert os.path.exists(out)
-        assert "rtf=" in capsys.readouterr().err
+        err = capsys.readouterr().err
+        assert "rtf=" in err
+        # --verbose surfaces model-load phase progress
+        # (reference: lib.rs:700 load_from_apr_with_progress)
+        load_lines = [l for l in err.splitlines() if l.startswith("[load]")]
+        assert load_lines, err
+        phases = [l.split()[1] for l in load_lines]
+        for ph in ("read", "parse", "encoder", "decoder", "finalize"):
+            assert ph in phases, (ph, phases)
+
+    def test_load_progress_monotone(self, workdir):
+        from whisper_apr_tpu.engine import WhisperApr
+        seen = []
+        WhisperApr.load_from_apr(workdir["model"], progress=seen.append)
+        overall = [p.overall for p in seen]
+        assert overall == sorted(overall)
+        assert overall[-1] == 1.0 and seen[-1].phase == "finalize"
+        order = []
+        for p in seen:
+            if not order or order[-1] != p.phase:
+                order.append(p.phase)
+        assert order == ["read", "parse", "encoder", "decoder", "finalize"]
 
     def test_transcribe_nbest_beam(self, workdir, capsys):
         rc = run(["transcribe", workdir["clip"], "-m", workdir["model"],

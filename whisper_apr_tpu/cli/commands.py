@@ -42,6 +42,21 @@ def _load_audio(path: str) -> np.ndarray:
     return samples
 
 
+def _progress_printer():
+    """Phase-progress printer for --verbose model loading (reference:
+    commands.rs load path + src/progress.rs phase reporting)."""
+    last = {"phase": None, "quarter": -1}
+
+    def cb(p) -> None:
+        quarter = int(p.phase_progress * 4)
+        if p.phase != last["phase"] or quarter != last["quarter"]:
+            last["phase"], last["quarter"] = p.phase, quarter
+            print(f"[load] {p.phase:<9s} {p.overall * 100:5.1f}%"
+                  + (f"  {p.message}" if p.phase_progress >= 1.0 else ""),
+                  file=sys.stderr)
+    return cb
+
+
 def _load_engine(args) -> WhisperApr:
     from ..config import ComputeConfig
     compute = ComputeConfig(
@@ -49,7 +64,10 @@ def _load_engine(args) -> WhisperApr:
         param_dtype="float32" if getattr(args, "fp32", False) else "bfloat16",
         use_flash_attention=True if getattr(args, "flash_attn", False)
         else None)
-    return WhisperApr.load_from_apr(args.model, compute=compute)
+    progress = (_progress_printer()
+                if getattr(args, "verbose", False) else None)
+    return WhisperApr.load_from_apr(args.model, compute=compute,
+                                    progress=progress)
 
 
 def _options_from_args(args, task: str) -> TranscribeOptions:

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 import time
-from typing import List, Optional, Sequence, Union
+from typing import Callable, List, Optional, Sequence, Union
 
 import jax
 import jax.numpy as jnp
@@ -151,9 +151,26 @@ class WhisperApr:
     def load_from_apr(path_or_bytes: Union[str, bytes],
                       compute: Optional[ComputeConfig] = None,
                       verify_crc: bool = True,
-                      specials: Optional[SpecialTokens] = None) -> "WhisperApr":
-        """Load a model from an .apr container (reference: src/lib.rs:673)."""
+                      specials: Optional[SpecialTokens] = None,
+                      progress: Optional[Callable] = None) -> "WhisperApr":
+        """Load a model from an .apr container (reference: src/lib.rs:673).
+
+        ``progress`` receives :class:`~..utils.progress.Progress` updates
+        through the weighted read/parse/encoder/decoder/finalize phases
+        (reference: src/lib.rs:700 load_from_apr_with_progress +
+        src/progress.rs ProgressTracker::model_loading).
+        """
         from .format.v2 import AprReaderV2, is_v2
+        from .utils.progress import ProgressTracker
+        tracker = ProgressTracker.model_loading() if progress else None
+
+        def _emit(msg: str = "") -> None:
+            if tracker is not None:
+                progress(tracker.to_progress(msg))
+
+        if tracker is not None:
+            tracker.start_phase("read")
+            _emit("opening container")
         raw = (open(path_or_bytes, "rb").read(4)
                if isinstance(path_or_bytes, str) else path_or_bytes[:4])
         if is_v2(raw):
@@ -164,6 +181,9 @@ class WhisperApr:
             reader = (AprReader.from_file(path_or_bytes)
                       if isinstance(path_or_bytes, str)
                       else AprReader(path_or_bytes))
+        if tracker is not None:
+            tracker.advance()  # -> parse
+            _emit("header + checksum")
         if verify_crc and not reader.verify_crc():
             raise ModelError("corrupt .apr file: CRC32 mismatch")
         config = reader.header.to_model_config()
@@ -180,11 +200,30 @@ class WhisperApr:
                (file_q4k and compute.quantization in ("none", "q4k")) or \
                (file_q5k and compute.quantization in ("none", "q5k")) or \
                (file_q6k and compute.quantization in ("none", "q6k"))
-        params = load_params_from_apr(reader, dtype=dtype, keep_quantized=keep)
+        on_tensor = None
+        if tracker is not None:
+            # expected tensor loads per section (attn=8, ln=2, fc=2 each)
+            totals = {"encoder": 7 + 16 * config.n_audio_layer,
+                      "decoder": 4 + 26 * config.n_text_layer}
+            counts = {"encoder": 0, "decoder": 0}
+
+            def on_tensor(name: str, _i: int) -> None:
+                ph = "encoder" if name.startswith("encoder.") else "decoder"
+                counts[ph] += 1
+                tracker.start_phase(ph)
+                tracker.update_phase_progress(
+                    min(counts[ph] / totals[ph], 1.0))
+                _emit(name)
+
+        params = load_params_from_apr(reader, dtype=dtype, keep_quantized=keep,
+                                      on_tensor=on_tensor)
         if compute.quantization != "none" and not keep:
             from .model.params import quantize_params
             params = quantize_params(params, compute.quantization)
 
+        if tracker is not None:
+            tracker.start_phase("finalize")
+            _emit("vocabulary + filterbank")
         tokenizer = None
         vb = reader.read_vocabulary_bytes()
         if vb is not None:
@@ -195,8 +234,12 @@ class WhisperApr:
         if fb is not None:
             mel_filters = MelFilterbank.from_apr_data(fb)
 
-        return WhisperApr(config, params, tokenizer, mel_filters, compute,
-                          specials)
+        eng = WhisperApr(config, params, tokenizer, mel_filters, compute,
+                         specials)
+        if tracker is not None:
+            tracker.update_phase_progress(1.0)
+            _emit("done")
+        return eng
 
     @staticmethod
     def from_hf_model(hf_model, config: ModelConfig,

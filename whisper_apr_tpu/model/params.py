@@ -111,7 +111,9 @@ def _stack(loader: Callable[[int], np.ndarray], n: int) -> jnp.ndarray:
 
 def load_params_from_apr(reader: AprReader,
                          dtype: jnp.dtype = jnp.float32,
-                         keep_quantized: bool = False) -> Params:
+                         keep_quantized: bool = False,
+                         on_tensor: Optional[Callable[[str, int], None]] = None
+                         ) -> Params:
     """Build the stacked parameter pytree from an .apr file.
 
     Mirrors the reference load path (reference: src/lib.rs:673
@@ -122,7 +124,17 @@ def load_params_from_apr(reader: AprReader,
     QTensors with the FILE's per-tensor scales (no dequantize->requantize
     round trip; the reference instead always dequantizes on load,
     format/mod.rs:632); LN/bias/conv/pos tensors still load as f32.
+
+    ``on_tensor(name, i)`` fires after each tensor read — the hook the
+    engine's progress plumbing uses (reference: src/lib.rs:700
+    load_from_apr_with_progress reports per-phase tensor progress).
     """
+    _n_loaded = [0]
+
+    def _count(name: str) -> None:
+        _n_loaded[0] += 1
+        if on_tensor is not None:
+            on_tensor(name, _n_loaded[0])
     cfg = reader.header.to_model_config()
     file_quant = getattr(getattr(reader, "header", None),
                          "quantization", 0)
@@ -141,6 +153,7 @@ def load_params_from_apr(reader: AprReader,
         raw = np.asarray(reader.load_raw(name)).reshape(d_out, d_in)
         q = np.ascontiguousarray(raw.T)  # [d_in, d_out] int8
         scale = np.float32(reader.scale_for(name))
+        _count(name)
         return q, scale
 
     def get(name: str, *shape, transpose=False) -> np.ndarray:
@@ -148,13 +161,18 @@ def load_params_from_apr(reader: AprReader,
         arr = arr.reshape(shape) if shape else arr
         if transpose:
             arr = np.ascontiguousarray(arr.T)
+        _count(name)
         return arr
 
     def get_or(name: str, fallback: str) -> np.ndarray:
         try:
-            return reader.load_tensor(name)
+            arr = reader.load_tensor(name)
+            _count(name)
+            return arr
         except Exception:
-            return reader.load_tensor(fallback)
+            arr = reader.load_tensor(fallback)
+            _count(fallback)
+            return arr
 
     def j(arr: np.ndarray) -> jnp.ndarray:
         return jnp.asarray(arr, dtype=dtype)
@@ -189,9 +207,12 @@ def load_params_from_apr(reader: AprReader,
             else:
                 from ..ops.kquants import \
                     planar_from_raw_q6k as planar_from_raw
-            qts = [planar_from_raw(
-                np.asarray(reader.load_raw(prefix_fn(i))), d_out, d_in)
-                for i in range(L)]
+            def _raw(name: str) -> np.ndarray:
+                arr = np.asarray(reader.load_raw(name))
+                _count(name)
+                return arr
+            qts = [planar_from_raw(_raw(prefix_fn(i)), d_out, d_in)
+                   for i in range(L)]
             zero = (jnp.stack([t.zero for t in qts])
                     if qts[0].zero is not None else None)
             return QTensor(
@@ -205,7 +226,9 @@ def load_params_from_apr(reader: AprReader,
 
     def linear_b(prefix: str, d_out: int, required=True):
         try:
-            return reader.load_tensor(f"{prefix}.bias").reshape(d_out)
+            arr = reader.load_tensor(f"{prefix}.bias").reshape(d_out)
+            _count(f"{prefix}.bias")
+            return arr
         except Exception:
             if required:
                 raise
@@ -265,6 +288,7 @@ def load_params_from_apr(reader: AprReader,
                 jnp.asarray(np.asarray(reader.load_raw(te_name))
                             .reshape(cfg.n_vocab, d_t)),
                 jnp.asarray(np.float32(reader.scale_for(te_name))))
+            _count(te_name)
         elif native_q4k or native_q5k or native_q6k:
             from ..ops.quant import quantize_int8
             token_emb = quantize_int8(

@@ -68,6 +68,9 @@ class ProgressTracker:
         done = sum(p.weight for p in self.phases[: self._idx])
         cur = self.phases[self._idx]
         overall = (done + cur.weight * self._phase_progress) / self._total
+        # completing the last phase is exactly 1.0 (float weight sums round)
+        if self._idx == len(self.phases) - 1 and self._phase_progress >= 1.0:
+            overall = 1.0
         return Progress(cur.name, self._phase_progress, overall, message)
 
 

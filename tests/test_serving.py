@@ -351,6 +351,20 @@ class TestCancelAndDeadlines:
         sched.run_until_drained()
         assert sched.pending() == 0
 
+    def test_pending_is_queue_plus_active(self, engine):
+        """pending() must SUM queue depth and active slots (a sign flip
+        would report 0 for one-queued-one-active). Deterministic: admit via
+        _fill_slots on the caller thread, no step/EOT race."""
+        sched = BatchScheduler(engine, n_slots=1)
+        sched.submit(self._audio(21), "en", max_tokens=20)
+        sched.submit(self._audio(22), "en", max_tokens=20)
+        sched._fill_slots()  # slot 0 active; second request still queued
+        assert int(sched._active.sum()) == 1
+        assert sched._queue.qsize() == 1
+        assert sched.pending() == 2
+        sched.run_until_drained()
+        assert sched.pending() == 0
+
     def test_stats_total_includes_timeouts(self, engine):
         sched = BatchScheduler(engine, n_slots=1)
         r0 = sched.submit(self._audio(14), "en", max_tokens=5)

@@ -65,8 +65,10 @@ def _add_decode_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--n-best", type=int, default=0, metavar="N",
                    help="with --beam-size>1: print the N best hypotheses")
     p.add_argument("--speculative", action="store_true",
-                   help="self-draft multi-token decode (single stream, "
-                        "token-exact vs greedy)")
+                   help="EXPERIMENTAL: self-draft multi-token decode "
+                        "(single stream, token-exact vs greedy); speedup "
+                        "depends on draft acceptance, which is unverified "
+                        "on real weights — benchmark before relying on it")
     p.add_argument("--hotword", action="append", default=None,
                    metavar="PHRASE[:BOOST]",
                    help="boost a phrase during decoding (repeatable)")

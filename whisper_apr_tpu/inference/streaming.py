@@ -68,7 +68,8 @@ class StreamingTranscriber:
 
     def __init__(self, engine, config: Optional[StreamingConfig] = None,
                  language: Optional[str] = None,
-                 emit_partials: bool = False) -> None:
+                 emit_partials: bool = False,
+                 max_tokens: int = MAX_TOKENS_PER_CHUNK) -> None:
         from ..engine import TranscribeOptions
         self.engine = engine
         self.processor = StreamingProcessor(
@@ -76,7 +77,7 @@ class StreamingTranscriber:
         self.language = language
         self.emit_partials = emit_partials
         self._opts = TranscribeOptions(
-            language=language, max_tokens=MAX_TOKENS_PER_CHUNK)
+            language=language, max_tokens=max_tokens)
         self._transcript: List[str] = []
 
     def push(self, samples: np.ndarray) -> List[StreamingResult]:
@@ -146,7 +147,10 @@ class StreamingSession:
         self._t = StreamingTranscriber(
             engine, cfg,
             language=getattr(options, "language", None) if options else None,
-            emit_partials=True)
+            emit_partials=True,
+            max_tokens=(getattr(options, "max_tokens", None)
+                        or MAX_TOKENS_PER_CHUNK) if options
+            else MAX_TOKENS_PER_CHUNK)
         self.partial_reuse = partial_reuse
         self._partial_tokens: List[int] = []
         self.results: List[StreamingResult] = []

@@ -25,6 +25,8 @@ pins ours.
 
 import os
 import sys
+
+sys.path.insert(0, __file__.rsplit('/', 2)[0])  # repo root when run as tools/x.py
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")

@@ -82,7 +82,8 @@ def _install_restore_signals():
         signal.signal(sig, _raise)
 
 
-def run_mutations(target: str, test_cmd, max_mutants=None, timeout=300):
+def run_mutations(target: str, test_cmd, max_mutants=None, timeout=300,
+                  only=None):
     _install_restore_signals()
     src_path = os.path.join(ROOT, target)
 
@@ -118,6 +119,16 @@ def run_mutations(target: str, test_cmd, max_mutants=None, timeout=300):
 
     tree = ast.parse(original)
     sites = find_mutations(tree)
+    if only:
+        # resweep mode: only the named survivor sites (exact description
+        # match). Cheap way to re-adjudicate prior survivors after killer
+        # tests land, without paying the full-sweep CPU again.
+        missing = [d for d in only if d not in {s[1] for s in sites}]
+        if missing:
+            print("--only descriptions not found (line drift?):", missing)
+            os.remove(backup)
+            raise SystemExit(2)
+        sites = [s for s in sites if s[1] in set(only)]
     if max_mutants:
         step = max(1, len(sites) // max_mutants)
         sites = sites[::step][:max_mutants]
@@ -174,6 +185,11 @@ def main():
     ap.add_argument("target", help="module path relative to repo root")
     ap.add_argument("--max", type=int, default=None)
     ap.add_argument("--timeout", type=int, default=300)
+    ap.add_argument("--only", action="append", default=None,
+                    metavar="DESC",
+                    help="resweep only this mutant description (exact, "
+                         "repeatable); result MERGES into the existing "
+                         "MUTATION.json entry instead of replacing it")
     # everything after the target (that isn't --max/--timeout) is passed
     # verbatim to pytest, INCLUDING flags like -k/-x
     ap.add_argument("tests", nargs=argparse.REMAINDER,
@@ -181,7 +197,8 @@ def main():
     args = ap.parse_args()
     if not args.tests:
         ap.error("no pytest args given")
-    result = run_mutations(args.target, args.tests, args.max, args.timeout)
+    result = run_mutations(args.target, args.tests, args.max, args.timeout,
+                           only=args.only)
     out = os.path.join(ROOT, "MUTATION.json")
     data = {}
     if os.path.exists(out):
@@ -189,6 +206,19 @@ def main():
             data = json.load(open(out))
         except json.JSONDecodeError:
             data = {}
+    if args.only and args.target in data:
+        # merge a survivor resweep into the full-sweep record: previously
+        # killed mutants stay killed (the test set only grows), the
+        # resweep re-adjudicates exactly the named survivors
+        prev = data[args.target]
+        resweep = set(args.only)
+        keep = [s for s in prev["survivors"] if s not in resweep]
+        survivors = keep + result["survivors"]
+        killed = prev["mutants"] - len(survivors)
+        result = {"target": args.target, "mutants": prev["mutants"],
+                  "killed": killed,
+                  "kill_rate": round(killed / prev["mutants"], 3),
+                  "survivors": survivors}
     data[args.target] = result
     with open(out, "w") as f:
         json.dump(data, f, indent=1, sort_keys=True)

@@ -121,11 +121,13 @@ def run_pipeline_benchmark(model_path: Optional[str] = None,
     rng = np.random.default_rng(0)
     audio = rng.normal(0, 0.1, int(16_000 * audio_seconds)).astype(np.float32)
 
+    from ..tokenizer.special_tokens import SpecialTokens
+    specials = SpecialTokens.for_vocab_size(cfg.n_vocab)
     prompt_len = 4
-    sot = 50258 if cfg.n_vocab >= 51865 else 50257
-    prompt = jnp.asarray(np.full((1, prompt_len), sot, dtype=np.int32))
+    prompt = jnp.asarray(np.full((1, prompt_len), specials.sot,
+                                 dtype=np.int32))
     bias = np.zeros(cfg.n_vocab, dtype=np.float32)
-    eot = 50257 if cfg.n_vocab >= 51865 else 50256
+    eot = specials.eot
     bias[eot] = np.finfo(np.float32).min  # fixed-length decode
     bias = jnp.asarray(bias)
     max_len = prompt_len + decode_tokens

@@ -47,6 +47,16 @@ _LANES = 128
 _NEG = float(-0.7 * np.finfo(np.float32).max)
 _LN_EPS = 1e-5
 
+# Transposed-score softmax (B=1 kernels): scores leave the MXU as [bt, H]
+# (H = n_heads, e.g. 20, padded to 128 lanes), so every VPU op on them —
+# mask, max, exp, sum, row scales — burns 128/H more vector registers
+# than the live data needs.  With TRANSPOSED on, one small XLU transpose
+# per tile flips scores to [H, bt] (full lanes), the online-softmax state
+# becomes [H, 1], and the value contraction becomes a native [H, bt] @
+# [bt, D] matmul (no implicit lhs transpose).  Opt-in until slope-timed
+# on hardware (round-4 VERDICT #3: attention-tile VPU work).
+TRANSPOSED = False
+
 
 def _ln(x32: jnp.ndarray, w_ref, b_ref) -> jnp.ndarray:
     """f32 LayerNorm over lanes of [1, D] (reference: encoder.rs:219)."""
@@ -109,6 +119,41 @@ def _finish_attention(e_t, m_ref, l_ref, acc_ref):
     return acc_ref[...] / l_d                          # [1, D] f32
 
 
+def _attn_tile_t(sT, validT, e_t, v, vsT, m_ref, l_ref, acc_ref, quantized):
+    """Transposed-layout online-softmax step (see TRANSPOSED).
+
+    sT: [H, bt] f32 scores with K-row scales folded; validT: [1, bt] bool;
+    v: [bt, D] (raw int8 in quantized mode, compute dtype otherwise);
+    vsT: [1, bt] f32 V-row scales or None; m/l scratch: [H, 1]."""
+    sT = jnp.where(validT, sT, _NEG)
+    m_prev = m_ref[...]                                # [H, 1]
+    m_next = jnp.maximum(m_prev, jnp.max(sT, axis=1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_next)                   # [H, 1]
+    pT = jnp.exp(sT - m_next)                          # [H, bt] full lanes
+    l_ref[...] = l_ref[...] * alpha + jnp.sum(pT, axis=1, keepdims=True)
+    m_ref[...] = m_next
+    if quantized:
+        # fold V-row scales on lanes, then contract rows on the MXU:
+        # f32 x int8 -> f32 is exact (probed, STATUS round 3)
+        o = jax.lax.dot(pT * vsT, v,
+                        preferred_element_type=jnp.float32)  # [H, D]
+    else:
+        o = jax.lax.dot(pT.astype(v.dtype), v,
+                        preferred_element_type=jnp.float32)  # [H, D]
+    ones_h = jnp.ones((1, o.shape[0]), jnp.float32)
+    contrib = jax.lax.dot(ones_h, o * e_t,
+                          preferred_element_type=jnp.float32)  # [1, D]
+    alpha_d = jax.lax.dot(jnp.transpose(alpha), e_t,
+                          preferred_element_type=jnp.float32)
+    acc_ref[...] = acc_ref[...] * alpha_d + contrib
+
+
+def _finish_attention_t(e_t, m_ref, l_ref, acc_ref):
+    l_row = jnp.transpose(jnp.maximum(l_ref[...], 1e-30))  # [1, H]
+    l_d = jax.lax.dot(l_row, e_t, preferred_element_type=jnp.float32)
+    return acc_ref[...] / l_d                          # [1, D] f32
+
+
 def _quantize_row(r32: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """[1, D] f32 -> (int8 [1, D], scale [1, 1] f32)."""
     amax = jnp.max(jnp.abs(r32), axis=-1, keepdims=True)
@@ -126,7 +171,8 @@ def _self_kernel(lengths_ref, layer_ref, nt_ref, x_ref, lnw_ref, lnb_ref,
                  vs_ref, wo_ref, wos_ref, wob_ref, e_ref, et_ref,
                  xo_ref, k8_ref, ksc_ref, v8_ref, vsc_ref,
                  x32_s, q_s, kc_s, vc_s, m_ref, l_ref, acc_ref, qe_s,
-                 *, d: int, bt: int, scale: float, quantized: bool):
+                 *, d: int, bt: int, scale: float, quantized: bool,
+                 transposed: bool = False):
     b = pl.program_id(0)
     t = pl.program_id(1)
     e = e_ref[...]
@@ -145,13 +191,16 @@ def _self_kernel(lengths_ref, layer_ref, nt_ref, x_ref, lnw_ref, lnb_ref,
         k = qkv[:, d:2 * d]
         v = qkv[:, 2 * d:]
         q_s[...] = q * scale
-        if quantized:
+        if quantized or transposed:
             # qe[d, h] = q[d] * scale * e[d, h]: the score dot against the
             # RAW int8 K tile becomes s = dot(k8, qe) * ks — the per-tile
             # [bt, D] cast + multiply moves onto the MXU. [1, D] -> [D, 1]
             # via a sublane broadcast + probed [8, D] transpose.
+            # (transposed bf16 mode uses qe the same way: the k * q
+            # elementwise over [bt, D] moves into the score matmul.)
             q8 = jnp.broadcast_to(q * scale, (8, d))
             qe_s[...] = jnp.transpose(q8)[:, 0:1] * e
+        if quantized:
             k8, ks = _quantize_row(k)
             v8, vs = _quantize_row(v)
             k8_ref[...] = k8[None]
@@ -184,6 +233,26 @@ def _self_kernel(lengths_ref, layer_ref, nt_ref, x_ref, lnw_ref, lnb_ref,
 
     @pl.when(t < nt_ref[0])
     def _tile():
+        if transposed:
+            if quantized:
+                s = jax.lax.dot(kq_ref[0, 0], qe_s[...],
+                                preferred_element_type=jnp.float32)
+                sT = jnp.transpose(s) \
+                    * jnp.transpose(ks_ref[0, 0].astype(jnp.float32))
+                vsT = jnp.transpose(vs_ref[0, 0].astype(jnp.float32))
+                v = vq_ref[0, 0]                       # raw int8 [bt, D]
+            else:
+                k = kq_ref[0, 0].astype(cdt)
+                v = vq_ref[0, 0].astype(cdt)
+                sT = jnp.transpose(jax.lax.dot(
+                    k, qe_s[...].astype(cdt),
+                    preferred_element_type=jnp.float32))  # [H, bt]
+                vsT = None
+            posT = t * bt + jax.lax.broadcasted_iota(jnp.int32, (1, bt), 1)
+            validT = posT < lengths_ref[b]             # excludes current
+            _attn_tile_t(sT, validT, et, v, vsT, m_ref, l_ref, acc_ref,
+                         quantized)
+            return
         vs = None
         if quantized:
             s = jax.lax.dot(kq_ref[0, 0], qe_s[...],
@@ -206,11 +275,15 @@ def _self_kernel(lengths_ref, layer_ref, nt_ref, x_ref, lnw_ref, lnb_ref,
         # current token's k/v (in VMEM, exactly what was written out)
         s_c = jax.lax.dot(kc_s[...] * q_s[...], e,
                           preferred_element_type=jnp.float32)  # [1, H]
-        m_prev = m_ref[...]
+        if transposed:                                 # [H, 1] -> [1, H]
+            m_prev = jnp.transpose(m_ref[...])
+            l_prev = jnp.transpose(l_ref[...])
+        else:
+            m_prev, l_prev = m_ref[...], l_ref[...]
         m_next = jnp.maximum(m_prev, s_c)
         alpha = jnp.exp(m_prev - m_next)
         p_c = jnp.exp(s_c - m_next)                    # [1, H]
-        l_f = l_ref[...] * alpha + p_c
+        l_f = l_prev * alpha + p_c
         alpha_d = jax.lax.dot(alpha, et, preferred_element_type=jnp.float32)
         p_d = jax.lax.dot(p_c, et, preferred_element_type=jnp.float32)
         acc = acc_ref[...] * alpha_d + p_d * vc_s[...]
@@ -227,7 +300,8 @@ def self_block(x: jnp.ndarray, blk: dict, kq: jnp.ndarray,
                ks: Optional[jnp.ndarray], vq: jnp.ndarray,
                vs: Optional[jnp.ndarray], pos: jnp.ndarray, layer,
                n_heads: int, block_t: int = 256,
-               interpret: bool = False):
+               interpret: bool = False,
+               transposed: Optional[bool] = None):
     """Whole self-attention sub-block for one decode token per sequence.
 
     x [B, D]; blk: stacked operands from qdecode.prepare_qdecode()["blk"]
@@ -256,8 +330,11 @@ def self_block(x: jnp.ndarray, blk: dict, kq: jnp.ndarray,
     # int8 -> int8 rows; fp8 caches -> f8 rows; bf16 -> compute dtype
     row_dtype = kq.dtype
 
+    if transposed is None:
+        transposed = TRANSPOSED
     kernel = functools.partial(_self_kernel, d=D, bt=block_t, scale=scale,
-                               quantized=quantized)
+                               quantized=quantized, transposed=transposed)
+    ml_shape = (n_heads, 1) if transposed else (1, n_heads)
     # dynamic tile bound (see self_block_batched)
     n_tiles = T // block_t
     nt = jnp.clip((jnp.max(lengths) + block_t - 1) // block_t,
@@ -331,8 +408,8 @@ def self_block(x: jnp.ndarray, blk: dict, kq: jnp.ndarray,
                 pltpu.VMEM((1, D), jnp.float32),      # q (pre-scaled)
                 pltpu.VMEM((1, D), jnp.float32),      # k current
                 pltpu.VMEM((1, D), jnp.float32),      # v current
-                pltpu.VMEM((1, n_heads), jnp.float32),
-                pltpu.VMEM((1, n_heads), jnp.float32),
+                pltpu.VMEM(ml_shape, jnp.float32),    # m (online max)
+                pltpu.VMEM(ml_shape, jnp.float32),    # l (online sum)
                 pltpu.VMEM((1, D), jnp.float32),
                 pltpu.VMEM((D, n_heads), jnp.float32),  # qe (int8 scores)
             ],
@@ -354,7 +431,8 @@ def _cross_kernel(lengths_ref, layer_ref, x_ref, lnw_ref, lnb_ref,
                   wq_ref, sq_ref, bq_ref, kq_ref, ks_ref, vq_ref, vs_ref,
                   wo_ref, wos_ref, wob_ref, e_ref, et_ref,
                   xo_ref, x32_s, q_s, m_ref, l_ref, acc_ref, qe_s,
-                  *, bt: int, scale: float, quantized: bool):
+                  *, bt: int, scale: float, quantized: bool,
+                  transposed: bool = False):
     b = pl.program_id(0)
     t = pl.program_id(1)
     e = e_ref[...]
@@ -369,7 +447,7 @@ def _cross_kernel(lengths_ref, layer_ref, x_ref, lnw_ref, lnb_ref,
         q = jax.lax.dot(h, w, preferred_element_type=jnp.float32)
         q = q * sq_ref[0].astype(jnp.float32) + bq_ref[0].astype(jnp.float32)
         q_s[...] = q * scale
-        if quantized:
+        if quantized or transposed:
             # see _self_kernel: raw-int8 score dot needs qe = q_col * e
             q8 = jnp.broadcast_to(q * scale, (8, q.shape[-1]))
             qe_s[...] = jnp.transpose(q8)[:, 0:1] * e
@@ -378,26 +456,47 @@ def _cross_kernel(lengths_ref, layer_ref, x_ref, lnw_ref, lnb_ref,
         acc_ref[...] = jnp.zeros(acc_ref.shape, jnp.float32)
 
     cdt = x_ref.dtype
-    vs = None
-    if quantized:
-        s = jax.lax.dot(kq_ref[0, 0], qe_s[...],
-                        preferred_element_type=jnp.float32)
-        s = s * ks_ref[0, 0].astype(jnp.float32)
-        vs = vs_ref[0, 0].astype(jnp.float32)
-        v = vq_ref[0, 0]                               # raw int8 [bt, D]
+    if transposed:
+        if quantized:
+            s = jax.lax.dot(kq_ref[0, 0], qe_s[...],
+                            preferred_element_type=jnp.float32)
+            sT = jnp.transpose(s) \
+                * jnp.transpose(ks_ref[0, 0].astype(jnp.float32))
+            vsT = jnp.transpose(vs_ref[0, 0].astype(jnp.float32))
+            v = vq_ref[0, 0]                           # raw int8 [bt, D]
+        else:
+            k = kq_ref[0, 0].astype(cdt)
+            v = vq_ref[0, 0].astype(cdt)
+            sT = jnp.transpose(jax.lax.dot(
+                k, qe_s[...].astype(cdt),
+                preferred_element_type=jnp.float32))   # [H, bt]
+            vsT = None
+        posT = t * bt + jax.lax.broadcasted_iota(jnp.int32, (1, bt), 1)
+        validT = posT < lengths_ref[b]
+        _attn_tile_t(sT, validT, et, v, vsT, m_ref, l_ref, acc_ref,
+                     quantized)
     else:
-        k = kq_ref[0, 0].astype(cdt)
-        v = vq_ref[0, 0].astype(cdt)
-        qk = k * q_s[...].astype(cdt)
-        s = jax.lax.dot(qk, e.astype(cdt),
-                        preferred_element_type=jnp.float32)
-    pos = t * bt + jax.lax.broadcasted_iota(jnp.int32, (bt, 1), 0)
-    valid = pos < lengths_ref[b]
-    _attn_tile(s, valid, et, v, vs, m_ref, l_ref, acc_ref, quantized)
+        vs = None
+        if quantized:
+            s = jax.lax.dot(kq_ref[0, 0], qe_s[...],
+                            preferred_element_type=jnp.float32)
+            s = s * ks_ref[0, 0].astype(jnp.float32)
+            vs = vs_ref[0, 0].astype(jnp.float32)
+            v = vq_ref[0, 0]                           # raw int8 [bt, D]
+        else:
+            k = kq_ref[0, 0].astype(cdt)
+            v = vq_ref[0, 0].astype(cdt)
+            qk = k * q_s[...].astype(cdt)
+            s = jax.lax.dot(qk, e.astype(cdt),
+                            preferred_element_type=jnp.float32)
+        pos = t * bt + jax.lax.broadcasted_iota(jnp.int32, (bt, 1), 0)
+        valid = pos < lengths_ref[b]
+        _attn_tile(s, valid, et, v, vs, m_ref, l_ref, acc_ref, quantized)
 
     @pl.when(t == pl.num_programs(1) - 1)
     def _tail():
-        out = _finish_attention(et, m_ref, l_ref, acc_ref).astype(x_ref.dtype)
+        fin = _finish_attention_t if transposed else _finish_attention
+        out = fin(et, m_ref, l_ref, acc_ref).astype(x_ref.dtype)
         wo = wo_ref[0].astype(x_ref.dtype)
         y = jax.lax.dot(out, wo, preferred_element_type=jnp.float32)
         y = y * wos_ref[0].astype(jnp.float32) + wob_ref[0].astype(jnp.float32)

@@ -134,7 +134,11 @@ def large_measure(lo, hi, which=("ql_alias",)):
         # "qf_defer": one batched KV scatter after the layer loop instead
         # of 2L mid-loop row writes (qdecode.DEFER_KV_WRITES — trace-time
         # flag, so it must be set across compile)
-        qdecode.DEFER_KV_WRITES = name == "qf_defer"
+        # "qf_trans" / "qf_trans_defer": transposed-score softmax tiles
+        # (decode_blocks.TRANSPOSED — full-lane VPU, round-4 VERDICT #3)
+        from whisper_apr_tpu.ops import decode_blocks
+        qdecode.DEFER_KV_WRITES = name in ("qf_defer", "qf_trans_defer")
+        decode_blocks.TRANSPOSED = name in ("qf_trans", "qf_trans_defer")
 
         def body(i, env, carry, _alias=alias, _fn=step_fn):
             prm, q_d, const = env
@@ -151,6 +155,7 @@ def large_measure(lo, hi, which=("ql_alias",)):
             s = p.per_step(body, (params, qd, 0), (tok0, qc))
         finally:
             qdecode.DEFER_KV_WRITES = False
+            decode_blocks.TRANSPOSED = False
         print(f"{name:<12}: {s*1e3:8.4f} ms/step  "
               f"(compile+measure {time.time()-t0:.0f}s)", flush=True)
         results[name] = s

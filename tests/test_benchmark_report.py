@@ -55,3 +55,38 @@ def test_run_pipeline_benchmark_emits_floor():
     assert d["rtf_floor"] > 0
     assert set(c["name"] for c in d["components"]) == {"mel", "encode",
                                                        "decode"}
+
+
+def test_run_pipeline_benchmark_timings_are_durations():
+    """The stage timings must be perf_counter DIFFERENCES. A sign flip
+    (t_end + t_start) yields a huge positive number, so positivity checks
+    alone miss it — pin the stage/total decomposition instead: stages sum
+    to the measured total (they are contiguous) and every value is a sane
+    wall-clock duration for a 1-second clip on this machine."""
+    out = run_pipeline_benchmark(audio_seconds=1.0, decode_tokens=3,
+                                 emit="json")
+    d = json.loads(out)
+    total = d["total_seconds"]
+    assert 0 < total < 600  # an epoch-scale sum (~3.5e9) is not a duration
+    stage_sum = sum(c["seconds"] for c in d["components"])
+    assert abs(stage_sum - total) / total < 0.05  # contiguous stages
+    for c in d["components"]:
+        assert 0 < c["seconds"] <= total
+        # json emitter rounds fraction to 3 decimals
+        assert abs(c["fraction"] - c["seconds"] / total) < 5e-4
+
+
+def test_run_pipeline_benchmark_emit_dispatch():
+    """emit='json' must return JSON (not the text report), and 'csv'/text
+    must not: pins the equality dispatch at the tail of the function."""
+    js = run_pipeline_benchmark(audio_seconds=1.0, decode_tokens=3,
+                                emit="json")
+    json.loads(js)  # raises if the text report came back
+    txt = run_pipeline_benchmark(audio_seconds=1.0, decode_tokens=3,
+                                 emit="text")
+    assert "bottleneck" in txt
+    try:
+        json.loads(txt)
+        assert False, "emit='text' returned JSON"
+    except json.JSONDecodeError:
+        pass

@@ -251,3 +251,89 @@ class TestPagedScheduler:
             assert sched._paged_kv.free_pages == free0  # all pages returned
         finally:
             paged_decode.INTERPRET = False
+
+    def test_default_pool_holds_every_slot_at_max_len(self, cfg, setup):
+        """The default page pool must fit ALL slots at max_len
+        SIMULTANEOUSLY plus the reserved scratch page (serving.py
+        pool_pages = B * p_max + 1). An off-by-two (B*p_max - 1) only
+        surfaces when the LAST slot fills — so fill every slot to
+        max_len and require the allocator to succeed."""
+        params, _ = setup
+        from whisper_apr_tpu.parallel.serving import BatchScheduler
+        eng = WhisperApr(cfg, params, specials=small_specials(cfg))
+        sched = BatchScheduler(eng, n_slots=2, max_len=32, paged=True)
+        pk = sched._paged_kv
+        assert pk.free_pages == 2 * sched._p_max  # sentinel took exactly 1
+        for slot in range(2):
+            pk.alloc(slot, sched.max_len)  # raises "out of KV pages" if short
+        assert pk.free_pages == 0
+
+    def test_staged_admission_reserves_first_token_page(self, cfg, setup):
+        """Staged paged admission allocs prompt + ONE generated token
+        (serving.py alloc(slot, P + 1)). With P == PAGE_SIZE exactly, the
+        +1 is what reserves the second page AT ADMISSION — the fail-fast
+        contract (reject while nothing is half-written; reference:
+        decoder.rs:880-961 alloc-with-rollback) — instead of leaving the
+        first decode tick to discover the pool is short."""
+        params, _ = setup
+        from whisper_apr_tpu.parallel.serving import BatchScheduler, Request
+        eng = WhisperApr(cfg, params, specials=small_specials(cfg))
+        rng = np.random.default_rng(13)
+        audio = rng.normal(0, 0.1, 3200).astype(np.float32)
+        prompt = [5] * PAGE_SIZE  # exactly one full page of prompt
+        paged_decode.INTERPRET = True
+        try:
+            sched = BatchScheduler(eng, n_slots=1, max_len=48, paged=True,
+                                   batched_admission=False)
+            sched._admit_one(0, Request(5, audio, list(prompt), 4))
+        finally:
+            paged_decode.INTERPRET = False
+        pk = sched._paged_kv
+        # P+1 = 17 tokens -> 2 pages reserved at admission time
+        assert len(pk._tables[0]) == 2
+
+    def test_batched_admission_offsets_place_rows(self, cfg, setup):
+        """Batched paged admission must land prompt row t of each slot at
+        pool[:, table[t // PAGE_SIZE], t % PAGE_SIZE]. The prefill K/V are
+        computed by the SAME fused_admit_step as the dense path, so the
+        gathered paged rows must equal the dense cache rows exactly — a
+        flipped mod/div in the serving-side offset arithmetic
+        (serving.py offs = positions % PAGE_SIZE) stacks every row at
+        offset 0 and breaks this for any prompt longer than one token."""
+        params, _ = setup
+        from whisper_apr_tpu.parallel.serving import BatchScheduler
+        eng = WhisperApr(cfg, params, specials=small_specials(cfg))
+        rng = np.random.default_rng(11)
+        audios = [rng.normal(0, 0.1, 3000 + 500 * i).astype(np.float32)
+                  for i in range(2)]
+        paged_decode.INTERPRET = True
+        try:
+            caches = {}
+            for mode in ("dense", "paged"):
+                sched = BatchScheduler(eng, n_slots=2, max_len=32,
+                                       paged=(mode == "paged"))
+                for a in audios:
+                    sched.submit(a, "en", max_tokens=4)
+                sched._fill_slots()  # one batched admission, no decode yet
+                caches[mode] = sched
+        finally:
+            paged_decode.INTERPRET = False
+        dense, paged = caches["dense"], caches["paged"]
+        pk = paged._paged_kv
+        dense_k = np.asarray(dense._cache.self_k)
+        dense_v = np.asarray(dense._cache.self_v)
+        pool_k = np.asarray(pk.k_pool)
+        pool_v = np.asarray(pk.v_pool)
+        for slot in (0, 1):
+            P = int(paged._pos[slot])
+            assert P >= 2, "prompt must span several offsets"
+            assert P == int(dense._pos[slot])
+            table = np.asarray(pk._tables[slot], np.int32)
+            for t in range(P):
+                page, off = table[t // PAGE_SIZE], t % PAGE_SIZE
+                np.testing.assert_array_equal(
+                    pool_k[:, page, off], dense_k[:, slot, t],
+                    err_msg=f"K slot {slot} row {t}")
+                np.testing.assert_array_equal(
+                    pool_v[:, page, off], dense_v[:, slot, t],
+                    err_msg=f"V slot {slot} row {t}")

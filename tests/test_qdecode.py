@@ -301,19 +301,20 @@ class TestFusedDecode:
             tok = jnp.asarray(np.array([7, 11], np.int32))
             pos = (jnp.asarray(np.array([2, 3], np.int32)) if multi
                    else jnp.int32(2))
-            # deferred path reads the pre-step cache; run it first, then
-            # the interleaved path on an identical copy
-            assert qdecode.DEFER_KV_WRITES is False
-            la, qa = qdecode.decode_step_qf(
-                params, qd, tok, pos, qc, cfg,
-                compute_dtype=jnp.float32, interpret=True)
-            qdecode.DEFER_KV_WRITES = True
+            # run the interleaved path first, then the deferred path on an
+            # identical copy (default-agnostic: force each mode explicitly)
+            orig = qdecode.DEFER_KV_WRITES
+            qdecode.DEFER_KV_WRITES = False
             try:
+                la, qa = qdecode.decode_step_qf(
+                    params, qd, tok, pos, qc, cfg,
+                    compute_dtype=jnp.float32, interpret=True)
+                qdecode.DEFER_KV_WRITES = True
                 lb, qb = qdecode.decode_step_qf(
                     params, qd, tok, pos, qc, cfg,
                     compute_dtype=jnp.float32, interpret=True)
             finally:
-                qdecode.DEFER_KV_WRITES = False
+                qdecode.DEFER_KV_WRITES = orig
             np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
             for fa, fb in zip(qa, qb):
                 if fa is None:

@@ -121,15 +121,15 @@ class TestTransposedScores:
         layout the two must be bit-identical."""
         params, qd, cache = _prefilled(cfg, qsetup)
         decode_blocks.TRANSPOSED = True
+        orig = qdecode.DEFER_KV_WRITES
         try:
+            qdecode.DEFER_KV_WRITES = False
             qc = qdecode.quantize_cache(cache, kv_int8=True)
             base = _steps(params, qd, qc, cfg)
             qdecode.DEFER_KV_WRITES = True
-            try:
-                qc2 = qdecode.quantize_cache(cache, kv_int8=True)
-                trans = _steps(params, qd, qc2, cfg)
-            finally:
-                qdecode.DEFER_KV_WRITES = False
+            qc2 = qdecode.quantize_cache(cache, kv_int8=True)
+            trans = _steps(params, qd, qc2, cfg)
         finally:
+            qdecode.DEFER_KV_WRITES = orig
             decode_blocks.TRANSPOSED = False
         np.testing.assert_array_equal(base, trans)

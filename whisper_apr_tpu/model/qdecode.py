@@ -649,9 +649,11 @@ BATCHED_TILE_T = None
 # carries and scatter each cache ONCE after the layer loop (2L-4L mid-loop
 # dynamic_update_slices on the multi-GB stacks -> 2-4 total). Safe because
 # the block kernels never read the current row (it is computed in-kernel;
-# rows < pos are the history). Candidate for the 0.41 ms/step XLA-glue gap
-# (BENCH_NOTES round-2b); measured via probe_layer_kernel --defer.
-DEFER_KV_WRITES = False
+# rows < pos are the history). MEASURED WIN on v5e (round 4,
+# probe_layer_kernel --which qf,qf_defer): 1.800 vs 1.855 ms/step on
+# large-v3 int8 B=1 — the default since round 4 (pinned bit-identical to
+# the interleaved schedule in tests/test_qdecode.py).
+DEFER_KV_WRITES = True
 
 
 def _pad_t(a: jnp.ndarray, block: int) -> jnp.ndarray:

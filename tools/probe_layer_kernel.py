@@ -162,7 +162,7 @@ def large_measure(lo, hi, which=("ql_alias",)):
     return results
 
 
-def q4k_measure(lo, hi, qmode="q4k"):
+def q4k_measure(lo, hi, qmode="q4k", fused=False):
     from whisper_apr_tpu.config import ModelConfig
     from whisper_apr_tpu.model import qdecode
     from whisper_apr_tpu.model.decoder import init_cache
@@ -185,12 +185,28 @@ def q4k_measure(lo, hi, qmode="q4k"):
     tok0 = jnp.zeros((1,), jnp.int32)
     p = P(lo, hi)
 
-    mode = qd.pop("mode", None)  # static string can't ride the jit env
+    # qd["mode"] is a qdecode.StaticStr since round 4: rides the jit env
+    # as static metadata, so no pop-workaround is needed
+    if fused:
+        # round-4 fused per-block k-quant path (ops/decode_blocks_kq):
+        # expected to BEAT int8 qf (q4k reads 0.75x the weight bytes)
+        qc = qdecode.quantize_cache(cache, kv_int8=False)
+
+        def body(i, env, carry):
+            prm, q_d = env
+            tok, c = carry
+            logits, c = qdecode.decode_step_qf(prm, q_d, tok, i, c, cfg)
+            return (jnp.argmax(logits, -1).astype(jnp.int32), c)
+
+        t0 = time.time()
+        s = p.per_step(body, (params, qd), (tok0, qc))
+        print(f"{qmode} FUSED step: {s*1e3:8.4f} ms/step "
+              f"(compile+measure {time.time()-t0:.0f}s)", flush=True)
+        return
 
     def body(i, env, carry):
         prm, q_d = env
         tok, c = carry
-        q_d = dict(q_d, mode=mode)
         logits, c = qdecode.decode_step_q(prm, q_d, tok, i, c, cfg)
         return (jnp.argmax(logits, -1).astype(jnp.int32), c)
 
@@ -505,6 +521,9 @@ if __name__ == "__main__":
     ap.add_argument("--tricks", action="store_true")
     ap.add_argument("--batched", action="store_true")
     ap.add_argument("--b", type=int, default=8)
+    ap.add_argument("--fused", action="store_true",
+                    help="time decode_step_qf (per-block kq kernels) "
+                         "instead of the scan step for --q4k/--q5k/--q6k")
     ap.add_argument("--which", default="ql_alias",
                     help="comma list: ql_alias,ql_noalias,qf")
     ap.add_argument("--lo", type=int, default=16)
@@ -523,8 +542,8 @@ if __name__ == "__main__":
     if args.large:
         large_measure(args.lo, args.hi, args.which.split(","))
     if args.q4k:
-        q4k_measure(args.lo, args.hi)
+        q4k_measure(args.lo, args.hi, fused=args.fused)
     if args.q5k:
-        q4k_measure(args.lo, args.hi, qmode="q5k")
+        q4k_measure(args.lo, args.hi, qmode="q5k", fused=args.fused)
     if args.q6k:
-        q4k_measure(args.lo, args.hi, qmode="q6k")
+        q4k_measure(args.lo, args.hi, qmode="q6k", fused=args.fused)

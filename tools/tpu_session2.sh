@@ -9,7 +9,7 @@ log=/tmp/tpu_session2.log
 echo "=== session2 start $(date -u) ===" | tee -a $log
 
 echo "--- health probe ---" | tee -a $log
-timeout 900 python - <<'PY' 2>&1 | tee -a $log
+python - <<'PY' 2>&1 | tee -a $log
 import time, numpy as np, jax, jax.numpy as jnp
 t0=time.time()
 np.asarray(jnp.dot(jnp.ones((128,128), jnp.bfloat16), jnp.ones((128,128), jnp.bfloat16)))

@@ -305,8 +305,9 @@ class WhisperApr:
         "bf16"/"int8"/"fp8"."""
         if self._qdecode is None:
             return None
-        if self._qdecode.get("mode") in ("q4k", "q5k", "q6k"):
-            return None          # megakernels are int8-only; kernel scan step
+        # k-quant modes ride the fused blocks too since round 4 (B=1 via
+        # ops/decode_blocks_kq; the jitted decode bodies fall back to the
+        # scan step at B>1 through qdecode.qf_supported)
         mode = self.compute.kv_mode
         if mode == "auto":
             return "bf16"

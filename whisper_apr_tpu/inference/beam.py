@@ -84,7 +84,9 @@ def beam_generate(params: dict, enc_out: jnp.ndarray, prompt: jnp.ndarray,
     ns_prob = _no_speech_prob(
         logits_all.reshape(B, K, prompt_len, V)[:, 0], no_speech)
     logits = logits_all[:, -1, :]
-    if qd is not None and qf_mode:
+    from ..model.qdecode import qf_supported
+    use_qf = bool(qf_mode) and qf_supported(qd, B * K)   # beams decode B*K
+    if use_qf:
         from ..model.qdecode import quantize_cache
         cache = quantize_cache(cache, mode=qf_mode)
 
@@ -119,7 +121,7 @@ def beam_generate(params: dict, enc_out: jnp.ndarray, prompt: jnp.ndarray,
             logits, cache = decode_step(
                 params, _flatten_beams(tok), pos, cache, config,
                 compute_dtype, precision)
-        elif qf_mode:
+        elif use_qf:
             from ..model.qdecode import decode_step_qf
             logits, cache = decode_step_qf(
                 params, qd, _flatten_beams(tok), pos, cache, config,

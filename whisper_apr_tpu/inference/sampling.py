@@ -78,11 +78,13 @@ def sample_generate(params: dict, enc_out: jnp.ndarray, prompt: jnp.ndarray,
     """
     precision = _HIGHEST if fidelity else None
     B = enc_out.shape[0]
+    from ..model.qdecode import qf_supported
+    use_qf = bool(qf_mode) and qf_supported(qd, B)
     if qd is None:
         step = functools.partial(decode_step, params, config=config,
                                  compute_dtype=compute_dtype,
                                  precision=precision)
-    elif qf_mode:
+    elif use_qf:
         from ..model.qdecode import decode_step_qf
         step = functools.partial(decode_step_qf, params, qd, config=config,
                                  compute_dtype=compute_dtype,
@@ -95,7 +97,7 @@ def sample_generate(params: dict, enc_out: jnp.ndarray, prompt: jnp.ndarray,
                        compute_dtype)
     logits_all, cache = prefill(params, prompt, enc_out, cache, config,
                                 compute_dtype, precision, all_logits=True)
-    if qd is not None and qf_mode:
+    if use_qf:
         from ..model.qdecode import quantize_cache
         cache = quantize_cache(cache, mode=qf_mode)
     ns_prob = _no_speech_prob(logits_all, no_speech)

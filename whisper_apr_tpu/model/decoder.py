@@ -334,12 +334,14 @@ def greedy_generate_body(params: dict, enc_out: jnp.ndarray, prompt: jnp.ndarray
     cache = init_cache(params, enc_out, config, max_len,
                        precision, compute_dtype)
 
+    from .qdecode import qf_supported
+    use_qf = bool(qf_mode) and qf_supported(qd, B)
     if qd is None:
         step_fn = functools.partial(decode_step, params,
                                     config=config,
                                     compute_dtype=compute_dtype,
                                     precision=precision)
-    elif qf_mode:
+    elif use_qf:
         from .qdecode import decode_step_qf
         step_fn = functools.partial(decode_step_qf, params, qd,
                                     config=config,
@@ -353,7 +355,7 @@ def greedy_generate_body(params: dict, enc_out: jnp.ndarray, prompt: jnp.ndarray
 
     logits_all, cache = prefill(params, prompt, enc_out, cache, config,
                                 compute_dtype, precision, all_logits=True)
-    if qd is not None and qf_mode:
+    if use_qf:
         from .qdecode import quantize_cache
         cache = quantize_cache(cache, mode=qf_mode)
     ns_prob = _no_speech_prob(logits_all, no_speech)

@@ -34,6 +34,28 @@ _LANE = 128
 # test hook: run the Pallas kernel in interpret mode (CPU backends)
 INTERPRET = False
 
+# k-quant weight modes (fused per-block path is B=1; B>1 stays on the
+# scan step — batched k-quant kernels are not implemented)
+KQ_MODES = ("q4k", "q5k", "q6k")
+
+
+@jax.tree_util.register_static
+class StaticStr(str):
+    """A string that rides a jitted pytree as STATIC metadata.
+
+    ``qd['mode']`` must cross jit boundaries (engine passes qd into the
+    jitted greedy/sample/beam bodies); a plain str leaf is not a valid
+    JAX type and crashes tracing. Registered-static values hash into the
+    compilation cache key instead."""
+
+
+def qf_supported(qd: Optional[dict], batch: int) -> bool:
+    """Can the fused per-block step (decode_step_qf) serve this decode?
+    int8 qd: any batch (batched kernels exist). k-quant qd: B == 1 only."""
+    if qd is None:
+        return False
+    return str(qd.get("mode", "int8")) not in KQ_MODES or batch == 1
+
 # the eight stacked decoder linears served by the kernel
 _LINS = ("self_q", "self_k", "self_v", "self_o",
          "cross_q", "cross_o", "fc1", "fc2")
@@ -241,7 +263,7 @@ def prepare_q4k_decode(params: dict, config: ModelConfig) -> Optional[dict]:
     k_scale = jnp.asarray(emb.scale, jnp.float32).reshape(1, D)
 
     return {
-        "mode": "q4k",
+        "mode": StaticStr("q4k"),
         "lin": lin,
         "ffn": ffn,
         "rest": rest,
@@ -347,13 +369,34 @@ def prepare_kq_decode(params: dict, config: ModelConfig) -> Optional[dict]:
     k_scale = jnp.asarray(emb.scale, jnp.float32).reshape(1, D)
 
     return {
-        "mode": mode,
+        "mode": StaticStr(mode),
         "lin": lin,
         "ffn": ffn,
         "rest": rest,
         "vocab_qT": qT[None],
         "vocab_ones": ones,
         "vocab_k_scale": k_scale,
+    }
+
+
+def kq_block_operands(qd: dict) -> dict:
+    """Stacked operand views for the per-block kq megakernels
+    (ops/decode_blocks_kq.py), built from a k-quant qd at TRACE time —
+    all views are reshapes of the existing triples (no copies, and the
+    engine's qd pytree never grows extra leaves)."""
+    lin, ffn, rest = qd["lin"], qd["ffn"], qd["rest"]
+    bias = rest["bias"]
+    col = lambda a: a[:, None, :]                   # [L, N] -> [L, 1, N]
+    return {
+        "ln1_w": col(rest["ln1"]["w"]), "ln1_b": col(rest["ln1"]["b"]),
+        "ln2_w": col(rest["ln2"]["w"]), "ln2_b": col(rest["ln2"]["b"]),
+        "ln3_w": col(rest["ln3"]["w"]), "ln3_b": col(rest["ln3"]["b"]),
+        "qkv": lin["qkv"], "bqkv": col(bias["qkv"]),
+        "self_o": lin["self_o"], "b_self_o": col(bias["self_o"]),
+        "cross_q": lin["cross_q"], "b_cross_q": col(bias["cross_q"]),
+        "cross_o": lin["cross_o"], "b_cross_o": col(bias["cross_o"]),
+        "fc1": ffn["fc1"], "b_fc1": col(bias["fc1"]),
+        "fc2": ffn["fc2"], "b_fc2": col(bias["fc2"]),
     }
 
 
@@ -722,6 +765,11 @@ def decode_step_qf(params: dict, qd: dict, token: jnp.ndarray,
     if enc_len is None:
         enc_len = config.n_audio_ctx
     B = token.shape[0]
+    kq_mode = str(qd.get("mode", "int8")) in KQ_MODES
+    if kq_mode and B != 1:
+        raise NotImplementedError(
+            "k-quant fused blocks are B=1 only; guard callers with "
+            "qf_supported() (B>1 k-quants decode via decode_step_q)")
     multi_pos = jnp.ndim(pos) == 1
     dec = params["decoder"]
     if multi_pos:
@@ -737,9 +785,13 @@ def decode_step_qf(params: dict, qd: dict, token: jnp.ndarray,
     else:
         x = embed(params, token[:, None], pos, compute_dtype)[:, 0]
     n_heads = config.n_text_head
-    blk = qd["blk"]
+    if kq_mode:
+        blk = kq_block_operands(qd)          # trace-time reshapes
+        H = blk["fc1"][0].shape[2]
+    else:
+        blk = qd["blk"]
+        H = blk["w1"].shape[2]
     L = config.n_text_layer
-    H = blk["w1"].shape[2]
     block_h = max(bh for bh in range(_LANE, min(H, 512) + 1, _LANE)
                   if H % bh == 0)
     qcache = cache
@@ -773,7 +825,11 @@ def decode_step_qf(params: dict, qd: dict, token: jnp.ndarray,
     # B == 1: per-sequence kernels (grid (B, tiles)); B > 1: batched
     # kernels (grid (tiles,), all sequences per tile — selector-matrix
     # segmented softmax, M=B projections)
-    if B == 1:
+    if kq_mode:
+        from ..ops.decode_blocks_kq import (cross_block_kq, ffn_block_kq,
+                                            self_block_kq)
+        _self, _cross, _ffn = self_block_kq, cross_block_kq, ffn_block_kq
+    elif B == 1:
         _self, _cross, _ffn = self_block, cross_block, ffn_block
     else:
         _self, _cross, _ffn = (self_block_batched, cross_block_batched,

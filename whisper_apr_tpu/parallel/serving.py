@@ -207,6 +207,10 @@ class BatchScheduler:
             # "scan" opts out entirely. On a mesh the tick is GSPMD-
             # partitioned pure XLA, so the scan step serves all shards.
             self._qf = None if mesh is not None else engine._qf_mode
+            if self._qf is not None and engine._qdecode is not None:
+                from ..model.qdecode import qf_supported
+                if not qf_supported(engine._qdecode, self.n_slots):
+                    self._qf = None   # k-quant slots (B>1) use the scan step
             if self._qf:
                 # fused megakernel slots (model/qdecode.decode_step_qf):
                 # T padded to the kernel blocks; int8 mode halves slot HBM

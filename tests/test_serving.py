@@ -635,52 +635,6 @@ class TestSchedulerSuppressorVariant:
         assert sched.result(rid).tokens[: len(exp)] == exp
 
 
-class TestLayerKernelTick:
-    def test_decode_steps_multi_ql_matches_qf(self):
-        """step_variant='ql' (whole-layer megakernel tick) must match the
-        per-block fused tick token-for-token."""
-        from whisper_apr_tpu.config import ComputeConfig
-        from whisper_apr_tpu.model import qdecode
-        from whisper_apr_tpu.model.kv_variants import decode_steps_multi
-        from whisper_apr_tpu.model.decoder import init_cache, prefill
-        from whisper_apr_tpu.model.params import (init_params,
-                                                  quantize_params)
-        from whisper_apr_tpu.config import ModelConfig
-        cfg = ModelConfig(
-            model_type="tiny", n_vocab=700, n_audio_ctx=32,
-            n_audio_state=128, n_audio_head=4, n_audio_layer=2,
-            n_text_ctx=24, n_text_state=128, n_text_head=4,
-            n_text_layer=2, n_mels=80)
-        params = quantize_params(init_params(cfg, seed=3), "int8")
-        qd = qdecode.add_layer_operands(qdecode.prepare_qdecode(params, cfg))
-        rng = np.random.default_rng(0)
-        enc = jnp.asarray(rng.normal(0, 0.5, (2, 32, 128))
-                          .astype(np.float32))
-        prompt = jnp.full((2, 2), 5, jnp.int32)
-        cache = init_cache(params, enc, cfg, max_len=16,
-                           compute_dtype=jnp.float32)
-        _, cache = prefill(params, prompt, enc, cache, cfg,
-                           compute_dtype=jnp.float32)
-        qc1 = qdecode.quantize_cache(cache, kv_int8=False)
-        qc2 = qdecode.quantize_cache(cache, kv_int8=False)
-        tok = jnp.asarray(np.array([7, 11], np.int32))
-        pos = jnp.asarray(np.array([2, 2], np.int32))
-        bias = jnp.zeros(cfg.n_vocab, jnp.float32)
-        qdecode.INTERPRET = True
-        try:
-            t1, _ = decode_steps_multi(params, tok, pos, bias, qc1, cfg,
-                                       n_steps=3,
-                                       compute_dtype=jnp.float32, qd=qd,
-                                       step_variant="qf")
-            t2, _ = decode_steps_multi(params, tok, pos, bias, qc2, cfg,
-                                       n_steps=3,
-                                       compute_dtype=jnp.float32, qd=qd,
-                                       step_variant="ql")
-        finally:
-            qdecode.INTERPRET = False
-        assert np.array_equal(np.asarray(t1), np.asarray(t2))
-
-
 class TestBackgroundServingThread:
     """start()/stop() background loop (works on standard backends; the
     axon relay needs the synchronous loop — see serving.py NOTE)."""

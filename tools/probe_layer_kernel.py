@@ -1,20 +1,19 @@
-"""TPU probe + measurement for the whole-layer decode megakernel.
+"""TPU slope-timed decode-step measurements (large-v3 by default).
 
-Stage 1 (seconds): compile/run layer_block at tiny dims on the real TPU —
-catches Mosaic lowering restrictions (dynamic 128-aligned lane slices on
-scratch values, input_output_aliases with row-write out specs, the phase
-grid) before paying a large-v3 compile. Checks logits against the scan
-step.
+--large: per-block fused int8 step variants (qf / qf_defer / qf_trans /
+qf_trans_defer — BENCH_NOTES round-3/4 baselines: qf 1.855, qf_defer
+1.800 ms/step; HBM floor 1.322).
 
-Stage 2 (--large, ~10 min compile each): slope-timed large-v3 int8
-ms/step for decode_step_ql (alias / no-alias) vs the recorded
-decode_step_qf baseline (1.849 ms, BENCH_NOTES round-2c) and the HBM
-floor (1.322 ms).
+--q4k/--q5k/--q6k: k-quant steps — scan path (decode_step_q) plus the
+standalone fused matvec, or with --fused the round-4 per-block kq
+megakernel step (decode_step_qf via ops/decode_blocks_kq).
 
-Stage 3 (--q4k): large-v3 q4k decode_step_q slope timing (capacity mode)
-vs int8.
+--batched --b N: B-slot serving tick. --int8dot/--tricks: Mosaic
+lowering probes. (The whole-layer kernel this tool originally probed was
+a measured loss and was removed in round 4 — BENCH_NOTES "whole-layer
+kernel verdict".)
 
-Usage: python -u tools/probe_layer_kernel.py [--large] [--q4k] [--lo N] [--hi N]
+Usage: python -u tools/probe_layer_kernel.py [--large] [--q4k [--fused]] [--lo N] [--hi N]
 """
 
 import argparse
@@ -36,77 +35,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from tools.profile_decode import P, timeit  # noqa: E402
 
 
-def tiny_probe():
-    from whisper_apr_tpu.config import ModelConfig
-    from whisper_apr_tpu.model import qdecode
-    from whisper_apr_tpu.model.decoder import init_cache, prefill
-    from whisper_apr_tpu.model.params import init_params, quantize_params
-
-    # fidelity comparison: without this, f32 matmuls run at bf16-class
-    # default precision on TPU and the scan-vs-kernel diff reads ~4e-3
-    # from dot-order alone (CLAUDE.md)
-    jax.config.update("jax_default_matmul_precision", "highest")
-
-    cfg = ModelConfig(
-        model_type="tiny", n_vocab=700, n_audio_ctx=32, n_audio_state=128,
-        n_audio_head=4, n_audio_layer=2, n_text_ctx=24, n_text_state=128,
-        n_text_head=4, n_text_layer=3, n_mels=80)
-    params = quantize_params(init_params(cfg, seed=3), "int8")
-    qd = qdecode.add_layer_operands(qdecode.prepare_qdecode(params, cfg))
-    rng = np.random.default_rng(0)
-    enc = jnp.asarray(rng.normal(0, 0.5, (1, 32, 128)).astype(np.float32))
-    prompt = jnp.full((1, 2), 5, jnp.int32)
-
-    def fresh():
-        cache = init_cache(params, enc, cfg, max_len=12)
-        _, cache = prefill(params, prompt, enc, cache, cfg)
-        return cache
-
-    print("probe: prefill...", flush=True)
-    cache = fresh()
-    print("probe: scan-step reference...", flush=True)
-    la, _ = qdecode.decode_step_q(params, qd, jnp.array([7], jnp.int32),
-                                  jnp.int32(2), cache, cfg,
-                                  compute_dtype=jnp.float32)
-    a = np.asarray(la)
-    print("probe: reference done", flush=True)
-    for alias in (False, True):
-        qc = qdecode.quantize_cache(fresh(), kv_int8=False)
-        t0 = time.time()
-        try:
-            lb, qc2 = jax.jit(
-                lambda t, p, c: qdecode.decode_step_ql(
-                    params, qd, t, p, c, cfg, compute_dtype=jnp.float32,
-                    alias_kv=alias))(jnp.array([7], jnp.int32),
-                                     jnp.int32(2), qc)
-            b = np.asarray(lb)
-        except Exception as e:  # noqa: BLE001
-            print(f"PROBE alias_kv={alias}: FAILED after "
-                  f"{time.time()-t0:.1f}s\n  {type(e).__name__}: "
-                  f"{str(e)[:500]}")
-            continue
-        err = np.abs(a - b).max() / (np.abs(a).max() + 1e-9)
-        row = np.asarray(qc2.self_kq[:, :, 2])
-        row_ok = np.abs(row).max() > 0
-        print(f"PROBE alias_kv={alias}: OK ({time.time()-t0:.1f}s compile) "
-              f"logit relerr {err:.2e}  kv-row written: {row_ok}")
-        # int8 KV variant
-        qc = qdecode.quantize_cache(fresh(), kv_int8=True)
-        try:
-            lb, _ = jax.jit(
-                lambda t, p, c: qdecode.decode_step_ql(
-                    params, qd, t, p, c, cfg, compute_dtype=jnp.float32,
-                    alias_kv=alias))(jnp.array([7], jnp.int32),
-                                     jnp.int32(2), qc)
-            b = np.asarray(lb)
-            agree = int(a.argmax(-1)[0]) == int(b.argmax(-1)[0])
-            print(f"PROBE alias_kv={alias} int8-KV: OK argmax agree {agree}")
-        except Exception as e:  # noqa: BLE001
-            print(f"PROBE alias_kv={alias} int8-KV: FAILED "
-                  f"{type(e).__name__}: {str(e)[:300]}")
-
-
-def large_measure(lo, hi, which=("ql_alias",)):
+def large_measure(lo, hi, which=("qf",)):
     from whisper_apr_tpu.config import ModelConfig
     from whisper_apr_tpu.model import qdecode
     from whisper_apr_tpu.model.decoder import init_cache
@@ -117,7 +46,7 @@ def large_measure(lo, hi, which=("ql_alias",)):
     params = jax.tree_util.tree_map(
         lambda x: x.astype(jnp.bfloat16)
         if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, params)
-    qd = qdecode.add_layer_operands(qdecode.prepare_qdecode(params, cfg))
+    qd = qdecode.prepare_qdecode(params, cfg)
     D = cfg.n_text_state
     enc = jnp.zeros((1, cfg.n_audio_ctx, D), jnp.bfloat16)
     cache = init_cache(params, enc, cfg, max_len=448,
@@ -128,9 +57,7 @@ def large_measure(lo, hi, which=("ql_alias",)):
 
     results = {}
     for name in which:
-        alias = name == "ql_alias"
-        step_fn = (qdecode.decode_step_ql if name.startswith("ql")
-                   else qdecode.decode_step_qf)
+        step_fn = qdecode.decode_step_qf
         # "qf_defer": one batched KV scatter after the layer loop instead
         # of 2L mid-loop row writes (qdecode.DEFER_KV_WRITES — trace-time
         # flag, so it must be set across compile)
@@ -140,14 +67,10 @@ def large_measure(lo, hi, which=("ql_alias",)):
         qdecode.DEFER_KV_WRITES = name in ("qf_defer", "qf_trans_defer")
         decode_blocks.TRANSPOSED = name in ("qf_trans", "qf_trans_defer")
 
-        def body(i, env, carry, _alias=alias, _fn=step_fn):
+        def body(i, env, carry, _fn=step_fn):
             prm, q_d, const = env
             tok, c = carry
-            if _fn is qdecode.decode_step_ql:
-                logits, c = _fn(prm, q_d, tok, i, c, cfg,
-                                alias_kv=_alias)
-            else:
-                logits, c = _fn(prm, q_d, tok, i, c, cfg)
+            logits, c = _fn(prm, q_d, tok, i, c, cfg)
             return (jnp.argmax(logits, -1).astype(jnp.int32), c)
 
         t0 = time.time()
@@ -239,8 +162,8 @@ def q4k_measure(lo, hi, qmode="q4k", fused=False):
           f"({nbytes/s_mv/2**30:5.0f} GiB/s eff)", flush=True)
 
 
-def batched_measure(lo, hi, b=8, which=("qf", "ql")):
-    """B-slot serving tick: batched layer kernel vs per-block kernels.
+def batched_measure(lo, hi, b=8, which=("qf",)):
+    """B-slot serving tick: batched per-block kernels.
 
     Round-2d baseline: fused bf16 BATCHED 5.30 ms/step at B=8 large-v3
     (0.663 ms/slot-token); scan 7.59.
@@ -255,7 +178,7 @@ def batched_measure(lo, hi, b=8, which=("qf", "ql")):
     params = jax.tree_util.tree_map(
         lambda x: x.astype(jnp.bfloat16)
         if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, params)
-    qd = qdecode.add_layer_operands(qdecode.prepare_qdecode(params, cfg))
+    qd = qdecode.prepare_qdecode(params, cfg)
     D = cfg.n_text_state
     enc = jnp.zeros((b, cfg.n_audio_ctx, D), jnp.bfloat16)
     cache = init_cache(params, enc, cfg, max_len=448,
@@ -267,8 +190,7 @@ def batched_measure(lo, hi, b=8, which=("qf", "ql")):
     p = P(lo, hi)
 
     for name in which:
-        step = (qdecode.decode_step_ql if name == "ql"
-                else qdecode.decode_step_qf)
+        step = qdecode.decode_step_qf
 
         def body(i, env, carry, _step=step):
             prm, q_d = env
@@ -524,15 +446,16 @@ if __name__ == "__main__":
     ap.add_argument("--fused", action="store_true",
                     help="time decode_step_qf (per-block kq kernels) "
                          "instead of the scan step for --q4k/--q5k/--q6k")
-    ap.add_argument("--which", default="ql_alias",
-                    help="comma list: ql_alias,ql_noalias,qf")
+    ap.add_argument("--which", default="qf",
+                    help="comma list: qf,qf_defer,qf_trans,qf_trans_defer")
     ap.add_argument("--lo", type=int, default=16)
     ap.add_argument("--hi", type=int, default=144)
     args = ap.parse_args()
     print("devices:", jax.devices(), flush=True)
     if not (args.large or args.q4k or args.q5k or args.q6k
-            or args.int8dot or args.batched):
-        tiny_probe()
+            or args.int8dot or args.tricks or args.batched):
+        ap.error("pick a stage: --large / --q4k / --q5k / --q6k / "
+                 "--int8dot / --tricks / --batched")
     if args.int8dot:
         int8dot_probe()
     if args.tricks:

@@ -110,8 +110,7 @@ def decode_steps_multi(params: dict, token: jnp.ndarray, pos: jnp.ndarray,
                        suppress_bias: jnp.ndarray, cache: KVCache,
                        config: ModelConfig, n_steps: int,
                        compute_dtype: jnp.dtype = jnp.float32,
-                       qd: Optional[dict] = None,
-                       step_variant: str = "auto"
+                       qd: Optional[dict] = None
                        ) -> Tuple[jnp.ndarray, KVCache]:
     """Advance every slot by ``n_steps`` greedy tokens in ONE dispatch.
 
@@ -128,15 +127,6 @@ def decode_steps_multi(params: dict, token: jnp.ndarray, pos: jnp.ndarray,
     T_max = cache.self_kq.shape[2] if qf else cache.self_k.shape[2]
     if qd is None:
         step = functools.partial(decode_step_multi, params, config=config,
-                                 compute_dtype=compute_dtype)
-    elif qf and (step_variant == "ql"
-                 or (step_variant == "auto" and "wo3" in qd.get("blk", {})
-                     and USE_LAYER_KERNEL)):
-        # whole-layer megakernel tick (ops/decode_layer.py): one Pallas
-        # call per layer, dynamic tile bounding by the batch's largest
-        # position — select via step_variant="ql" or the module switch
-        from .qdecode import decode_step_ql
-        step = functools.partial(decode_step_ql, params, qd, config=config,
                                  compute_dtype=compute_dtype)
     elif qf:
         from .qdecode import decode_step_qf
@@ -163,8 +153,7 @@ _decode_steps_multi_jit = None
 
 
 def decode_steps_multi_jit(params, token, pos, suppress_bias, cache, config,
-                           n_steps, compute_dtype=jnp.float32, qd=None,
-                           step_variant="auto"):
+                           n_steps, compute_dtype=jnp.float32, qd=None):
     global _decode_steps_multi_jit
     if _decode_steps_multi_jit is None:
         # donate the cache: XLA reuses its HBM for the updated cache instead
@@ -172,12 +161,10 @@ def decode_steps_multi_jit(params, token, pos, suppress_bias, cache, config,
         # reference gets from its warmup allocator, pool.rs)
         _decode_steps_multi_jit = jax.jit(
             decode_steps_multi,
-            static_argnames=("config", "n_steps", "compute_dtype",
-                             "step_variant"),
+            static_argnames=("config", "n_steps", "compute_dtype"),
             donate_argnums=(4,))
     return _decode_steps_multi_jit(params, token, pos, suppress_bias, cache,
-                                   config, n_steps, compute_dtype, qd=qd,
-                                   step_variant=step_variant)
+                                   config, n_steps, compute_dtype, qd=qd)
 
 
 # ---------------------------------------------------------------------------
@@ -345,9 +332,6 @@ def _window_mask(window: int, slot: jnp.ndarray, t) -> jnp.ndarray:
 PAGE_SIZE = 16  # tokens per page (reference: decoder.rs paged cache)
 
 # serving-tick step choice: when True (set after TPU validation) the
-# QKVCache path uses the whole-layer megakernel (decode_step_ql) instead
-# of the per-block kernels; step_variant="ql"/"qf" overrides per call
-USE_LAYER_KERNEL = False
 
 
 class PagedKVCache:

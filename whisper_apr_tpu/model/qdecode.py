@@ -400,140 +400,6 @@ def kq_block_operands(qd: dict) -> dict:
     }
 
 
-def add_layer_operands(qd: dict) -> dict:
-    """Augment ``qd['blk']`` with the whole-layer kernel's stacked operands
-    (ops/decode_layer.py): the six LayerNorm rows as one [L, 6, D] stack
-    and the three square projections (self_o / cross_q / cross_o) as one
-    [3L, D, D] int8 stack with [3L, 1, D] scale/bias rows, so a single
-    operand slot serves all three o-proj-shaped phases. Idempotent."""
-    blk = qd["blk"]
-    if "wo3" in blk:
-        return qd
-    ln6 = jnp.stack([blk["ln1_w"][:, 0], blk["ln1_b"][:, 0],
-                     blk["ln2_w"][:, 0], blk["ln2_b"][:, 0],
-                     blk["ln3_w"][:, 0], blk["ln3_b"][:, 0]], axis=1)
-    L, D = blk["self_wo"].shape[0], blk["self_wo"].shape[1]
-    wo3 = jnp.stack([blk["self_wo"], blk["wcq"], blk["cross_wo"]],
-                    axis=1).reshape(3 * L, D, D)
-    so3 = jnp.stack([blk["self_wos"], blk["scq"], blk["cross_wos"]],
-                    axis=1).reshape(3 * L, 1, D)
-    bo3 = jnp.stack([blk["self_wob"], blk["bcq"], blk["cross_wob"]],
-                    axis=1).reshape(3 * L, 1, D)
-    blk["ln6"] = ln6
-    blk["wo3"] = wo3
-    blk["so3"] = so3
-    blk["bo3"] = bo3
-    return qd
-
-
-def decode_step_ql(params: dict, qd: dict, token: jnp.ndarray,
-                   pos: jnp.ndarray, cache: QKVCache, config: ModelConfig,
-                   compute_dtype: jnp.dtype = jnp.bfloat16,
-                   interpret: Optional[bool] = None,
-                   enc_len: Optional[int] = None,
-                   alias_kv: bool = True) -> Tuple[jnp.ndarray, QKVCache]:
-    """Single-stream decode step through the WHOLE-LAYER megakernel
-    (ops/decode_layer.py): one Pallas call per layer; with ``alias_kv``
-    the k/v rows are written into the cache stacks in-kernel via
-    input_output_aliases, so the XLA step body is just embed, the layer
-    fori_loop, the final LayerNorm, and the vocab projection.
-
-    B > 1 (or per-slot ``pos`` vectors — continuous batching) runs the
-    batched variant, layer_block_batched: all slots per tile, rows
-    scattered by the caller. Same logits contract as decode_step_qf."""
-    from ..ops.decode_layer import layer_block, layer_block_batched
-
-    if interpret is None:
-        interpret = INTERPRET
-    if enc_len is None:
-        enc_len = config.n_audio_ctx
-    B = token.shape[0]
-    multi_pos = jnp.ndim(pos) == 1
-    dec = params["decoder"]
-    if multi_pos:
-        emb = dec["token_emb"]
-        if is_quantized(emb):
-            scale = emb.scale.astype(compute_dtype)
-            while scale.ndim > 1:
-                scale = scale[0]
-            tok = emb.q[token].astype(compute_dtype) * scale
-        else:
-            tok = emb[token].astype(compute_dtype)
-        x = tok + dec["pos_emb"][pos].astype(compute_dtype)      # [B, D]
-    else:
-        x = embed(params, token[:, None], pos, compute_dtype)[:, 0]
-    n_heads = config.n_text_head
-    blk = qd["blk"]
-    assert "wo3" in blk, "call add_layer_operands(qd) at prepare time"
-    L = config.n_text_layer
-    qcache = cache
-    kv_int8 = qcache.self_ks is not None
-    batched = B > 1 or multi_pos
-    if batched or kv_int8:
-        # batched rows scatter per-slot; int8 aliased group writes crash
-        # the Mosaic compiler (observed server-side INTERNAL) and the
-        # scale rows are XLA-written anyway — alias only bf16 B=1
-        alias_kv = False
-    self_bt = min(SELF_TILE_T, qcache.self_kq.shape[2])
-    cross_bt = min(CROSS_TILE_T, qcache.cross_kq.shape[2])
-
-    def row_write(stack, new, l):
-        if multi_pos:
-            return stack.at[l, jnp.arange(B), pos].set(new)
-        return jax.lax.dynamic_update_slice(
-            stack, new[None, :, None, :] if new.ndim == 2
-            else new, (l, 0, pos, 0))
-
-    def scale_write(scales, s, l):
-        if multi_pos:
-            return scales.at[l, jnp.arange(B), pos, 0].set(s)
-        return jax.lax.dynamic_update_slice(
-            scales, s[None, :, None, None], (l, 0, pos, 0))
-
-    def body(l, carry):
-        x, skq, sks, svq, svs = carry
-        if batched:
-            x, k8, ksc, v8, vsc = layer_block_batched(
-                x, blk, skq, sks, svq, svs,
-                qcache.cross_kq, qcache.cross_ks, qcache.cross_vq,
-                qcache.cross_vs, pos, enc_len, l, n_heads,
-                interpret=interpret)
-            skq = row_write(skq, k8, l)
-            svq = row_write(svq, v8, l)
-        elif alias_kv:
-            x, skq, ksc, svq, vsc = layer_block(
-                x, blk, skq, sks, svq, svs,
-                qcache.cross_kq, qcache.cross_ks, qcache.cross_vq,
-                qcache.cross_vs, pos, enc_len, l, n_heads,
-                bt_s=self_bt, bt_c=cross_bt, alias_kv=True,
-                interpret=interpret)
-        else:
-            x, k8, ksc, v8, vsc = layer_block(
-                x, blk, skq, sks, svq, svs,
-                qcache.cross_kq, qcache.cross_ks, qcache.cross_vq,
-                qcache.cross_vs, pos, enc_len, l, n_heads,
-                bt_s=self_bt, bt_c=cross_bt, alias_kv=False,
-                interpret=interpret)
-            skq = row_write(skq, k8, l)
-            svq = row_write(svq, v8, l)
-        if kv_int8:
-            sks = scale_write(sks, ksc, l)
-            svs = scale_write(svs, vsc, l)
-        return (x, skq, sks, svq, svs)
-
-    x, skq, sks, svq, svs = jax.lax.fori_loop(
-        0, L, body,
-        (x, qcache.self_kq, qcache.self_ks, qcache.self_vq, qcache.self_vs))
-    x = layer_norm(x, dec["ln_post"]["w"], dec["ln_post"]["b"])
-
-    xs = (x.astype(jnp.float32) * qd["vocab_k_scale"]).astype(x.dtype)
-    logits = qmatvec_stacked(xs, qd["vocab_qT"], qd["vocab_ones"], 0,
-                             interpret=interpret, out_dtype=jnp.float32)
-    new_cache = QKVCache(skq, sks, svq, svs, qcache.cross_kq,
-                         qcache.cross_ks, qcache.cross_vq, qcache.cross_vs)
-    return logits[:, : config.n_vocab], new_cache
-
-
 def _qmv(x2: jnp.ndarray, lin, l, b, interpret: bool,
          mode: str = "int8") -> jnp.ndarray:
     if mode in ("q5k", "q6k"):        # planar k-quant (values, scale, zero?)

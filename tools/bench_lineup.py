@@ -40,19 +40,26 @@ NORTH_STAR_RTF = 0.02          # BASELINE.md: large-v3 int8 per-chip target
 REFERENCE_TINY_RTF = 0.31      # reference's best validated native number
 
 
-def bench_model(name: str, batch_size: int = 1) -> dict:
+def bench_model(name: str, batch_size: int = 1, quant: str = "int8") -> dict:
     from whisper_apr_tpu.config import ModelConfig
     from whisper_apr_tpu.audio.mel import MelFilterbank
     from whisper_apr_tpu.model.params import init_params, quantize_params
-    from whisper_apr_tpu.model.qdecode import prepare_qdecode
+    from whisper_apr_tpu.model.qdecode import (prepare_kq_decode,
+                                               prepare_q4k_decode,
+                                               prepare_qdecode)
     from whisper_apr_tpu.pipeline import fused_transcribe_step, pad_audio_batch
 
     cfg = ModelConfig.from_name(name)
-    params = quantize_params(init_params(cfg, seed=0), "int8")
+    params = quantize_params(init_params(cfg, seed=0), quant)
     params = jax.tree_util.tree_map(
         lambda x: x.astype(jnp.bfloat16)
         if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, params)
-    qd = prepare_qdecode(params, cfg)
+    if quant == "q4k":
+        qd = prepare_q4k_decode(params, cfg)
+    elif quant in ("q5k", "q6k"):
+        qd = prepare_kq_decode(params, cfg)
+    else:
+        qd = prepare_qdecode(params, cfg)
 
     rng = np.random.default_rng(0)
     audio = rng.normal(0, 0.1, int(16_000 * AUDIO_SECONDS)).astype(np.float32)
@@ -86,7 +93,7 @@ def bench_model(name: str, batch_size: int = 1) -> dict:
     return {
         "model": name,
         "batch": batch_size,
-        "quant": "int8",
+        "quant": quant,
         "decode_tokens": DECODE_TOKENS,
         "total_ms": round(best * 1e3, 1),
         "rtf_per_stream": round(rtf, 6),
@@ -104,25 +111,34 @@ def main():
     ap.add_argument("--batch", type=int, default=None,
                     help="force one batch size (default: 1, plus 8 for "
                          "large-v3 in the full lineup)")
+    ap.add_argument("--quant", default="int8",
+                    choices=["int8", "q4k", "q5k", "q6k"],
+                    help="weight format (k-quants ride the round-4 fused "
+                         "kq blocks at B=1)")
+    ap.add_argument("--with-q4k", action="store_true",
+                    help="add a large-v3 q4k B=1 row to the full lineup")
     args = ap.parse_args()
 
     runs = []
     for name in args.models:
-        runs.append((name, args.batch or 1))
+        runs.append((name, args.batch or 1, args.quant))
     if args.batch is None and "large-v3" in args.models:
-        runs.append(("large-v3", 8))      # the serving point
+        runs.append(("large-v3", 8, args.quant))  # the serving point
+    if args.with_q4k:
+        runs.append(("large-v3", 1, "q4k"))
 
     rows = []
-    for name, b in runs:
-        r = bench_model(name, b)
+    for name, b, q in runs:
+        r = bench_model(name, b, q)
         rows.append(r)
-        print(f"# {name:<16} B={b}  {r['total_ms']:8.1f} ms   "
+        print(f"# {name:<16} B={b} {q:>4}  {r['total_ms']:8.1f} ms   "
               f"RTF/stream {r['rtf_per_stream']:.5f}", file=sys.stderr,
               flush=True)
 
     if args.emit == "json":
         north = next((r for r in rows
-                      if r["model"] == "large-v3" and r["batch"] == 1), None)
+                      if r["model"] == "large-v3" and r["batch"] == 1
+                      and r["quant"] == "int8"), None)
         out = {
             "protocol": ("fused mel+encode+greedy, forced "
                          f"{DECODE_TOKENS} tokens, {AUDIO_SECONDS:.0f}s "

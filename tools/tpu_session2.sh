@@ -5,6 +5,8 @@
 # tools/tpu_session.sh completes (ONE TPU process at a time).
 # NO kills: every stage runs to completion; compiles can take ~10 min.
 cd /root/repo
+# k-quant FUSED step probes first (round-4 headline candidate) — session5
+bash tools/tpu_session5.sh
 log=/tmp/tpu_session2.log
 echo "=== session2 start $(date -u) ===" | tee -a $log
 

@@ -208,8 +208,9 @@ def prepare_q4k_decode(params: dict, config: ModelConfig) -> Optional[dict]:
     Returns the same qd structure as :func:`prepare_qdecode` but with
     (packed, scale, zero) TRIPLES in ``lin``/``ffn`` — consumed by
     ops/q4k.q4k_matvec_stacked inside decode_step_q — plus
-    ``mode='q4k'``. The megakernel (qf/ql) paths stay int8-only; the
-    engine keeps q4k on the scan step.
+    ``mode='q4k'``. Since round 4, decode_step_qf serves k-quant qds at
+    B=1 through the per-block kq megakernels (ops/decode_blocks_kq.py);
+    B>1 decodes stay on the scan step (qf_supported guards the callers).
     """
     if not supports_q4k_decode(params, config):
         return None

@@ -85,6 +85,63 @@ def large_measure(lo, hi, which=("qf",)):
     return results
 
 
+def anatomy_measure(lo, hi, layers=(8, 32)):
+    """Fixed-vs-per-layer split of the fused B=1 step (round-4 gap hunt:
+    qf_defer 1.800 ms vs the 1.322 HBM floor — where do the 0.48 ms
+    live?). Times decode_step_qf on large-v3 params layer-sliced to each
+    count; the slope across layer counts is the true per-layer cost and
+    the residue is the step's fixed overhead (embed, vocab matvec,
+    while_loop glue, KV scatters)."""
+    import dataclasses
+
+    from whisper_apr_tpu.config import ModelConfig
+    from whisper_apr_tpu.model import qdecode
+    from whisper_apr_tpu.model.decoder import init_cache
+    from whisper_apr_tpu.model.params import init_params, quantize_params
+
+    cfg_full = ModelConfig.from_name("large-v3")
+    params_full = quantize_params(init_params(cfg_full, seed=0), "int8")
+    params_full = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+        params_full)
+    p = P(lo, hi)
+    results = {}
+    for nl in layers:
+        cfg = dataclasses.replace(cfg_full, n_text_layer=nl)
+        params = dict(params_full)
+        params["decoder"] = dict(params_full["decoder"])
+        params["decoder"]["blocks"] = jax.tree_util.tree_map(
+            lambda a: a[:nl], params_full["decoder"]["blocks"])
+        qd = qdecode.prepare_qdecode(params, cfg)
+        D = cfg.n_text_state
+        enc = jnp.zeros((1, cfg.n_audio_ctx, D), jnp.bfloat16)
+        cache = init_cache(params, enc, cfg, max_len=448,
+                           compute_dtype=jnp.bfloat16)
+        qc = qdecode.quantize_cache(cache, kv_int8=False)
+        tok0 = jnp.zeros((1,), jnp.int32)
+
+        def body(i, env, carry, _cfg=cfg):
+            prm, q_d = env
+            tok, c = carry
+            logits, c = qdecode.decode_step_qf(prm, q_d, tok, i, c, _cfg)
+            return (jnp.argmax(logits, -1).astype(jnp.int32), c)
+
+        t0 = time.time()
+        s = p.per_step(body, (params, qd), (tok0, qc))
+        print(f"qf_defer L={nl:<3}: {s*1e3:8.4f} ms/step  "
+              f"(compile+measure {time.time()-t0:.0f}s)", flush=True)
+        results[nl] = s
+    ls = sorted(results)
+    if len(ls) >= 2:
+        per_layer = (results[ls[-1]] - results[ls[0]]) / (ls[-1] - ls[0])
+        fixed = results[ls[-1]] - ls[-1] * per_layer
+        print(f"per-layer: {per_layer*1e3:.4f} ms   "
+              f"fixed overhead: {fixed*1e3:.4f} ms "
+              f"(embed + vocab + loop glue + scatters)", flush=True)
+    return results
+
+
 def q4k_measure(lo, hi, qmode="q4k", fused=False):
     from whisper_apr_tpu.config import ModelConfig
     from whisper_apr_tpu.model import qdecode
@@ -442,6 +499,8 @@ if __name__ == "__main__":
     ap.add_argument("--int8dot", action="store_true")
     ap.add_argument("--tricks", action="store_true")
     ap.add_argument("--batched", action="store_true")
+    ap.add_argument("--anatomy", action="store_true",
+                    help="fixed-vs-per-layer split of the fused B=1 step")
     ap.add_argument("--b", type=int, default=8)
     ap.add_argument("--fused", action="store_true",
                     help="time decode_step_qf (per-block kq kernels) "
@@ -452,10 +511,10 @@ if __name__ == "__main__":
     ap.add_argument("--hi", type=int, default=144)
     args = ap.parse_args()
     print("devices:", jax.devices(), flush=True)
-    if not (args.large or args.q4k or args.q5k or args.q6k
+    if not (args.large or args.q4k or args.q5k or args.q6k or args.anatomy
             or args.int8dot or args.tricks or args.batched):
         ap.error("pick a stage: --large / --q4k / --q5k / --q6k / "
-                 "--int8dot / --tricks / --batched")
+                 "--anatomy / --int8dot / --tricks / --batched")
     if args.int8dot:
         int8dot_probe()
     if args.tricks:
@@ -464,6 +523,8 @@ if __name__ == "__main__":
         batched_measure(args.lo, args.hi, b=args.b)
     if args.large:
         large_measure(args.lo, args.hi, args.which.split(","))
+    if args.anatomy:
+        anatomy_measure(args.lo, args.hi)
     if args.q4k:
         q4k_measure(args.lo, args.hi, fused=args.fused)
     if args.q5k:

@@ -26,4 +26,7 @@ python -u tools/probe_layer_kernel.py --q5k --fused --lo 16 --hi 144 2>&1 | tee 
 echo "--- q6k FUSED step ---" | tee -a $log
 python -u tools/probe_layer_kernel.py --q6k --fused --lo 16 --hi 144 2>&1 | tee -a $log
 
+echo "--- step anatomy: fixed vs per-layer (gap hunt for the 0.48 ms) ---" | tee -a $log
+python -u tools/probe_layer_kernel.py --anatomy --lo 16 --hi 144 2>&1 | tee -a $log
+
 echo "=== session5 done $(date -u) ===" | tee -a $log

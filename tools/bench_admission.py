@@ -70,8 +70,12 @@ def main():
         t0 = time.perf_counter()
         sched._fill_slots()
         # force completion of every async device write before stopping the
-        # clock (block_until_ready does not synchronize over the tunnel)
-        np.asarray(jax.tree_util.tree_leaves(sched._cache)[0])[0, 0, 0, 0]
+        # clock (block_until_ready does not synchronize over the tunnel).
+        # Slice ON DEVICE first: np.asarray(full_leaf) would pull the whole
+        # [L,B,T,D] cache (~150 MB for large-v3) through the tunnel and
+        # dominate the measurement by 10+ seconds.
+        for leaf in jax.tree_util.tree_leaves(sched._cache):
+            np.asarray(leaf.ravel()[0])
         dt = time.perf_counter() - t0
         sched._active[:] = False
         for s in range(sched.n_slots):

@@ -31,14 +31,23 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
 
+def _sync(out):
+    """True tunnel barrier: fetch ONE element, sliced on device first.
+
+    np.asarray(full_leaf) would pull the whole array host-side — for
+    multi-MB outputs the transfer dwarfs the compute being timed.
+    """
+    np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[0])
+
+
 def timeit(fn, *args, reps=3):
     out = fn(*args)
-    np.asarray(jax.tree_util.tree_leaves(out)[0])  # compile + warm
+    _sync(out)  # compile + warm
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
         out = fn(*args)
-        np.asarray(jax.tree_util.tree_leaves(out)[0])
+        _sync(out)
         best = min(best, time.perf_counter() - t0)
     return best
 

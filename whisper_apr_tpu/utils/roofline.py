@@ -101,9 +101,48 @@ def rtf_floor(config: ModelConfig, decode_tokens: int = 224,
     return (encoder_floor_ms(config, chip) + dec_ms) / (audio_s * 1e3)
 
 
+def encoder_weight_bytes(config: ModelConfig, quant: str = "int8") -> float:
+    """Encoder weight footprint (stem + qkvo/ffn matmuls per layer)."""
+    D, L, M = config.n_audio_state, config.n_audio_layer, config.n_mels
+    wb = _QUANT_BYTES[quant]
+    stem = (3 * M * D + 3 * D * D) * wb
+    return stem + 12 * D * D * wb * L
+
+
+def kv_cache_bytes_per_stream(config: ModelConfig, kv: str = "bf16",
+                              max_len: int = 448) -> float:
+    """Resident K+V cache HBM per serving slot (self at ``max_len`` +
+    full cross)."""
+    kvb = _KV_BYTES[kv]
+    D, L, S = config.n_text_state, config.n_text_layer, config.n_audio_ctx
+    return 2.0 * L * D * kvb * (max_len + S)
+
+
 def streams_per_chip_floor(config: ModelConfig, quant: str = "int8",
                            kv: str = "bf16", chip: ChipSpec = V5E,
                            decode_tokens: int = 224,
-                           audio_s: float = 30.0) -> float:
-    """Upper bound on concurrent real-time streams for one chip."""
-    return 1.0 / rtf_floor(config, decode_tokens, quant, kv, chip, audio_s)
+                           audio_s: float = 30.0,
+                           max_len: int = 448) -> float:
+    """Upper bound on real-time 30 s streams for one chip.
+
+    Batched serving amortizes the per-step weight stream across every
+    resident stream, so the bound is NOT ``1/rtf_floor`` (that charges
+    one stream the full weight read — measured round-4 B=32 serving
+    reached 211 realtime streams/chip, past that "bound" of 99). The
+    true ceiling is the throughput of the largest HBM-resident batch:
+
+        wall(B) = decode_tokens * (W + B*kv_step) / BW + B * enc_floor
+        bound   = B * audio_s / wall(B),  B = HBM-capacity-limited batch
+
+    (throughput is monotone in B, so the capacity-limited B is optimal).
+    """
+    D, L, S = config.n_text_state, config.n_text_layer, config.n_audio_ctx
+    w = decoder_weight_bytes(config, quant)
+    kv_step = (decode_tokens // 2 + S) * 2 * L * D * _KV_BYTES[kv]
+    free = (chip.hbm_gib * 2 ** 30 - w
+            - encoder_weight_bytes(config, quant))
+    b = max(1.0, free // kv_cache_bytes_per_stream(config, kv, max_len))
+    wall_ms = (decode_tokens * (w + b * kv_step)
+               / (chip.hbm_gb_s * 1e9) * 1e3
+               + b * encoder_floor_ms(config, chip))
+    return b * audio_s * 1e3 / wall_ms

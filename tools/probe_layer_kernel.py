@@ -169,7 +169,15 @@ def q4k_measure(lo, hi, qmode="q4k", fused=False):
     # as static metadata, so no pop-workaround is needed
     if fused:
         # round-4 fused per-block k-quant path (ops/decode_blocks_kq):
-        # expected to BEAT int8 qf (q4k reads 0.75x the weight bytes)
+        # expected to BEAT int8 qf (q4k reads 0.75x the weight bytes).
+        # Q4K_UNPACK=i32|algebra A/Bs the in-kernel nibble-unpack strategy
+        # (session-5 finding: the i32 unpack is VPU-bound at 2.23 ms/step)
+        import os as _os
+        from whisper_apr_tpu.ops import decode_blocks_kq as _kq
+        unpack = _os.environ.get("Q4K_UNPACK")
+        if unpack:
+            _kq.Q4K_UNPACK = unpack
+            print(f"Q4K_UNPACK={unpack}")
         qc = qdecode.quantize_cache(cache, kv_int8=False)
 
         def body(i, env, carry):

@@ -127,6 +127,19 @@ def _mv_kq(h32: jnp.ndarray, wq_ref, s_ref, z_ref, *, sub: int,
     return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
 
 
+# q4k in-kernel nibble-unpack strategy (module flag so the TPU probe can
+# A/B without an API change):
+#   "i32"     — unpack both nibbles via int32 ops (6 VPU ops/packed byte)
+#   "algebra" — measured round-4: the i32 variant is VPU-BOUND (2.23
+#               ms/step vs int8's 1.80 despite 0.75x the weight bytes —
+#               ~2.3G unpack ops/step eat the bandwidth win). Since
+#               w = lo + 16*hi exactly,
+#                   xe@lo + xo@hi == (xe - xo/16)@lo + (xo/16)@w
+#               so only the LOW nibble is ever extracted (3 ops/byte:
+#               and + two casts); the high nibble rides the raw-byte dot.
+Q4K_UNPACK = "algebra"
+
+
 def _mv_q4k(h32: jnp.ndarray, wq_ref, s_ref, z_ref, *, cdt) -> jnp.ndarray:
     """h32 [1, K] f32 @ packed-nibble Q4_K weight (ops/q4k.py planar
     layout: [K/2, N] even-low/odd-high) -> [1, N] f32. Mirrors
@@ -149,13 +162,27 @@ def _mv_q4k(h32: jnp.ndarray, wq_ref, s_ref, z_ref, *, cdt) -> jnp.ndarray:
     xsum = _group_sums(h_c.astype(jnp.float32), g, 32)   # [1, G]
     ones = jnp.ones((1, g), jnp.float32)
     cn = _pick_chunk(kh, n, 4)                           # int32 unpack
+    algebra = Q4K_UNPACK == "algebra"
+    if algebra:
+        xog16 = xog * jnp.asarray(1.0 / 16.0, cdt)
+        xel = xeg - xog16
     outs = []
     for c0 in range(0, n, cn):
-        wi = wq_ref[0, :, c0:c0 + cn].astype(jnp.int32)  # [K/2, cn]
-        lo = (wi & 0xF).astype(cdt)
-        hi = ((wi >> 4) & 0xF).astype(cdt)
-        p = jax.lax.dot(xeg, lo, preferred_element_type=jnp.float32) \
-            + jax.lax.dot(xog, hi, preferred_element_type=jnp.float32)
+        # planar q is stored int8 (raw packed bytes viewed signed) — both
+        # variants zero-extend before using the byte as an unsigned value
+        if algebra:
+            wu = wq_ref[0, :, c0:c0 + cn].astype(jnp.int32) & 0xFF
+            wf = wu.astype(cdt)          # bf16 holds 0..255 exactly
+            lo = (wu & 0xF).astype(cdt)
+            p = jax.lax.dot(xel, lo, preferred_element_type=jnp.float32) \
+                + jax.lax.dot(xog16, wf,
+                              preferred_element_type=jnp.float32)
+        else:
+            wi = wq_ref[0, :, c0:c0 + cn].astype(jnp.int32)
+            lo = (wi & 0xF).astype(cdt)
+            hi = ((wi >> 4) & 0xF).astype(cdt)
+            p = jax.lax.dot(xeg, lo, preferred_element_type=jnp.float32) \
+                + jax.lax.dot(xog, hi, preferred_element_type=jnp.float32)
         s = s_ref[0, :, c0:c0 + cn].astype(jnp.float32)
         y = jax.lax.dot(ones, s * p, preferred_element_type=jnp.float32)
         z = z_ref[0, :, c0:c0 + cn].astype(jnp.float32)

@@ -20,6 +20,9 @@ np.asarray(jnp.dot(jnp.ones((128,128), jnp.bfloat16), jnp.ones((128,128), jnp.bf
 print("probe ok %.1fs" % (time.time()-t0))
 PY
 
+echo "--- q4k fused unpack A/B (i32 measured 2.2289; algebra is default) ---" | tee -a $log
+Q4K_UNPACK=algebra python -u tools/probe_layer_kernel.py --q4k --fused --lo 16 --hi 144 2>&1 | tee -a $log
+
 echo "--- serving admission RERUN (fixed barrier) ---" | tee -a $log
 python -u tools/bench_admission.py large-v3 8 3 2>&1 | tee -a $log
 

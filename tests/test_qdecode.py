@@ -240,6 +240,32 @@ class TestFusedDecode:
             assert np.array_equal(a.argmax(-1), b.argmax(-1))
             tok = jnp.argmax(la, -1).astype(jnp.int32)
 
+    def test_cross8_kv_close_and_argmax_agrees(self, cfg, qsetup):
+        """kv mode "cross8": int8 CROSS cache only (the per-utterance-
+        static bulk of B=1 step traffic), self rows kept bf16/f32 —
+        the self path's int8 handling is what made full-int8 lose at B=1
+        (BENCH_NOTES round 3). Self stays on the exact branch, so like
+        int8 mode the gate is logit closeness + argmax agreement."""
+        params, qd, cache = self._prefilled(cfg, qsetup)
+        qc = qdecode.quantize_cache(cache, mode="cross8")
+        assert qc.self_ks is None and qc.self_kq.dtype != jnp.int8
+        assert qc.cross_ks is not None and qc.cross_kq.dtype == jnp.int8
+        tok = jnp.asarray(np.array([7, 11], np.int32))
+        for step in range(3):
+            pos = jnp.int32(2 + step)
+            la, cache = qdecode.decode_step_q(
+                params, qd, tok, pos, cache, cfg,
+                compute_dtype=jnp.float32, interpret=True)
+            lb, qc = qdecode.decode_step_qf(
+                params, qd, tok, pos, qc, cfg,
+                compute_dtype=jnp.float32, interpret=True)
+            a, b = np.asarray(la), np.asarray(lb)
+            cos = float((a * b).sum() /
+                        (np.linalg.norm(a) * np.linalg.norm(b)))
+            assert cos > 0.999, cos
+            assert np.array_equal(a.argmax(-1), b.argmax(-1))
+            tok = jnp.argmax(la, -1).astype(jnp.int32)
+
     def test_multi_pos_fused(self, cfg, qsetup):
         params, qd, cache = self._prefilled(cfg, qsetup)
         qc = qdecode.quantize_cache(cache, kv_int8=False)

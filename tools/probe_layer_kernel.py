@@ -63,9 +63,15 @@ def large_measure(lo, hi, which=("qf",)):
         # flag, so it must be set across compile)
         # "qf_trans" / "qf_trans_defer": transposed-score softmax tiles
         # (decode_blocks.TRANSPOSED — full-lane VPU, round-4 VERDICT #3)
+        # "qf_cross8": int8 CROSS cache only (-123 MB/step of the static
+        # per-utterance traffic) on top of deferred writes; self rows stay
+        # in the best-measured bf16 form
         from whisper_apr_tpu.ops import decode_blocks
-        qdecode.DEFER_KV_WRITES = name in ("qf_defer", "qf_trans_defer")
+        qdecode.DEFER_KV_WRITES = name in ("qf_defer", "qf_trans_defer",
+                                           "qf_cross8")
         decode_blocks.TRANSPOSED = name in ("qf_trans", "qf_trans_defer")
+        qc_v = (qdecode.quantize_cache(cache, mode="cross8")
+                if name == "qf_cross8" else qc)
 
         def body(i, env, carry, _fn=step_fn):
             prm, q_d, const = env
@@ -75,9 +81,9 @@ def large_measure(lo, hi, which=("qf",)):
 
         t0 = time.time()
         try:
-            s = p.per_step(body, (params, qd, 0), (tok0, qc))
+            s = p.per_step(body, (params, qd, 0), (tok0, qc_v))
         finally:
-            qdecode.DEFER_KV_WRITES = False
+            qdecode.DEFER_KV_WRITES = True
             decode_blocks.TRANSPOSED = False
         print(f"{name:<12}: {s*1e3:8.4f} ms/step  "
               f"(compile+measure {time.time()-t0:.0f}s)", flush=True)

@@ -231,13 +231,16 @@ class ComputeConfig:
     #          memory with NO scale plumbing — the f8->bf16 tile cast is
     #          a native VPU convert 2.6x cheaper than int8's
     #          (BENCH_NOTES round 3); ~2e-2 row error, argmax-stable,
+    # "cross8" = int8 CROSS cache only: -123 MB/step of large-v3 B=1
+    #          traffic (the per-utterance-static bulk) with self rows in
+    #          the best-measured bf16 form; <1e-3 logit error,
     # "scan" = per-kernel scan step (decode_step_q), no fused attention
     kv_mode: str = "auto"
 
     # decode in larger position buckets to bound recompilation
     text_bucket: int = 448
 
-    _KV_MODES = ("auto", "bf16", "int8", "fp8", "scan")
+    _KV_MODES = ("auto", "bf16", "int8", "fp8", "cross8", "scan")
 
     def __post_init__(self):
         if self.kv_mode not in self._KV_MODES:

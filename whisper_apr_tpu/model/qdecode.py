@@ -582,6 +582,10 @@ def quantize_cache(cache: KVCache, kv_int8: bool = True,
 
     ``mode`` (overrides ``kv_int8``): "bf16" keeps compute-dtype rows;
     "int8" quantizes per row with exact f32 scales (ops/decode_attention);
+    "cross8" quantizes ONLY the cross cache (the per-utterance-static
+    245 MB/step of large-v3 B=1 traffic) and keeps self rows in the
+    best-measured bf16 form — the self path's int8 handling is what made
+    full-int8 lose at B=1 (1.903 vs bf16 1.836, BENCH_NOTES round 3);
     "fp8" stores float8_e4m3fn rows with NO scales — the TPU-native
     half-memory option: the f8->bf16 tile cast is a native VPU convert
     measured 2.6x cheaper than int8's (BENCH_NOTES round 3), and all the
@@ -597,6 +601,10 @@ def quantize_cache(cache: KVCache, kv_int8: bool = True,
         f8 = jnp.float8_e4m3fn
         return QKVCache(sk.astype(f8), None, sv.astype(f8), None,
                         ck.astype(f8), None, cv.astype(f8), None)
+    if mode == "cross8":
+        ckq, cks = quantize_rows(ck)
+        cvq, cvs = quantize_rows(cv)
+        return QKVCache(sk, None, sv, None, ckq, cks, cvq, cvs)
     if mode != "int8":
         return QKVCache(sk, None, sv, None, ck, None, cv, None)
     skq, sks = quantize_rows(sk)

@@ -66,18 +66,32 @@ def large_measure(lo, hi, which=("qf",)):
         # "qf_cross8": int8 CROSS cache only (-123 MB/step of the static
         # per-utterance traffic) on top of deferred writes; self rows stay
         # in the best-measured bf16 form
+        # "qf_novocab"/"qf_noscatter"/"qf_noglue": fixed-overhead anatomy
+        # ablations (session-5 finding: layers run at 1.03x their HBM
+        # floor; the whole 0.48 ms gap is the 0.555 ms FIXED part) —
+        # each removes one fixed component on top of qf_defer
         from whisper_apr_tpu.ops import decode_blocks
-        qdecode.DEFER_KV_WRITES = name in ("qf_defer", "qf_trans_defer",
-                                           "qf_cross8")
+        qdecode.DEFER_KV_WRITES = name != "qf" and name != "qf_trans"
         decode_blocks.TRANSPOSED = name in ("qf_trans", "qf_trans_defer")
+        qdecode.ABLATE = frozenset(
+            {"vocab"} if name == "qf_novocab"
+            else {"scatter"} if name == "qf_noscatter" else ())
         qc_v = (qdecode.quantize_cache(cache, mode="cross8")
                 if name == "qf_cross8" else qc)
 
-        def body(i, env, carry, _fn=step_fn):
-            prm, q_d, const = env
-            tok, c = carry
-            logits, c = _fn(prm, q_d, tok, i, c, cfg)
-            return (jnp.argmax(logits, -1).astype(jnp.int32), c)
+        if name == "qf_noglue":
+            # keep the vocab head live but skip bias/argmax greedy glue
+            def body(i, env, carry, _fn=step_fn):
+                prm, q_d, const = env
+                tok, c = carry
+                logits, c = _fn(prm, q_d, tok, i, c, cfg)
+                return (logits[:, 0].astype(jnp.int32), c)
+        else:
+            def body(i, env, carry, _fn=step_fn):
+                prm, q_d, const = env
+                tok, c = carry
+                logits, c = _fn(prm, q_d, tok, i, c, cfg)
+                return (jnp.argmax(logits, -1).astype(jnp.int32), c)
 
         t0 = time.time()
         try:
@@ -85,6 +99,7 @@ def large_measure(lo, hi, which=("qf",)):
         finally:
             qdecode.DEFER_KV_WRITES = True
             decode_blocks.TRANSPOSED = False
+            qdecode.ABLATE = frozenset()
         print(f"{name:<12}: {s*1e3:8.4f} ms/step  "
               f"(compile+measure {time.time()-t0:.0f}s)", flush=True)
         results[name] = s

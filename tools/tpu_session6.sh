@@ -23,8 +23,10 @@ PY
 echo "--- q4k fused unpack A/B (i32 measured 2.2289; algebra is default) ---" | tee -a $log
 Q4K_UNPACK=algebra python -u tools/probe_layer_kernel.py --q4k --fused --lo 16 --hi 144 2>&1 | tee -a $log
 
-echo "--- qf_cross8 step (int8 cross cache; baseline qf_defer 1.800) ---" | tee -a $log
-python -u tools/probe_layer_kernel.py --large --which qf_cross8 --lo 16 --hi 144 2>&1 | tee -a $log
+echo "--- fixed-overhead anatomy + cross8 (baseline qf_defer 1.800; fixed pool 0.555) ---" | tee -a $log
+python -u tools/probe_layer_kernel.py --large \
+    --which qf_cross8,qf_noglue,qf_novocab,qf_noscatter --lo 16 --hi 144 \
+    2>&1 | tee -a $log
 
 echo "--- serving admission RERUN (fixed barrier) ---" | tee -a $log
 python -u tools/bench_admission.py large-v3 8 3 2>&1 | tee -a $log

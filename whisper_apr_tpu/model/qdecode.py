@@ -565,6 +565,12 @@ BATCHED_TILE_T = None
 # the interleaved schedule in tests/test_qdecode.py).
 DEFER_KV_WRITES = True
 
+# Measurement-only ablations for the fixed-overhead anatomy (round-4
+# session 5: the 32-layer pipeline runs at 1.03x its HBM floor; the whole
+# 0.48 ms gap is the step's FIXED part). Probes set e.g. {"vocab"} or
+# {"scatter"} to carve that pool apart; production leaves this empty.
+ABLATE: frozenset = frozenset()
+
 
 def _pad_t(a: jnp.ndarray, block: int) -> jnp.ndarray:
     """Pad [L, B, T, D] on T up to a multiple of ``block``."""
@@ -751,12 +757,16 @@ def decode_step_qf(params: dict, qd: dict, token: jnp.ndarray,
             return jax.lax.dynamic_update_slice(
                 scales, s[:, :, None, None], (0, 0, pos, 0))
 
-        skq = rows_write(qcache.self_kq, krows)
-        svq = rows_write(qcache.self_vq, vrows)
-        sks, svs = qcache.self_ks, qcache.self_vs
-        if kv_int8:
-            sks = scales_write(sks, ksc_all)
-            svs = scales_write(svs, vsc_all)
+        if "scatter" in ABLATE:   # measurement-only: skip the KV scatters
+            skq, svq = qcache.self_kq, qcache.self_vq
+            sks, svs = qcache.self_ks, qcache.self_vs
+        else:
+            skq = rows_write(qcache.self_kq, krows)
+            svq = rows_write(qcache.self_vq, vrows)
+            sks, svs = qcache.self_ks, qcache.self_vs
+            if kv_int8:
+                sks = scales_write(sks, ksc_all)
+                svs = scales_write(svs, vsc_all)
     else:
         def body(l, carry):
             x, skq, sks, svq, svs = carry
@@ -779,11 +789,17 @@ def decode_step_qf(params: dict, qd: dict, token: jnp.ndarray,
             0, L, body,
             (x, qcache.self_kq, qcache.self_ks, qcache.self_vq,
              qcache.self_vs))
-    x = layer_norm(x, dec["ln_post"]["w"], dec["ln_post"]["b"])
-
-    xs = (x.astype(jnp.float32) * qd["vocab_k_scale"]).astype(x.dtype)
-    logits = qmatvec_stacked(xs, qd["vocab_qT"], qd["vocab_ones"], 0,
-                             interpret=interpret, out_dtype=jnp.float32)
+    if "vocab" in ABLATE:         # measurement-only: no final LN / vocab
+        # head — a data-dependent (never-true) logit row keeps the layer
+        # pipeline live without letting XLA hoist anything loop-invariant
+        logits = jnp.where(x[:, :1] > 1e30, 1.0, 0.0) * jnp.zeros(
+            (x.shape[0], config.n_vocab), jnp.float32)
+    else:
+        x = layer_norm(x, dec["ln_post"]["w"], dec["ln_post"]["b"])
+        xs = (x.astype(jnp.float32) * qd["vocab_k_scale"]).astype(x.dtype)
+        logits = qmatvec_stacked(xs, qd["vocab_qT"], qd["vocab_ones"], 0,
+                                 interpret=interpret,
+                                 out_dtype=jnp.float32)
     new_cache = QKVCache(skq, sks, svq, svs, qcache.cross_kq,
                          qcache.cross_ks, qcache.cross_vq, qcache.cross_vs)
     return logits[:, : config.n_vocab], new_cache

@@ -79,7 +79,13 @@ def large_measure(lo, hi, which=("qf",)):
         qc_v = (qdecode.quantize_cache(cache, mode="cross8")
                 if name == "qf_cross8" else qc)
 
-        if name == "qf_noglue":
+        if name == "qf_loop0":
+            # empty body: pure while_loop iteration overhead on this
+            # backend (carry threads the caches untouched)
+            def body(i, env, carry):
+                tok, c = carry
+                return (tok + 1, c)
+        elif name == "qf_noglue":
             # keep the vocab head live but skip bias/argmax greedy glue
             def body(i, env, carry, _fn=step_fn):
                 prm, q_d, const = env

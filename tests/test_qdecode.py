@@ -266,6 +266,36 @@ class TestFusedDecode:
             assert np.array_equal(a.argmax(-1), b.argmax(-1))
             tok = jnp.argmax(la, -1).astype(jnp.int32)
 
+    def test_fused_greedy_head_matches_logits_argmax(self, cfg, qsetup):
+        """greedy_bias switches the step's vocab tail to the fused
+        argmax+logsumexp kernel; token, max logit and logsumexp must
+        match the logits path (same matvec, same f32 accumulation)."""
+        from scipy.special import logsumexp
+        params, qd, cache = self._prefilled(cfg, qsetup)
+        qc = qdecode.quantize_cache(cache, kv_int8=False)
+        vp = qd["vocab_qT"].shape[2]
+        rng = np.random.default_rng(5)
+        bias = np.zeros((1, vp), np.float32)
+        bias[0, rng.integers(0, cfg.n_vocab, 50)] = -np.inf  # suppressions
+        gb = jnp.asarray(bias)
+        tok = jnp.asarray(np.array([7, 11], np.int32))
+        for step in range(2):
+            pos = jnp.int32(2 + step)
+            la, _ = qdecode.decode_step_qf(
+                params, qd, tok, pos, qc, cfg,
+                compute_dtype=jnp.float32, interpret=True)
+            (tb, mx, lz), qc = qdecode.decode_step_qf(
+                params, qd, tok, pos, qc, cfg,
+                compute_dtype=jnp.float32, interpret=True, greedy_bias=gb)
+            ref = np.asarray(la) + bias[:, : cfg.n_vocab]
+            assert np.array_equal(np.asarray(tb), ref.argmax(-1))
+            np.testing.assert_allclose(np.asarray(mx), ref.max(-1),
+                                       rtol=1e-5, atol=1e-5)
+            np.testing.assert_allclose(np.asarray(lz),
+                                       logsumexp(ref, axis=-1),
+                                       rtol=1e-5, atol=1e-5)
+            tok = jnp.asarray(np.asarray(tb))
+
     def test_multi_pos_fused(self, cfg, qsetup):
         params, qd, cache = self._prefilled(cfg, qsetup)
         qc = qdecode.quantize_cache(cache, kv_int8=False)

@@ -79,7 +79,19 @@ def large_measure(lo, hi, which=("qf",)):
         qc_v = (qdecode.quantize_cache(cache, mode="cross8")
                 if name == "qf_cross8" else qc)
 
-        if name == "qf_loop0":
+        if name == "qf_fusedhead":
+            # fused greedy head: in-kernel bias+argmax+logsumexp, no
+            # [1, 52k] logits round-trip and no XLA greedy glue
+            vp = qd["vocab_qT"].shape[2]
+            gb = jnp.zeros((1, vp), jnp.float32)
+
+            def body(i, env, carry, _fn=step_fn, _gb=gb):
+                prm, q_d, const = env
+                tok, c = carry
+                (t, mx, lz), c = _fn(prm, q_d, tok, i, c, cfg,
+                                     greedy_bias=_gb)
+                return (t, c)
+        elif name == "qf_loop0":
             # empty body: pure while_loop iteration overhead on this
             # backend (carry threads the caches untouched)
             def body(i, env, carry):

@@ -25,7 +25,7 @@ Q4K_UNPACK=algebra python -u tools/probe_layer_kernel.py --q4k --fused --lo 16 -
 
 echo "--- fixed-overhead anatomy + cross8 (baseline qf_defer 1.800; fixed pool 0.555) ---" | tee -a $log
 python -u tools/probe_layer_kernel.py --large \
-    --which qf_loop0,qf_cross8,qf_noglue,qf_novocab,qf_noscatter --lo 16 --hi 144 \
+    --which qf_loop0,qf_fusedhead,qf_cross8,qf_noglue,qf_novocab,qf_noscatter --lo 16 --hi 144 \
     2>&1 | tee -a $log
 
 echo "--- serving admission RERUN (fixed barrier) ---" | tee -a $log

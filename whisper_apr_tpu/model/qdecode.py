@@ -624,7 +624,8 @@ def decode_step_qf(params: dict, qd: dict, token: jnp.ndarray,
                    pos: jnp.ndarray, cache: QKVCache, config: ModelConfig,
                    compute_dtype: jnp.dtype = jnp.bfloat16,
                    interpret: Optional[bool] = None,
-                   enc_len: Optional[int] = None
+                   enc_len: Optional[int] = None,
+                   greedy_bias: Optional[jnp.ndarray] = None
                    ) -> Tuple[jnp.ndarray, QKVCache]:
     """Fused-attention decode step over a ``QKVCache``: THREE per-block
     megakernels per layer (ops/decode_blocks.py — self_block, cross_block,
@@ -636,6 +637,12 @@ def decode_step_qf(params: dict, qd: dict, token: jnp.ndarray,
     ``enc_len`` is the number of VALID encoder positions in the (padded)
     cross cache — pass the pre-padding cross-cache length; defaults to
     ``config.n_audio_ctx`` (exact for full 30 s windows).
+
+    ``greedy_bias`` ([1, V_pad] f32, real suppressions) switches the
+    vocab tail to the FUSED GREEDY HEAD (ops/qmatvec.qmatvec_greedy_head):
+    returns ``((token [B] i32, max_logit [B] f32, logsumexp [B] f32),
+    cache)`` instead of logits — no [B, 52k] logits round-trip and no
+    XLA bias/argmax fusions in the greedy loop.
     """
     from ..ops.decode_blocks import (cross_block, cross_block_batched,
                                      ffn_block, ffn_block_batched,
@@ -789,6 +796,16 @@ def decode_step_qf(params: dict, qd: dict, token: jnp.ndarray,
             0, L, body,
             (x, qcache.self_kq, qcache.self_ks, qcache.self_vq,
              qcache.self_vs))
+    new_cache = QKVCache(skq, sks, svq, svs, qcache.cross_kq,
+                         qcache.cross_ks, qcache.cross_vq, qcache.cross_vs)
+    if greedy_bias is not None:   # fused greedy head: token, no logits
+        from ..ops.qmatvec import qmatvec_greedy_head
+        x = layer_norm(x, dec["ln_post"]["w"], dec["ln_post"]["b"])
+        xs = (x.astype(jnp.float32) * qd["vocab_k_scale"]).astype(x.dtype)
+        tok, mx, lz = qmatvec_greedy_head(
+            xs, qd["vocab_qT"], greedy_bias, config.n_vocab,
+            interpret=interpret)
+        return (tok, mx, lz), new_cache
     if "vocab" in ABLATE:         # measurement-only: no final LN / vocab
         # head — a data-dependent (never-true) logit row keeps the layer
         # pipeline live without letting XLA hoist anything loop-invariant
@@ -800,6 +817,4 @@ def decode_step_qf(params: dict, qd: dict, token: jnp.ndarray,
         logits = qmatvec_stacked(xs, qd["vocab_qT"], qd["vocab_ones"], 0,
                                  interpret=interpret,
                                  out_dtype=jnp.float32)
-    new_cache = QKVCache(skq, sks, svq, svs, qcache.cross_kq,
-                         qcache.cross_ks, qcache.cross_vq, qcache.cross_vs)
     return logits[:, : config.n_vocab], new_cache

@@ -27,7 +27,7 @@ y[M, N] = (x[M, K] @ wq[layer, K, N]) * scale[layer, N]
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -109,6 +109,108 @@ def qmatvec(x: jnp.ndarray, wq: jnp.ndarray, scale: jnp.ndarray,
         jnp.asarray(scale, jnp.float32).reshape(1, -1), (1, N))
     return qmatvec_stacked(x, wq[None], scale[None], 0,
                            block_n=block_n, interpret=interpret)
+
+
+# ---------------------------------------------------------------------------
+# Fused greedy head: vocab matvec + bias + running argmax + online
+# logsumexp in ONE kernel — no [M, 52k] logits materialization, no XLA
+# bias/argmax fusions in the greedy loop (round-4 session-5 anatomy: the
+# whole B=1 gap is the step's FIXED part; the vocab tail + greedy glue
+# are its biggest accounted slice)
+# ---------------------------------------------------------------------------
+
+_NEG_INF = float("-inf")
+
+
+def _greedy_head_kernel(x_ref, wq_ref, bias_ref, tok_ref, max_ref, lz_ref,
+                        m_s, z_s, i_s, *, bn: int, n_vocab: int):
+    j = pl.program_id(0)
+    m = x_ref.shape[0]
+
+    @pl.when(j == 0)
+    def _init():
+        m_s[...] = jnp.full(m_s.shape, _NEG_INF, jnp.float32)
+        z_s[...] = jnp.zeros(z_s.shape, jnp.float32)
+        i_s[...] = jnp.zeros(i_s.shape, jnp.int32)
+
+    x = x_ref[...]                                       # [M, K]
+    w = wq_ref[0].astype(x.dtype)                        # [K, bn]
+    logit = jax.lax.dot(x, w, preferred_element_type=jnp.float32) \
+        + bias_ref[...].astype(jnp.float32)              # [M, bn]
+    col = j * bn + jax.lax.broadcasted_iota(jnp.int32, (m, bn), 1)
+    logit = jnp.where(col < n_vocab, logit, _NEG_INF)
+
+    m_t = jnp.max(logit, axis=1, keepdims=True)          # [M, 1]
+    # first-max index within the tile (jnp.argmax tie semantics)
+    big = jnp.int32(2 ** 30)
+    i_t = jnp.min(jnp.where(logit == m_t, col, big), axis=1,
+                  keepdims=True)                         # [M, 1]
+
+    m_prev = m_s[:, 0:1]
+    m_new = jnp.maximum(m_prev, m_t)
+    # masked tiles (m_t == -inf) contribute exp(-inf - finite) = 0
+    z_new = z_s[:, 0:1] * jnp.exp(m_prev - m_new) \
+        + jnp.sum(jnp.exp(logit - m_new), axis=1, keepdims=True)
+    better = m_t > m_prev                                # strict: keep the
+    i_new = jnp.where(better, i_t, i_s[:, 0:1])          # FIRST global max
+    m_s[...] = jnp.broadcast_to(m_new, m_s.shape)
+    z_s[...] = jnp.broadcast_to(z_new, z_s.shape)
+    i_s[...] = jnp.broadcast_to(i_new, i_s.shape)
+
+    @pl.when(j == pl.num_programs(0) - 1)
+    def _tail():
+        tok_ref[...] = i_s[...]
+        max_ref[...] = m_s[...]
+        lz_ref[...] = m_s[...] + jnp.log(jnp.maximum(z_s[...], 1e-30))
+
+
+def qmatvec_greedy_head(x: jnp.ndarray, wq: jnp.ndarray, bias: jnp.ndarray,
+                        n_vocab: int, block_n: Optional[int] = None,
+                        interpret: bool = False
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Greedy vocab head: argmax_v (x @ wq + bias) without logits.
+
+    x [M, K] (K-side scale pre-folded, as for the plain vocab matvec);
+    wq [1, K, N] int8 (N lane-padded >= n_vocab); bias [1, N] f32 (real
+    suppressions; padded tail ignored via the in-kernel n_vocab mask).
+
+    Returns (token [M] int32, max_logit [M] f32, logsumexp [M] f32) —
+    max_logit - logsumexp is the chosen token's logprob, so the greedy
+    quality gates keep working without a [M, 52k] round-trip.
+    """
+    M, K = x.shape
+    _, K2, N = wq.shape
+    assert K == K2 and N % _LANE == 0 and n_vocab <= N
+    bn = block_n or _pick_block_n(K, N)
+    grid = (N // bn,)
+    kernel = functools.partial(_greedy_head_kernel, bn=bn, n_vocab=n_vocab)
+    out_shapes = (
+        jax.ShapeDtypeStruct((M, _LANE), jnp.int32),
+        jax.ShapeDtypeStruct((M, _LANE), jnp.float32),
+        jax.ShapeDtypeStruct((M, _LANE), jnp.float32),
+    )
+    ospec = pl.BlockSpec((M, _LANE), lambda j: (0, 0))
+    tok, mx, lz = pl.pallas_call(
+        kernel,
+        out_shape=out_shapes,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((M, K), lambda j: (0, 0)),
+                pl.BlockSpec((1, K, bn), lambda j: (0, 0, j)),
+                pl.BlockSpec((1, bn), lambda j: (0, j)),
+            ],
+            out_specs=(ospec, ospec, ospec),
+            scratch_shapes=[
+                pltpu.VMEM((M, _LANE), jnp.float32),
+                pltpu.VMEM((M, _LANE), jnp.float32),
+                pltpu.VMEM((M, _LANE), jnp.int32),
+            ],
+        ),
+        interpret=interpret,
+    )(x, wq, bias)
+    return tok[:, 0], mx[:, 0], lz[:, 0]
 
 
 # ---------------------------------------------------------------------------

@@ -111,6 +111,28 @@ class TestReaderWriter:
         assert np.abs(deq - orig).max() <= scale / 2 + 1e-7
         assert r.verify_crc()
 
+    def test_f16_roundtrip(self):
+        # f16 .apr: header quantization=1, every tensor stored <f2 and
+        # promoted to f32 on load (reference: src/format/mod.rs:63-70,
+        # src/cli/model_loader.rs:172-192)
+        from whisper_apr_tpu.format import QUANT_F16
+        rng = np.random.default_rng(2)
+        orig = rng.normal(size=(16, 8)).astype(np.float32)
+        w = AprWriter.from_config(ModelConfig.tiny(), quantization=QUANT_F16)
+        w.add_tensor("decoder.embed_tokens.weight", orig)
+        blob = w.to_bytes()
+        r = AprReader(blob)
+        assert r.header.quantization == QUANT_F16
+        assert r.verify_crc()
+        got = r.load_tensor("decoder.embed_tokens.weight")
+        assert got.dtype == np.float32
+        np.testing.assert_array_equal(
+            got, orig.astype(np.float16).astype(np.float32))
+        # stored payload is 2 bytes/element, half of f32
+        assert r.tensors[0].size == orig.size * 2
+        # raw view preserves the f16 dtype
+        assert r.load_raw("decoder.embed_tokens.weight").dtype == np.float16
+
     def test_missing_tensor(self):
         r = AprReader(make_test_apr())
         with pytest.raises(FormatError):

@@ -131,11 +131,12 @@ def build_parser() -> argparse.ArgumentParser:
                        help="quantize f32 .apr to int8 / k-quants")
     p.add_argument("--model", "-m", required=True)
     p.add_argument("--output", "-o", required=True)
-    p.add_argument("--format", "-f", choices=("int8", "q4k", "q5k", "q6k"),
+    p.add_argument("--format", "-f",
+                   choices=("f16", "int8", "q4k", "q5k", "q6k"),
                    default="int8",
-                   help="int8 per-tensor scales, or exact k-quant "
-                        "super-blocks (q4k 4.5 / q5k 5.5 / q6k 6.5625 "
-                        "bits/weight)")
+                   help="f16 half-precision, int8 per-tensor scales, or "
+                        "exact k-quant super-blocks (q4k 4.5 / q5k 5.5 / "
+                        "q6k 6.5625 bits/weight)")
 
     # convert
     p = sub.add_parser("convert", help="convert HF checkpoint dir to .apr")

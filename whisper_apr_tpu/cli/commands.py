@@ -220,14 +220,15 @@ def run_validate(args) -> int:
 def run_quantize(args) -> int:
     """f32 .apr -> int8 or k-quant .apr (reference: commands.rs quantize;
     k-quant formats quantized.rs:88-380)."""
-    from ..format.container import QUANT_Q4K, QUANT_Q5K, QUANT_Q6K
+    from ..format.container import QUANT_F16, QUANT_Q4K, QUANT_Q5K, QUANT_Q6K
     reader = AprReader.from_file(args.model)
     if reader.header.quantization != 0:
         print("input model is already quantized", file=sys.stderr)
         return 1
     cfg = reader.header.to_model_config()
-    quant = {"q4k": QUANT_Q4K, "q5k": QUANT_Q5K, "q6k": QUANT_Q6K}.get(
-        getattr(args, "format", "int8"), QUANT_INT8)
+    quant = {"f16": QUANT_F16, "q4k": QUANT_Q4K, "q5k": QUANT_Q5K,
+             "q6k": QUANT_Q6K}.get(getattr(args, "format", "int8"),
+                                   QUANT_INT8)
     writer = AprWriter.from_config(cfg, quantization=quant)
     for desc in reader.tensors:
         writer.add_tensor(desc.name, reader.load_tensor(desc.name))

@@ -386,6 +386,14 @@ class AprReader:
             if end > len(blob):
                 raise FormatError("tensor data out of bounds")
             arr = np.frombuffer(blob, dtype=np.int8, count=count, offset=start)
+        elif self.header.quantization == QUANT_F16:
+            # f16 models store every tensor as little-endian float16
+            # (reference: header quantization=1 at src/format/mod.rs:63-70,
+            # converted f16->f32 on load at src/cli/model_loader.rs:172-192)
+            end = start + count * 2
+            if end > len(blob):
+                raise FormatError("tensor data out of bounds")
+            arr = np.frombuffer(blob, dtype="<f2", count=count, offset=start)
         elif (self.header.quantization in _KQUANT_BLOCK_BYTES
               and desc.size != count * 4):
             # k-quant files store matmul weights as raw super-blocks
@@ -424,6 +432,8 @@ class AprReader:
         raw = self.load_raw(name)
         if self.header.quantization == QUANT_INT8:
             return raw.astype(np.float32) * self.scale_for(name)
+        if self.header.quantization == QUANT_F16:
+            return raw.astype(np.float32)
         if (self.header.quantization in _KQUANT_BLOCK_BYTES
                 and raw.dtype == np.uint8):
             desc = self.tensors[self._by_name[name]]
@@ -513,10 +523,10 @@ class AprWriter:
 
     def to_bytes(self) -> bytes:
         quant = self.header.quantization
-        if quant not in (QUANT_F32, QUANT_INT8, QUANT_Q4K, QUANT_Q5K,
-                         QUANT_Q6K):
+        if quant not in (QUANT_F32, QUANT_F16, QUANT_INT8, QUANT_Q4K,
+                         QUANT_Q5K, QUANT_Q6K):
             raise FormatError(
-                f"writer supports f32/int8/q4k/q5k/q6k only, got {quant}")
+                f"writer supports f32/f16/int8/q4k/q5k/q6k only, got {quant}")
         self.header.n_tensors = len(self._tensors)
 
         out = bytearray()
@@ -550,6 +560,8 @@ class AprWriter:
                 if pad:
                     flat = np.pad(flat, (0, pad))
                 data = _kquant_quantize(quant, flat[None]).tobytes()
+            elif quant == QUANT_F16:
+                data = arr.astype("<f2").tobytes()
             else:
                 data = arr.astype("<f4").tobytes()
             desc = TensorDescriptor(

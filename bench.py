@@ -72,7 +72,7 @@ def main() -> None:
         tokens, lengths, _, _ = fused_transcribe_step(
             params, batch, fb._window, fb._basis, fb._filters_t,
             prompt, bias, 50257, cfg, max_len=max_len, prompt_len=prompt_len,
-            compute_dtype=compute_dtype, qd=qd, qf_mode="bf16")
+            compute_dtype=compute_dtype, qd=qd, qf_mode="cross8")
         # NOTE: block_until_ready() does NOT synchronize under the axon
         # remote-TPU tunnel; fetching the value is the only true barrier.
         return np.asarray(tokens)

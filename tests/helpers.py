@@ -60,3 +60,22 @@ def random_mel(cfg: ModelConfig, batch: int = 2, seed: int = 1) -> np.ndarray:
     rng = np.random.default_rng(seed)
     frames = cfg.n_audio_ctx * 2
     return rng.normal(size=(batch, frames, cfg.n_mels)).astype(np.float32)
+
+
+def tiny_engine_kq(cfg: ModelConfig, mode: str = "q4k", seed: int = 7):
+    """A WhisperApr engine over k-quant params with the qdecode fast path
+    force-enabled (the CPU backend disables it by default) — for tests of
+    the B>1 transcode routing (engine._qd_for)."""
+    from whisper_apr_tpu.engine import WhisperApr
+    from whisper_apr_tpu.model import qdecode
+    from whisper_apr_tpu.model.params import init_params, quantize_params
+
+    pq = quantize_params(init_params(cfg, seed=seed), mode)
+    eng = WhisperApr(cfg, pq, specials=small_specials(cfg))
+    if mode == "q4k":
+        qd = qdecode.prepare_q4k_decode(pq, cfg)
+    else:
+        qd = qdecode.prepare_kq_decode(pq, cfg)
+    assert qd is not None
+    eng._qdecode_cache = qd
+    return eng

@@ -144,6 +144,32 @@ class TestFusedParity:
                                   np.asarray(lb).argmax(-1))
             tok = jnp.argmax(la, -1).astype(jnp.int32)
 
+    @pytest.mark.parametrize("mode", MODES)
+    def test_fused_cross8_kv(self, mode):
+        """cross8 (int8 CROSS cache only — the round-5 B=1 default) with
+        k-quant weights: self rows stay on the exact branch, so the gate
+        is logit closeness + argmax agreement vs the scan path."""
+        cfg = _cfg()
+        pq, qd = _prep(mode, cfg)
+        cache_a = _prefilled(pq, cfg)
+        cache_b = _prefilled(pq, cfg)
+        qc = qdecode.quantize_cache(cache_b, mode="cross8")
+        assert qc.self_ks is None and qc.cross_ks is not None
+        tok = jnp.asarray(np.array([7], np.int32))
+        for step in range(2):
+            pos = jnp.int32(2 + step)
+            la, cache_a = qdecode.decode_step_q(
+                pq, qd, tok, pos, cache_a, cfg,
+                compute_dtype=jnp.float32, interpret=True)
+            lb, qc = qdecode.decode_step_qf(
+                pq, qd, tok, pos, qc, cfg,
+                compute_dtype=jnp.float32, interpret=True)
+            np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                       rtol=3e-2, atol=3e-2)
+            assert np.array_equal(np.asarray(la).argmax(-1),
+                                  np.asarray(lb).argmax(-1))
+            tok = jnp.argmax(la, -1).astype(jnp.int32)
+
     def test_deferred_writes_bit_identical(self):
         """DEFER_KV_WRITES only moves WHERE the new rows scatter; within
         the kq fused path the two schedules must be bit-identical."""
@@ -225,3 +251,73 @@ class TestGreedyIntegration:
         t1 = np.asarray(r1.tokens)[0]
         t2 = np.asarray(r2.tokens)
         assert np.array_equal(t1, t2[0]) and np.array_equal(t1, t2[1])
+
+
+class TestKqTranscode:
+    """B>1 k-quant serving: one-time int8 transcode of the decoder block
+    linears (qdecode.transcode_kq_to_int8) so batched decode rides the
+    int8 megakernels — the reference's fused k-quant linears serve any M
+    (quantized.rs:355); the transcode is the TPU answer (the in-kernel
+    group-dequant is bandwidth-right at B=1 only)."""
+
+    @pytest.mark.parametrize("mode", MODES)
+    def test_transcode_supports_batched_fused(self, mode):
+        cfg = _cfg()
+        pq, qd = _prep(mode, cfg)
+        assert not qdecode.qf_supported(qd, 8)      # kq fused is B=1-only
+        qdt = qdecode.transcode_kq_to_int8(pq, cfg)
+        assert qdt is not None
+        assert str(qdt.get("mode", "int8")) == "int8"
+        assert qdecode.qf_supported(qdt, 8)
+
+    def test_transcode_sqnr_vs_kq_dequant(self):
+        """int8 per-channel on top of the k-quant grid must stay close to
+        the k-quant values themselves (>=30 dB — int8's own grid is ~40+;
+        the transcode must not compound errors)."""
+        from whisper_apr_tpu.ops.quant import compute_sqnr, dequant
+        cfg = _cfg()
+        pq, _ = _prep("q4k", cfg)
+        qdt = qdecode.transcode_kq_to_int8(pq, cfg)
+        # reconstruct the transcoded fc1 weight and compare against the
+        # exact k-quant dequant of the same leaf
+        want = np.asarray(dequant(pq["decoder"]["blocks"]["fc1"]["w"]))
+        got = np.asarray(qdt["ffn"]["w1"]).astype(np.float32) \
+            * np.asarray(qdt["ffn"]["s1"])
+        sqnr = compute_sqnr(want, got)
+        assert sqnr >= 30.0, sqnr
+
+    def test_transcoded_step_tracks_kq_scan_step(self):
+        """decode_step_qf at B=2 with the transcoded qd must track the
+        exact k-quant scan step (argmax agreement + high cosine)."""
+        cfg = _cfg()
+        pq, qd = _prep("q4k", cfg)
+        qdt = qdecode.transcode_kq_to_int8(pq, cfg)
+        cache = _prefilled(pq, cfg, b=2)
+        qc = qdecode.quantize_cache(cache, kv_int8=False)
+        tok = jnp.asarray(np.array([7, 9], np.int32))
+        for step in range(2):
+            pos = jnp.int32(2 + step)
+            la, cache = qdecode.decode_step_q(
+                pq, qd, tok, pos, cache, cfg,
+                compute_dtype=jnp.float32, interpret=True)
+            lb, qc = qdecode.decode_step_qf(
+                pq, qdt, tok, pos, qc, cfg,
+                compute_dtype=jnp.float32, interpret=True,
+                enc_len=cfg.n_audio_ctx)
+            a, b = np.asarray(la), np.asarray(lb)
+            cos = float((a * b).sum()
+                        / (np.linalg.norm(a) * np.linalg.norm(b)))
+            assert cos > 0.99, cos
+            assert np.array_equal(a.argmax(-1), b.argmax(-1))
+            tok = jnp.argmax(la, -1).astype(jnp.int32)
+
+    def test_engine_routes_batched_kq_to_transcode(self):
+        """engine._qd_for: B=1 -> the exact k-quant qd; B>1 -> the int8
+        transcode (built once, cached)."""
+        from tests.helpers import tiny_engine_kq
+        eng = tiny_engine_kq(_cfg())
+        qd1 = eng._qd_for(1)
+        assert str(qd1.get("mode", "int8")) in ("q4k", "q5k", "q6k")
+        qd8 = eng._qd_for(8)
+        assert str(qd8.get("mode", "int8")) == "int8"
+        assert eng._qd_for(8) is qd8   # cached

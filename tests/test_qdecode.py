@@ -106,6 +106,40 @@ class TestDecodeStepQ:
         assert np.array_equal(np.asarray(fast.tokens), np.asarray(ref.tokens))
         assert np.array_equal(np.asarray(fast.lengths), np.asarray(ref.lengths))
 
+    def test_greedy_fused_head_parity(self, cfg, qsetup):
+        """The fused greedy head (while_loop tail = in-kernel vocab
+        argmax+logsumexp, no [B, V] logits round-trip) must reproduce the
+        logits-tail decode exactly: same tokens, lengths, no-speech prob,
+        and sum_logprob (logp[argmax] == max - logsumexp). Real -inf
+        suppressions exercise the bias fold."""
+        params, qd, enc = qsetup
+        prompt = jnp.asarray(np.full((2, 2), 5, np.int32))
+        bias_np = np.zeros(cfg.n_vocab, np.float32)
+        bias_np[[3, 17, 123]] = -np.inf
+        bias = jnp.asarray(bias_np)
+        eot = cfg.n_vocab - 1
+        qdecode.INTERPRET = True
+        try:
+            on = greedy_generate(
+                params, enc, prompt, bias, eot=eot, config=cfg,
+                max_len=12, prompt_len=2, no_speech=3, qd=qd,
+                qf_mode="bf16", fused_head=True)
+            off = greedy_generate(
+                params, enc, prompt, bias, eot=eot, config=cfg,
+                max_len=12, prompt_len=2, no_speech=3, qd=qd,
+                qf_mode="bf16", fused_head=False)
+        finally:
+            qdecode.INTERPRET = False
+        assert np.array_equal(np.asarray(on.tokens), np.asarray(off.tokens))
+        assert np.array_equal(np.asarray(on.lengths),
+                              np.asarray(off.lengths))
+        np.testing.assert_allclose(np.asarray(on.sum_logprob),
+                                   np.asarray(off.sum_logprob),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(on.no_speech_prob),
+                                   np.asarray(off.no_speech_prob),
+                                   rtol=1e-6, atol=1e-6)
+
 
 class TestQdecodeUnified:
     """The kernel path now serves multi-slot, sampling, and beam decodes."""

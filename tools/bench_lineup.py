@@ -60,6 +60,12 @@ def bench_model(name: str, batch_size: int = 1, quant: str = "int8") -> dict:
         qd = prepare_kq_decode(params, cfg)
     else:
         qd = prepare_qdecode(params, cfg)
+    if batch_size > 1 and qd is not None \
+            and str(qd.get("mode", "int8")) in ("q4k", "q5k", "q6k"):
+        # B>1 k-quant serving rides the one-time int8 transcode
+        # (qdecode.transcode_kq_to_int8) — the engine's routing
+        from whisper_apr_tpu.model.qdecode import transcode_kq_to_int8
+        qd = transcode_kq_to_int8(params, cfg) or qd
 
     rng = np.random.default_rng(0)
     audio = rng.normal(0, 0.1, int(16_000 * AUDIO_SECONDS)).astype(np.float32)
@@ -79,7 +85,7 @@ def bench_model(name: str, batch_size: int = 1, quant: str = "int8") -> dict:
             params, batch, fb._window, fb._basis, fb._filters_t,
             prompt, bias, 50257, cfg, max_len=max_len,
             prompt_len=prompt_len, compute_dtype=jnp.bfloat16, qd=qd,
-            qf_mode="bf16")
+            qf_mode="cross8" if batch_size == 1 else "bf16")
         return np.asarray(tokens)
 
     t0 = time.perf_counter()

@@ -77,9 +77,35 @@ def large_measure(lo, hi, which=("qf",)):
             {"vocab"} if name == "qf_novocab"
             else {"scatter"} if name == "qf_noscatter" else ())
         qc_v = (qdecode.quantize_cache(cache, mode="cross8")
-                if name == "qf_cross8" else qc)
+                if "cross8" in name else qc)
 
-        if name == "qf_fusedhead":
+        if name.startswith("qf_prodhead"):
+            # PRODUCTION-shaped fused-head body: the while_loop glue the
+            # engine really runs (done-mask add + chosen logprob from
+            # max - logsumexp). Compare against qf_prod, not qf — the
+            # plain probe bodies omit the engine's full log_softmax.
+            vp = qd["vocab_qT"].shape[2]
+            gb = jnp.zeros((1, vp), jnp.float32)
+
+            def body(i, env, carry, _fn=step_fn, _gb=gb):
+                prm, q_d, const = env
+                tok, c = carry
+                (t, mx, lz), c = _fn(prm, q_d, tok, i, c, cfg,
+                                     greedy_bias=_gb)
+                lp = mx - lz
+                return (t + (lp < -1e30).astype(jnp.int32), c)
+        elif name.startswith("qf_prod"):
+            # production-shaped logits body: bias-less argmax + the
+            # engine's _chosen_logprob (full log_softmax over 52k)
+            def body(i, env, carry, _fn=step_fn):
+                prm, q_d, const = env
+                tok, c = carry
+                logits, c = _fn(prm, q_d, tok, i, c, cfg)
+                nxt = jnp.argmax(logits, -1).astype(jnp.int32)
+                logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+                lp = jnp.take_along_axis(logp, nxt[:, None], 1)[:, 0]
+                return (nxt + (lp < -1e30).astype(jnp.int32), c)
+        elif name == "qf_fusedhead":
             # fused greedy head: in-kernel bias+argmax+logsumexp, no
             # [1, 52k] logits round-trip and no XLA greedy glue
             vp = qd["vocab_qT"].shape[2]
@@ -124,7 +150,7 @@ def large_measure(lo, hi, which=("qf",)):
     return results
 
 
-def anatomy_measure(lo, hi, layers=(8, 32)):
+def anatomy_measure(lo, hi, layers=(8, 32), b=1):
     """Fixed-vs-per-layer split of the fused B=1 step (round-4 gap hunt:
     qf_defer 1.800 ms vs the 1.322 HBM floor — where do the 0.48 ms
     live?). Times decode_step_qf on large-v3 params layer-sliced to each
@@ -154,21 +180,28 @@ def anatomy_measure(lo, hi, layers=(8, 32)):
             lambda a: a[:nl], params_full["decoder"]["blocks"])
         qd = qdecode.prepare_qdecode(params, cfg)
         D = cfg.n_text_state
-        enc = jnp.zeros((1, cfg.n_audio_ctx, D), jnp.bfloat16)
+        enc = jnp.zeros((b, cfg.n_audio_ctx, D), jnp.bfloat16)
         cache = init_cache(params, enc, cfg, max_len=448,
                            compute_dtype=jnp.bfloat16)
         qc = qdecode.quantize_cache(cache, kv_int8=False)
-        tok0 = jnp.zeros((1,), jnp.int32)
+        tok0 = jnp.zeros((b,), jnp.int32)
+        pos0 = jnp.asarray(np.arange(b, dtype=np.int32) * 16)
 
         def body(i, env, carry, _cfg=cfg):
             prm, q_d = env
-            tok, c = carry
-            logits, c = qdecode.decode_step_qf(prm, q_d, tok, i, c, _cfg)
-            return (jnp.argmax(logits, -1).astype(jnp.int32), c)
+            if b == 1:
+                tok, c = carry
+                logits, c = qdecode.decode_step_qf(prm, q_d, tok, i, c,
+                                                   _cfg)
+                return (jnp.argmax(logits, -1).astype(jnp.int32), c)
+            tok, pos, c = carry
+            logits, c = qdecode.decode_step_qf(prm, q_d, tok, pos, c, _cfg)
+            return (jnp.argmax(logits, -1).astype(jnp.int32), pos + 1, c)
 
         t0 = time.time()
-        s = p.per_step(body, (params, qd), (tok0, qc))
-        print(f"qf_defer L={nl:<3}: {s*1e3:8.4f} ms/step  "
+        carry0 = (tok0, qc) if b == 1 else (tok0, pos0, qc)
+        s = p.per_step(body, (params, qd), carry0)
+        print(f"qf_defer B={b} L={nl:<3}: {s*1e3:8.4f} ms/step  "
               f"(compile+measure {time.time()-t0:.0f}s)", flush=True)
         results[nl] = s
     ls = sorted(results)
@@ -266,11 +299,19 @@ def q4k_measure(lo, hi, qmode="q4k", fused=False):
           f"({nbytes/s_mv/2**30:5.0f} GiB/s eff)", flush=True)
 
 
-def batched_measure(lo, hi, b=8, which=("qf",)):
+def batched_measure(lo, hi, b=8, which=("qf",), quant="int8"):
     """B-slot serving tick: batched per-block kernels.
 
     Round-2d baseline: fused bf16 BATCHED 5.30 ms/step at B=8 large-v3
-    (0.663 ms/slot-token); scan 7.59.
+    (0.663 ms/slot-token); scan 7.59. Round-4 session 4: per-stream flat
+    at 1.77x the roofline floor B=8..32 — these variants hunt that gap:
+
+      qf          bf16-KV baseline (the serving default)
+      qf_i8kv     int8 per-row KV (round-3: 0.847 ms/slot at bt=64)
+      qf_prod     production-shaped glue (argmax + full log_softmax)
+      qf_prodhead fused greedy head at M=B (one kernel, no [B,52k] tail)
+      bt16/bt32/bt64/bt128  tile sweep (qdecode.BATCHED_TILE_T override)
+      --quant q4k transcoded-int8 weights (the B>1 k-quant serving path)
     """
     from whisper_apr_tpu.config import ModelConfig
     from whisper_apr_tpu.model import qdecode
@@ -278,16 +319,20 @@ def batched_measure(lo, hi, b=8, which=("qf",)):
     from whisper_apr_tpu.model.params import init_params, quantize_params
 
     cfg = ModelConfig.from_name("large-v3")
-    params = quantize_params(init_params(cfg, seed=0), "int8")
+    params = quantize_params(init_params(cfg, seed=0), quant)
     params = jax.tree_util.tree_map(
         lambda x: x.astype(jnp.bfloat16)
         if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, params)
-    qd = qdecode.prepare_qdecode(params, cfg)
+    if quant == "int8":
+        qd = qdecode.prepare_qdecode(params, cfg)
+    else:
+        # the engine's B>1 k-quant route: one-time int8 transcode
+        qd = qdecode.transcode_kq_to_int8(params, cfg)
+        print(f"quant={quant} via transcode_kq_to_int8")
     D = cfg.n_text_state
     enc = jnp.zeros((b, cfg.n_audio_ctx, D), jnp.bfloat16)
     cache = init_cache(params, enc, cfg, max_len=448,
                        compute_dtype=jnp.bfloat16)
-    qc = qdecode.quantize_cache(cache, kv_int8=False)
     tok0 = jnp.zeros((b,), jnp.int32)
     # mixed per-slot positions (the serving reality)
     pos0 = jnp.asarray(np.arange(b, dtype=np.int32) * 16)
@@ -295,16 +340,45 @@ def batched_measure(lo, hi, b=8, which=("qf",)):
 
     for name in which:
         step = qdecode.decode_step_qf
+        if name.startswith("bt"):
+            qdecode.BATCHED_TILE_T = int(name[2:])
+        qc = qdecode.quantize_cache(cache,
+                                    kv_int8=(name == "qf_i8kv"))
 
-        def body(i, env, carry, _step=step):
-            prm, q_d = env
-            tok, pos, c = carry
-            logits, c = _step(prm, q_d, tok, pos, c, cfg)
-            return (jnp.argmax(logits, -1).astype(jnp.int32), pos + 1, c)
+        if name == "qf_prodhead":
+            vp = qd["vocab_qT"].shape[2]
+            gb = jnp.zeros((1, vp), jnp.float32)
+
+            def body(i, env, carry, _step=step, _gb=gb):
+                prm, q_d = env
+                tok, pos, c = carry
+                (t, mx, lz), c = _step(prm, q_d, tok, pos, c, cfg,
+                                       greedy_bias=_gb)
+                lp = mx - lz
+                return (t + (lp < -1e30).astype(jnp.int32), pos + 1, c)
+        elif name == "qf_prod":
+            def body(i, env, carry, _step=step):
+                prm, q_d = env
+                tok, pos, c = carry
+                logits, c = _step(prm, q_d, tok, pos, c, cfg)
+                nxt = jnp.argmax(logits, -1).astype(jnp.int32)
+                logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+                lp = jnp.take_along_axis(logp, nxt[:, None], 1)[:, 0]
+                return (nxt + (lp < -1e30).astype(jnp.int32), pos + 1, c)
+        else:
+            def body(i, env, carry, _step=step):
+                prm, q_d = env
+                tok, pos, c = carry
+                logits, c = _step(prm, q_d, tok, pos, c, cfg)
+                return (jnp.argmax(logits, -1).astype(jnp.int32),
+                        pos + 1, c)
 
         t0 = time.time()
-        s = p.per_step(body, (params, qd), (tok0, pos0, qc))
-        print(f"B={b} {name:<4}: {s*1e3:8.4f} ms/step  "
+        try:
+            s = p.per_step(body, (params, qd), (tok0, pos0, qc))
+        finally:
+            qdecode.BATCHED_TILE_T = None
+        print(f"B={b} {name:<12} [{quant}]: {s*1e3:8.4f} ms/step  "
               f"{s*1e3/b:6.4f} ms/slot-token  "
               f"(compile+measure {time.time()-t0:.0f}s)", flush=True)
 
@@ -549,6 +623,11 @@ if __name__ == "__main__":
     ap.add_argument("--anatomy", action="store_true",
                     help="fixed-vs-per-layer split of the fused B=1 step")
     ap.add_argument("--b", type=int, default=8)
+    ap.add_argument("--anatomy-b", type=int, default=1,
+                    help="batch size for --anatomy (8 = serving split)")
+    ap.add_argument("--quant", default="int8",
+                    help="--batched weights: int8 | q4k/q5k/q6k "
+                         "(transcoded, the B>1 serving path)")
     ap.add_argument("--fused", action="store_true",
                     help="time decode_step_qf (per-block kq kernels) "
                          "instead of the scan step for --q4k/--q5k/--q6k")
@@ -567,11 +646,12 @@ if __name__ == "__main__":
     if args.tricks:
         tricks_probe()
     if args.batched:
-        batched_measure(args.lo, args.hi, b=args.b)
+        batched_measure(args.lo, args.hi, b=args.b,
+                        which=args.which.split(","), quant=args.quant)
     if args.large:
         large_measure(args.lo, args.hi, args.which.split(","))
     if args.anatomy:
-        anatomy_measure(args.lo, args.hi)
+        anatomy_measure(args.lo, args.hi, b=args.anatomy_b)
     if args.q4k:
         q4k_measure(args.lo, args.hi, fused=args.fused)
     if args.q5k:

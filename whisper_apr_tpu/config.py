@@ -217,12 +217,13 @@ class ComputeConfig:
     # "q4k" | "q5k" | "q6k" (model/params.quantize_params modes)
     quantization: str = "none"
     # decode KV-cache / attention-kernel mode (quantized fast path only):
-    # "auto" = per-block megakernel step with bf16 KV — fastest at every
-    #          batch (large-v3: B=1 1.85 vs 2.35 ms/step scan; B=8 slots
-    #          0.66 vs 0.95 ms/slot-token via the batched kernels);
-    #          token-exact vs the scan path with logits in the same bf16
-    #          precision class (~1e-5 relative — the kernels reorder dots
-    #          and use the A&S erf approximation),
+    # "auto" = per-block megakernel step with the measured-best cache
+    #          form per batch: single-stream decode uses "cross8" (int8
+    #          CROSS cache only — large-v3 B=1 1.716 vs bf16's 1.800
+    #          ms/step, round-5 probe) and B>1 slots use bf16 KV (the
+    #          int8 tile convert loses at batch, BENCH_NOTES r3/r4);
+    #          argmax-stable vs the scan path (<1e-3 logit error from the
+    #          int8 cross rows; bf16-class otherwise),
     # "bf16" = same, explicitly,
     # "int8" = megakernel step with int8 per-row KV: HALF the KV-cache
     #          memory (serving capacity; B=8 0.85 ms/slot-token,

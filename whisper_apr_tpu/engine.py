@@ -299,6 +299,32 @@ class WhisperApr:
         return self._qdecode_cache
 
     @property
+    def _qdecode_batched(self):
+        """qd for BATCHED (B>1) fused decode. int8 params: same as
+        ``_qdecode``. k-quant params: a per-channel int8 TRANSCODE of the
+        decoder block linears built once at first use
+        (qdecode.transcode_kq_to_int8) — B>1 then rides the batched int8
+        megakernels at the int8 model's per-stream cost instead of the
+        scan-step fallback (measured 1.5-2.7x slower, BENCH_NOTES round 4).
+        Storage and the B=1 path stay exact k-quant."""
+        if not hasattr(self, "_qdecode_batched_cache"):
+            from .model.qdecode import KQ_MODES, transcode_kq_to_int8
+            qd = self._qdecode
+            if qd is not None and str(qd.get("mode", "int8")) in KQ_MODES:
+                qd = transcode_kq_to_int8(self.params, self.config) or qd
+            self._qdecode_batched_cache = qd
+        return self._qdecode_batched_cache
+
+    def _qd_for(self, batch: int):
+        """The qd serving a decode at this batch size (see
+        ``_qdecode_batched``)."""
+        from .model.qdecode import qf_supported
+        qd = self._qdecode
+        if qd is not None and not qf_supported(qd, batch):
+            return self._qdecode_batched
+        return qd
+
+    @property
     def _qf_mode(self):
         """Fused-attention decode mode for the greedy hot path (see
         ComputeConfig.kv_mode): None when no qdecode, else
@@ -310,7 +336,14 @@ class WhisperApr:
         # scan step at B>1 through qdecode.qf_supported)
         mode = self.compute.kv_mode
         if mode == "auto":
-            return "bf16"
+            # round-5 measurement (probe qf_cross8): int8 CROSS cache only
+            # is the fastest single-stream step — 1.716 vs bf16's 1.800
+            # ms/step on large-v3 int8 B=1 (-4.7%; the cross K/V are the
+            # per-utterance-static bulk of step traffic). Self rows stay
+            # bf16 (full-int8 measured SLOWER at B=1, BENCH_NOTES r3).
+            # Serving slots keep bf16 (cross8 un-measured at B>1 —
+            # parallel/serving.py maps it back).
+            return "cross8"
         return None if mode == "scan" else mode
 
     @property
@@ -560,7 +593,8 @@ class WhisperApr:
                     top_k=options.top_k, top_p=options.top_p,
                     compute_dtype=self._compute_dtype,
                     fidelity=self._fidelity, no_speech=ns_id,
-                    qd=self._qdecode, qf_mode=self._qf_mode)
+                    qd=self._qd_for(enc_rep.shape[0]),
+                    qf_mode=self._qf_mode)
                 toks = res.tokens.reshape(B, n_best, -1)
                 lens = res.lengths.reshape(B, n_best)
                 gen_len = jnp.maximum(
@@ -583,7 +617,8 @@ class WhisperApr:
                     top_k=options.top_k, top_p=options.top_p,
                     compute_dtype=self._compute_dtype,
                     fidelity=self._fidelity, no_speech=ns_id,
-                    qd=self._qdecode, qf_mode=self._qf_mode)
+                    qd=self._qd_for(enc.shape[0]),
+                    qf_mode=self._qf_mode)
                 tokens, lengths = res.tokens, res.lengths
                 sum_lp, ns_prob = res.sum_logprob, res.no_speech_prob
         elif options.strategy == "beam":
@@ -598,7 +633,9 @@ class WhisperApr:
                 beam_size=options.beam_size, patience=options.patience,
                 max_len=max_tokens, prompt_len=len(prompt_list),
                 compute_dtype=self._compute_dtype, fidelity=self._fidelity,
-                no_speech=ns_id, qd=self._qdecode, qf_mode=self._qf_mode)
+                no_speech=ns_id,
+                qd=self._qd_for(enc.shape[0] * options.beam_size),
+                qf_mode=self._qf_mode)
             tokens, lengths = res.tokens, res.lengths
             sum_lp, ns_prob = res.sum_logprob, res.no_speech_prob
         else:
@@ -616,7 +653,8 @@ class WhisperApr:
                 prompt, bias, self.specials.eot, self.config,
                 max_len=max_tokens, prompt_len=len(prompt_list),
                 compute_dtype=self._compute_dtype, fidelity=self._fidelity,
-                timestamp_base=ts_base, no_speech=ns_id, qd=self._qdecode,
+                timestamp_base=ts_base, no_speech=ns_id,
+                qd=self._qd_for(batch.shape[0]),
                 use_flash=self._use_flash, qf_mode=self._qf_mode)
             tokens, lengths = res.tokens, res.lengths
             sum_lp, ns_prob = res.sum_logprob, res.no_speech_prob
@@ -688,7 +726,8 @@ class WhisperApr:
             beam_size=options.beam_size, patience=options.patience,
             max_len=max_tokens, prompt_len=len(prompt_list),
             compute_dtype=self._compute_dtype, fidelity=self._fidelity,
-            return_nbest=True, no_speech=ns_id, qd=self._qdecode, qf_mode=self._qf_mode)
+            return_nbest=True, no_speech=ns_id,
+            qd=self._qd_for(options.beam_size), qf_mode=self._qf_mode)
         toks = np.asarray(res.tokens)[0]       # [K, max_len]
         lens = np.asarray(res.lengths)[0]      # [K]
         scores = np.asarray(res.sum_logprob)[0]

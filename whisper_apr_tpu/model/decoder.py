@@ -28,6 +28,18 @@ from ..ops.basic import gelu, layer_norm, linear, mha, softmax
 
 _HIGHEST = jax.lax.Precision.HIGHEST
 
+# Greedy while_loop tail: with the fused-attention step (qf_mode) and no
+# timestamp rules, replace the XLA vocab tail (logits round-trip + bias +
+# argmax + full log_softmax over ~52k) with the in-kernel greedy head
+# (ops/qmatvec.qmatvec_greedy_head). Token-exact vs the logits path
+# (pinned in tests/test_qdecode.py). Default OFF: the round-5 ablation
+# (qf_fusedhead 1.806 vs qf_defer 1.800 ms/step, large-v3 int8 B=1)
+# measured the head kernel no faster than the vocab matvec + argmax glue
+# it replaces — the 66 MB int8 vocab read dominates both. The probe body
+# omits the production loop's log_softmax, so a production-shaped A/B
+# (qf_prod / qf_prodhead) stays queued before flipping this on.
+FUSED_GREEDY_HEAD = False
+
 
 class KVCache(NamedTuple):
     """Decode-time state (reference analog: DecoderKVCache, decoder.rs:433).
@@ -311,7 +323,8 @@ def greedy_generate_body(params: dict, enc_out: jnp.ndarray, prompt: jnp.ndarray
                          timestamp_base: int = -1,
                          no_speech: int = -1,
                          qd: Optional[dict] = None,
-                         qf_mode: Optional[str] = None) -> DecodeResult:
+                         qf_mode: Optional[str] = None,
+                         fused_head: Optional[bool] = None) -> DecodeResult:
     """Greedy decode, fully on device (reference semantics:
     src/inference/greedy.rs:119-143 — argmax until EOT, EOT appended, total
     length capped at ``max_len`` including the prompt; suppression applied
@@ -336,6 +349,18 @@ def greedy_generate_body(params: dict, enc_out: jnp.ndarray, prompt: jnp.ndarray
 
     from .qdecode import qf_supported
     use_qf = bool(qf_mode) and qf_supported(qd, B)
+    use_ts = timestamp_base >= 0
+    # Fused greedy head (ops/qmatvec.qmatvec_greedy_head): the while_loop
+    # body gets (token, max_logit, logsumexp) straight from the vocab
+    # kernel — no [B, 52k] logits round-trip, no XLA bias/argmax and no
+    # full log_softmax per step (the chosen token IS the argmax, so its
+    # logprob is max_logit - logsumexp). Timestamp rules need the full
+    # logits row, so that path keeps the logits tail. ``fused_head`` is a
+    # STATIC argument (not the module flag read at trace time) so flipping
+    # it retraces instead of hitting a stale jit cache entry.
+    if fused_head is None:
+        fused_head = FUSED_GREEDY_HEAD
+    fused_head = use_qf and not use_ts and fused_head
     if qd is None:
         step_fn = functools.partial(decode_step, params,
                                     config=config,
@@ -347,6 +372,12 @@ def greedy_generate_body(params: dict, enc_out: jnp.ndarray, prompt: jnp.ndarray
                                     config=config,
                                     compute_dtype=compute_dtype,
                                     enc_len=enc_out.shape[1])
+        if fused_head:
+            v_pad = qd["vocab_qT"].shape[2]
+            gb = jnp.zeros((1, v_pad), jnp.float32)
+            gb = gb.at[0, : suppress_bias.shape[0]].set(
+                suppress_bias.astype(jnp.float32))
+            step_fn = functools.partial(step_fn, greedy_bias=gb)
     else:
         from .qdecode import decode_step_q
         step_fn = functools.partial(decode_step_q, params, qd,
@@ -364,7 +395,6 @@ def greedy_generate_body(params: dict, enc_out: jnp.ndarray, prompt: jnp.ndarray
     tokens = jnp.full((B, max_len), eot, dtype=jnp.int32)
     tokens = jax.lax.dynamic_update_slice(tokens, prompt.astype(jnp.int32), (0, 0))
 
-    use_ts = timestamp_base >= 0
     if use_ts:
         from ..inference import timestamp_rules as tsr
         ts_state = tsr.init_state(B)
@@ -393,14 +423,20 @@ def greedy_generate_body(params: dict, enc_out: jnp.ndarray, prompt: jnp.ndarray
         else:
             pos, tokens, done, sum_lp, cache = state
         tok = jax.lax.dynamic_slice_in_dim(tokens, pos, 1, axis=1)[:, 0]
-        logits, cache = step_fn(token=tok, pos=pos, cache=cache)
-        biased = logits + suppress_bias[None, :]
-        if use_ts:
-            biased = tsr.apply_rules(biased, ts, timestamp_base, eot,
-                                     is_first=jnp.zeros(B, bool))
-        nxt = jnp.argmax(biased, axis=-1).astype(jnp.int32)
-        nxt = jnp.where(done, jnp.int32(eot), nxt)
-        sum_lp = sum_lp + jnp.where(done, 0.0, _chosen_logprob(biased, nxt))
+        if fused_head:
+            (nxt, mx, lz), cache = step_fn(token=tok, pos=pos, cache=cache)
+            nxt = jnp.where(done, jnp.int32(eot), nxt)
+            sum_lp = sum_lp + jnp.where(done, 0.0, mx - lz)
+        else:
+            logits, cache = step_fn(token=tok, pos=pos, cache=cache)
+            biased = logits + suppress_bias[None, :]
+            if use_ts:
+                biased = tsr.apply_rules(biased, ts, timestamp_base, eot,
+                                         is_first=jnp.zeros(B, bool))
+            nxt = jnp.argmax(biased, axis=-1).astype(jnp.int32)
+            nxt = jnp.where(done, jnp.int32(eot), nxt)
+            sum_lp = sum_lp + jnp.where(done, 0.0,
+                                        _chosen_logprob(biased, nxt))
         tokens = jax.lax.dynamic_update_slice(
             tokens, nxt[:, None], (0, pos + 1))
         done = jnp.logical_or(done, nxt == eot)
@@ -431,4 +467,4 @@ greedy_generate = functools.partial(
     jax.jit,
     static_argnames=("config", "max_len", "prompt_len", "compute_dtype",
                      "fidelity", "timestamp_base", "no_speech",
-                     "qf_mode"))(greedy_generate_body)
+                     "qf_mode", "fused_head"))(greedy_generate_body)

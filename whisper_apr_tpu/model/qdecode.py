@@ -380,6 +380,64 @@ def prepare_kq_decode(params: dict, config: ModelConfig) -> Optional[dict]:
     }
 
 
+def transcode_kq_to_int8(params: dict, config: ModelConfig
+                         ) -> Optional[dict]:
+    """k-quant decoder blocks -> per-channel int8 qd for BATCHED decode.
+
+    The fused per-block k-quant kernels are B=1-only; the reference's
+    fused k-quant linears serve any M (quantized.rs:355 forward_fused).
+    For B>1 serving, the k-quant weights are dequantized ONCE at load and
+    requantized per-output-channel int8, so serving slots ride the batched
+    int8 megakernels at exactly the int8 model's per-stream cost (the
+    round-4 fallback — the scan step — measured 1.5-2.7x slower).
+
+    Storage stays k-quant (the .apr and the B=1 path are untouched); the
+    int8 copy adds ~d_model^2*16L bytes of HBM (large-v3: ~1.2 GB).
+    Transcode error is bounded: int8 per-channel on top of the k-quant
+    grid loses <1 dB SQNR vs the k-quant dequant (pinned in tests).
+
+    Returns a prepare_qdecode()-shaped qd (mode "int8"), or None if the
+    params are not k-quant."""
+    blocks = params["decoder"]["blocks"]
+    leaves = _kq_block_leaves(params)
+    if not all(is_quantized(w) and (getattr(w, "kpack", False) or w.group)
+               for w in leaves):
+        return None
+    from ..ops.quant import dequant
+
+    @jax.jit
+    def requant(qt):
+        # QTensor is a registered pytree, so the dequant -> requant runs
+        # as ONE fused device program per leaf (the f32 intermediate never
+        # persists; peak extra HBM = one leaf)
+        w = dequant(qt, jnp.float32)                    # [L, K, N]
+        absmax = jnp.max(jnp.abs(w), axis=1, keepdims=True)
+        scale = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+        q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+        return q, scale
+
+    def tr(qt: QTensor) -> QTensor:
+        q, s = requant(qt)
+        return QTensor(q, s)
+
+    sa_keys = ("q_w", "k_w", "v_w", "o_w")
+    new_blocks = dict(blocks)
+    new_blocks["self_attn"] = dict(blocks["self_attn"])
+    new_blocks["cross_attn"] = dict(blocks["cross_attn"])
+    for k in sa_keys:
+        new_blocks["self_attn"][k] = tr(blocks["self_attn"][k])
+    for k in ("q_w", "o_w"):
+        new_blocks["cross_attn"][k] = tr(blocks["cross_attn"][k])
+    new_blocks["fc1"] = dict(blocks["fc1"])
+    new_blocks["fc2"] = dict(blocks["fc2"])
+    new_blocks["fc1"]["w"] = tr(blocks["fc1"]["w"])
+    new_blocks["fc2"]["w"] = tr(blocks["fc2"]["w"])
+    new_params = dict(params)
+    new_params["decoder"] = dict(params["decoder"])
+    new_params["decoder"]["blocks"] = new_blocks
+    return prepare_qdecode(new_params, config)
+
+
 def kq_block_operands(qd: dict) -> dict:
     """Stacked operand views for the per-block kq megakernels
     (ops/decode_blocks_kq.py), built from a k-quant qd at TRACE time —

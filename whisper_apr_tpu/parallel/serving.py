@@ -207,10 +207,29 @@ class BatchScheduler:
             # "scan" opts out entirely. On a mesh the tick is GSPMD-
             # partitioned pure XLA, so the scan step serves all shards.
             self._qf = None if mesh is not None else engine._qf_mode
-            if self._qf is not None and engine._qdecode is not None:
+            if self._qf == "cross8":
+                # cross8 is the B=1 transcribe default; at B>1 slots the
+                # measured-best cache form is bf16 (BENCH_NOTES round 3/4
+                # — the int8 tile convert loses at batch)
+                self._qf = "bf16"
+            # k-quant models at B>1: the engine transcodes the decoder
+            # block linears to per-channel int8 once (qdecode.
+            # transcode_kq_to_int8), so slots ride the batched int8
+            # megakernels at the int8 model's per-stream cost instead of
+            # the scan-step fallback (1.5-2.7x slower, BENCH_NOTES r4).
+            # kv_mode="scan" (self._qf None) keeps the exact k-quant qd.
+            if mesh is not None:
+                self._qd = None
+            elif self._qf:
+                self._qd = engine._qd_for(self.n_slots)
+            else:
+                self._qd = engine._qdecode
+            if self._qf is not None:
                 from ..model.qdecode import qf_supported
-                if not qf_supported(engine._qdecode, self.n_slots):
-                    self._qf = None   # k-quant slots (B>1) use the scan step
+                if self._qd is None or not qf_supported(self._qd,
+                                                        self.n_slots):
+                    self._qf = None   # transcode unavailable -> scan step
+                    self._qd = engine._qdecode
             if self._qf:
                 # fused megakernel slots (model/qdecode.decode_step_qf):
                 # T padded to the kernel blocks; int8 mode halves slot HBM
@@ -588,8 +607,7 @@ class BatchScheduler:
                 self._params, token, pos, self._bias, self._cache,
                 self.config, n_steps=K,
                 compute_dtype=self.engine._compute_dtype,
-                qd=None if self.mesh is not None
-                else self.engine._qdecode)
+                qd=getattr(self, "_qd", None))
             toks = np.asarray(toks)  # [B, K]
 
         eot = self.engine.specials.eot

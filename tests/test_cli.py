@@ -288,3 +288,24 @@ class TestTuiLiveDashboard:
         want = [t for t in plain.tokens[len(prompt):]
                 if t != eng.specials.eot]
         assert gen == want
+
+
+class TestMainModule:
+    def test_python_dash_m_entry(self):
+        """`python -m whisper_apr_tpu.cli --help` — the documented entry
+        point (reference: src/bin/whisper-apr-cli.rs:17, a thin shell) —
+        must exit 0 and list the subcommands."""
+        import subprocess
+        import sys
+        env = dict(os.environ)
+        env["PYTHONPATH"] = os.pathsep.join(
+            p for p in ("/root/.axon_site",
+                        os.path.dirname(os.path.dirname(
+                            os.path.abspath(__file__))),
+                        env.get("PYTHONPATH", "")) if p)
+        out = subprocess.run(
+            [sys.executable, "-m", "whisper_apr_tpu.cli", "--help"],
+            capture_output=True, text=True, timeout=300, env=env)
+        assert out.returncode == 0, out.stderr
+        for sub in ("transcribe", "serve", "quantize", "diagnose"):
+            assert sub in out.stdout

@@ -658,3 +658,40 @@ class TestBackgroundServingThread:
             assert sched.result(rid) is not None
         # idempotent stop
         sched.stop()
+
+
+class TestSchedulerKvRouting:
+    """Round-5 kv-mode routing: cross8 is the B=1 transcribe default and
+    maps back to bf16 for B>1 slots; k-quant engines serve B>1 slots
+    through the one-time int8 transcode (engine._qd_for)."""
+
+    def test_cross8_maps_to_bf16_slots(self):
+        from whisper_apr_tpu.config import ComputeConfig
+        from whisper_apr_tpu.model import qdecode
+        cfg = small_config(n_text_state=128, n_audio_state=128,
+                           n_text_head=4, n_audio_head=4)
+        hf = make_hf_twin(cfg, seed=7)
+        eng = WhisperApr.from_hf_model(
+            hf, cfg, specials=small_specials(cfg),
+            compute=ComputeConfig(quantization="int8"))
+        qd = qdecode.prepare_qdecode(eng.params, cfg)
+        eng._qdecode_cache = qd
+        assert eng._qf_mode == "cross8"     # the kv_mode="auto" default
+        sched = BatchScheduler(eng, n_slots=2)
+        assert sched._qf == "bf16"          # slots keep the measured-best
+        assert sched._qd is qd
+
+    def test_kq_engine_slots_use_transcode(self):
+        from helpers import tiny_engine_kq
+        from whisper_apr_tpu.model import qdecode
+        cfg = small_config(
+            n_text_state=256, n_audio_state=256, n_text_head=4,
+            n_audio_head=4, n_vocab=512)
+        eng = tiny_engine_kq(cfg)
+        sched = BatchScheduler(eng, n_slots=2)
+        assert sched._qf == "bf16"
+        assert str(sched._qd.get("mode", "int8")) == "int8"  # transcoded
+        assert sched._qd is eng._qdecode_batched
+        # B=1 "scheduler" keeps the exact k-quant qd
+        sched1 = BatchScheduler(eng, n_slots=1)
+        assert str(sched1._qd.get("mode", "int8")) == "q4k"

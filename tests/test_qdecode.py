@@ -300,6 +300,34 @@ class TestFusedDecode:
             assert np.array_equal(a.argmax(-1), b.argmax(-1))
             tok = jnp.argmax(la, -1).astype(jnp.int32)
 
+    def test_crossf8_kv_close_and_argmax_agrees(self, cfg, qsetup):
+        """kv mode "crossf8": fp8 CROSS cache only, no scales — the same
+        byte cut as cross8 with the scale-free f8->compute cast (the
+        cheapest row decompression, BENCH_NOTES round 3). Self rows stay
+        on the exact branch; fp8 cross rows carry ~2% error, so the gate
+        is cosine closeness + argmax agreement (like full fp8)."""
+        params, qd, cache = self._prefilled(cfg, qsetup)
+        qc = qdecode.quantize_cache(cache, mode="crossf8")
+        assert qc.self_ks is None and qc.self_kq.dtype != jnp.float8_e4m3fn
+        assert qc.cross_ks is None
+        assert qc.cross_kq.dtype == jnp.float8_e4m3fn
+        assert qc.cross_vq.dtype == jnp.float8_e4m3fn
+        tok = jnp.asarray(np.array([7, 11], np.int32))
+        for step in range(3):
+            pos = jnp.int32(2 + step)
+            la, cache = qdecode.decode_step_q(
+                params, qd, tok, pos, cache, cfg,
+                compute_dtype=jnp.float32, interpret=True)
+            lb, qc = qdecode.decode_step_qf(
+                params, qd, tok, pos, qc, cfg,
+                compute_dtype=jnp.float32, interpret=True)
+            a, b = np.asarray(la), np.asarray(lb)
+            cos = float((a * b).sum() /
+                        (np.linalg.norm(a) * np.linalg.norm(b)))
+            assert cos > 0.99, cos
+            assert np.array_equal(a.argmax(-1), b.argmax(-1))
+            tok = jnp.argmax(la, -1).astype(jnp.int32)
+
     def test_fused_greedy_head_matches_logits_argmax(self, cfg, qsetup):
         """greedy_bias switches the step's vocab tail to the fused
         argmax+logsumexp kernel; token, max logit and logsumexp must

@@ -76,7 +76,9 @@ def large_measure(lo, hi, which=("qf",)):
         qdecode.ABLATE = frozenset(
             {"vocab"} if name == "qf_novocab"
             else {"scatter"} if name == "qf_noscatter" else ())
-        qc_v = (qdecode.quantize_cache(cache, mode="cross8")
+        qc_v = (qdecode.quantize_cache(cache, mode="crossf8")
+                if "crossf8" in name else
+                qdecode.quantize_cache(cache, mode="cross8")
                 if "cross8" in name else qc)
 
         if name.startswith("qf_prodhead"):
@@ -308,6 +310,10 @@ def batched_measure(lo, hi, b=8, which=("qf",), quant="int8"):
 
       qf          bf16-KV baseline (the serving default)
       qf_i8kv     int8 per-row KV (round-3: 0.847 ms/slot at bt=64)
+      qf_cross8   int8 CROSS cache only (B=1 winner; at B=8 the cross
+                  reads are ~60 MB/layer/tick — the dominant traffic)
+      qf_crossf8  fp8 CROSS cache only (same byte cut, scale-free cast)
+      qf_fp8      fp8 self+cross (half KV memory, cheapest casts)
       qf_prod     production-shaped glue (argmax + full log_softmax)
       qf_prodhead fused greedy head at M=B (one kernel, no [B,52k] tail)
       bt16/bt32/bt64/bt128  tile sweep (qdecode.BATCHED_TILE_T override)
@@ -342,8 +348,11 @@ def batched_measure(lo, hi, b=8, which=("qf",), quant="int8"):
         step = qdecode.decode_step_qf
         if name.startswith("bt"):
             qdecode.BATCHED_TILE_T = int(name[2:])
-        qc = qdecode.quantize_cache(cache,
-                                    kv_int8=(name == "qf_i8kv"))
+        kvm = ("int8" if name == "qf_i8kv" else
+               "cross8" if name == "qf_cross8" else
+               "crossf8" if name == "qf_crossf8" else
+               "fp8" if name == "qf_fp8" else "bf16")
+        qc = qdecode.quantize_cache(cache, mode=kvm)
 
         if name == "qf_prodhead":
             vp = qd["vocab_qT"].shape[2]

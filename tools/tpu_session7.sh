@@ -31,9 +31,13 @@ python -u tools/probe_layer_kernel.py --large \
 echo "--- B=8 anatomy: fixed-vs-per-layer split of the batched step ---" | tee -a $log
 python -u tools/probe_layer_kernel.py --anatomy --anatomy-b 8 --lo 16 --hi 144 2>&1 | tee -a $log
 
+echo "--- B=8 KV-mode lineup: the cross cache is the dominant tick traffic ---" | tee -a $log
+python -u tools/probe_layer_kernel.py --batched --b 8 \
+    --which qf,qf_cross8,qf_crossf8,qf_fp8,qf_i8kv --lo 16 --hi 144 2>&1 | tee -a $log
+
 echo "--- B=8 variants: tile sweep + prod glue + fused head ---" | tee -a $log
 python -u tools/probe_layer_kernel.py --batched --b 8 \
-    --which qf,qf_prod,qf_prodhead,bt16,bt32,bt128 --lo 16 --hi 144 2>&1 | tee -a $log
+    --which qf_prod,qf_prodhead,bt16,bt32,bt128 --lo 16 --hi 144 2>&1 | tee -a $log
 
 echo "--- B=8 transcoded q4k (the k-quant serving path: target <=1.1x int8) ---" | tee -a $log
 python -u tools/probe_layer_kernel.py --batched --b 8 --quant q4k \

@@ -235,13 +235,17 @@ class ComputeConfig:
     # "cross8" = int8 CROSS cache only: -123 MB/step of large-v3 B=1
     #          traffic (the per-utterance-static bulk) with self rows in
     #          the best-measured bf16 form; <1e-3 logit error,
+    # "crossf8" = fp8 CROSS cache only (no scales): same traffic cut as
+    #          cross8 with the cheapest row cast — the batched-serving
+    #          candidate (~2e-2 cross-row error, argmax-stable),
     # "scan" = per-kernel scan step (decode_step_q), no fused attention
     kv_mode: str = "auto"
 
     # decode in larger position buckets to bound recompilation
     text_bucket: int = 448
 
-    _KV_MODES = ("auto", "bf16", "int8", "fp8", "cross8", "scan")
+    _KV_MODES = ("auto", "bf16", "int8", "fp8", "cross8", "crossf8",
+                 "scan")
 
     def __post_init__(self):
         if self.kv_mode not in self._KV_MODES:

@@ -654,7 +654,11 @@ def quantize_cache(cache: KVCache, kv_int8: bool = True,
     half-memory option: the f8->bf16 tile cast is a native VPU convert
     measured 2.6x cheaper than int8's (BENCH_NOTES round 3), and all the
     scale plumbing (folds, row writes, selector dots) disappears. The
-    kernels treat fp8 exactly like bf16 (cast at read)."""
+    kernels treat fp8 exactly like bf16 (cast at read);
+    "crossf8" = fp8 rows for the CROSS cache only, bf16 self — the
+    batched-serving candidate: at B=8 the cross reads are ~60 MB/layer/
+    tick (the dominant per-layer traffic), and the scale-free f8 cast is
+    the cheapest row decompression the VPU has."""
     if mode is None:
         mode = "int8" if kv_int8 else "bf16"
     sk = _pad_t(cache.self_k, SELF_BLOCK_T)
@@ -669,6 +673,10 @@ def quantize_cache(cache: KVCache, kv_int8: bool = True,
         ckq, cks = quantize_rows(ck)
         cvq, cvs = quantize_rows(cv)
         return QKVCache(sk, None, sv, None, ckq, cks, cvq, cvs)
+    if mode == "crossf8":
+        f8 = jnp.float8_e4m3fn
+        return QKVCache(sk, None, sv, None,
+                        ck.astype(f8), None, cv.astype(f8), None)
     if mode != "int8":
         return QKVCache(sk, None, sv, None, ck, None, cv, None)
     skq, sks = quantize_rows(sk)

@@ -662,10 +662,12 @@ class TestBackgroundServingThread:
 
 class TestSchedulerKvRouting:
     """Round-5 kv-mode routing: cross8 is the B=1 transcribe default and
-    maps back to bf16 for B>1 slots; k-quant engines serve B>1 slots
-    through the one-time int8 transcode (engine._qd_for)."""
+    maps to FULL int8 caches for B>1 slots (session-7 B=8 KV-mode
+    lineup: i8kv 0.778 vs bf16 0.913 ms/slot-token); k-quant engines
+    serve B>1 slots through the one-time int8 transcode
+    (engine._qd_for)."""
 
-    def test_cross8_maps_to_bf16_slots(self):
+    def test_cross8_maps_to_int8_slots(self):
         from whisper_apr_tpu.config import ComputeConfig
         from whisper_apr_tpu.model import qdecode
         cfg = small_config(n_text_state=128, n_audio_state=128,
@@ -678,7 +680,7 @@ class TestSchedulerKvRouting:
         eng._qdecode_cache = qd
         assert eng._qf_mode == "cross8"     # the kv_mode="auto" default
         sched = BatchScheduler(eng, n_slots=2)
-        assert sched._qf == "bf16"          # slots keep the measured-best
+        assert sched._qf == "int8"          # slots: measured-best at B>1
         assert sched._qd is qd
 
     def test_kq_engine_slots_use_transcode(self):
@@ -689,7 +691,7 @@ class TestSchedulerKvRouting:
             n_audio_head=4, n_vocab=512)
         eng = tiny_engine_kq(cfg)
         sched = BatchScheduler(eng, n_slots=2)
-        assert sched._qf == "bf16"
+        assert sched._qf == "int8"
         assert str(sched._qd.get("mode", "int8")) == "int8"  # transcoded
         assert sched._qd is eng._qdecode_batched
         # B=1 "scheduler" keeps the exact k-quant qd

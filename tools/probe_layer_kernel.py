@@ -213,6 +213,16 @@ def anatomy_measure(lo, hi, layers=(8, 32), b=1):
         print(f"per-layer: {per_layer*1e3:.4f} ms   "
               f"fixed overhead: {fixed*1e3:.4f} ms "
               f"(embed + vocab + loop glue + scatters)", flush=True)
+    if len(ls) > 2:
+        # least-squares over all points + residuals: is the 'fixed pool'
+        # a real intercept or a nonlinearity artifact of a 2-point fit?
+        xs = np.asarray(ls, np.float64)
+        ys = np.asarray([results[n] for n in ls], np.float64)
+        slope, intercept = np.polyfit(xs, ys, 1)
+        print(f"lsq: per-layer {slope*1e3:.4f} ms  intercept "
+              f"{intercept*1e3:.4f} ms  residuals "
+              + " ".join(f"L{n}:{(results[n]-(slope*n+intercept))*1e3:+.3f}"
+                         for n in ls), flush=True)
     return results
 
 
@@ -346,15 +356,16 @@ def batched_measure(lo, hi, b=8, which=("qf",), quant="int8"):
 
     for name in which:
         step = qdecode.decode_step_qf
+        # composable names: "bt32", "bt32_i8kv", "qf_prodhead_i8kv", ...
         if name.startswith("bt"):
-            qdecode.BATCHED_TILE_T = int(name[2:])
-        kvm = ("int8" if name == "qf_i8kv" else
-               "cross8" if name == "qf_cross8" else
-               "crossf8" if name == "qf_crossf8" else
-               "fp8" if name == "qf_fp8" else "bf16")
+            qdecode.BATCHED_TILE_T = int(name[2:].split("_")[0])
+        kvm = ("int8" if name.endswith("i8kv") else
+               "crossf8" if "crossf8" in name else
+               "cross8" if "cross8" in name else
+               "fp8" if name.endswith("fp8") else "bf16")
         qc = qdecode.quantize_cache(cache, mode=kvm)
 
-        if name == "qf_prodhead":
+        if name.startswith("qf_prodhead"):
             vp = qd["vocab_qT"].shape[2]
             gb = jnp.zeros((1, vp), jnp.float32)
 
@@ -365,7 +376,7 @@ def batched_measure(lo, hi, b=8, which=("qf",), quant="int8"):
                                        greedy_bias=_gb)
                 lp = mx - lz
                 return (t + (lp < -1e30).astype(jnp.int32), pos + 1, c)
-        elif name == "qf_prod":
+        elif name.startswith("qf_prod"):
             def body(i, env, carry, _step=step):
                 prm, q_d = env
                 tok, pos, c = carry
@@ -634,6 +645,9 @@ if __name__ == "__main__":
     ap.add_argument("--b", type=int, default=8)
     ap.add_argument("--anatomy-b", type=int, default=1,
                     help="batch size for --anatomy (8 = serving split)")
+    ap.add_argument("--anatomy-layers", default="8,32",
+                    help="comma layer counts for --anatomy (3+ points "
+                         "check the linear fit behind the 'fixed pool')")
     ap.add_argument("--quant", default="int8",
                     help="--batched weights: int8 | q4k/q5k/q6k "
                          "(transcoded, the B>1 serving path)")
@@ -660,7 +674,10 @@ if __name__ == "__main__":
     if args.large:
         large_measure(args.lo, args.hi, args.which.split(","))
     if args.anatomy:
-        anatomy_measure(args.lo, args.hi, b=args.anatomy_b)
+        anatomy_measure(args.lo, args.hi,
+                        layers=tuple(int(x) for x in
+                                     args.anatomy_layers.split(",")),
+                        b=args.anatomy_b)
     if args.q4k:
         q4k_measure(args.lo, args.hi, fused=args.fused)
     if args.q5k:

@@ -218,26 +218,30 @@ class ComputeConfig:
     quantization: str = "none"
     # decode KV-cache / attention-kernel mode (quantized fast path only):
     # "auto" = per-block megakernel step with the measured-best cache
-    #          form per batch: single-stream decode uses "cross8" (int8
-    #          CROSS cache only — large-v3 B=1 1.716 vs bf16's 1.800
-    #          ms/step, round-5 probe) and B>1 slots use bf16 KV (the
-    #          int8 tile convert loses at batch, BENCH_NOTES r3/r4);
-    #          argmax-stable vs the scan path (<1e-3 logit error from the
-    #          int8 cross rows; bf16-class otherwise),
-    # "bf16" = same, explicitly,
+    #          form per batch (session-7 production-shaped A/Bs):
+    #          single-stream decode uses "cross8" (int8 CROSS cache only
+    #          — large-v3 B=1 1.702 vs bf16's 1.788 ms/step) and B>1
+    #          slots use FULL int8 KV (B=8 0.778 vs bf16's 0.913
+    #          ms/slot-token — at batch the per-slot KV bytes dominate
+    #          the tick, and bf16 caches cannot even FIT B=64 in 16 GB
+    #          HBM); argmax-stable vs the scan path (<1e-3 logit error
+    #          from the int8 rows; bf16-class otherwise),
+    # "bf16" = megakernel step with bf16 KV, explicitly,
     # "int8" = megakernel step with int8 per-row KV: HALF the KV-cache
-    #          memory (serving capacity; B=8 0.85 ms/slot-token,
-    #          <1e-3 logit error),
+    #          memory and the measured-best serving form (B=8 0.778
+    #          ms/slot-token, <1e-3 logit error),
     # "fp8"  = megakernel step with float8_e4m3fn KV: HALF the KV-cache
-    #          memory with NO scale plumbing — the f8->bf16 tile cast is
-    #          a native VPU convert 2.6x cheaper than int8's
-    #          (BENCH_NOTES round 3); ~2e-2 row error, argmax-stable,
+    #          memory with NO scale plumbing. Memory option ONLY: the
+    #          B=1 tile cast is cheap (BENCH_NOTES round 3) but at B>1
+    #          the [B*bt, D] f8 convert is a Mosaic lowering pathology
+    #          (B=8 2.5 ms/slot-token, 2.7x int8 — session 7);
+    #          ~2e-2 row error, argmax-stable,
     # "cross8" = int8 CROSS cache only: -123 MB/step of large-v3 B=1
     #          traffic (the per-utterance-static bulk) with self rows in
-    #          the best-measured bf16 form; <1e-3 logit error,
+    #          the B=1-best bf16 form; <1e-3 logit error,
     # "crossf8" = fp8 CROSS cache only (no scales): same traffic cut as
-    #          cross8 with the cheapest row cast — the batched-serving
-    #          candidate (~2e-2 cross-row error, argmax-stable),
+    #          cross8 with a scale-free row cast; B=1 option only (same
+    #          B>1 Mosaic cast pathology as "fp8"),
     # "scan" = per-kernel scan step (decode_step_q), no fused attention
     kv_mode: str = "auto"
 

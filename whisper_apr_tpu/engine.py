@@ -336,13 +336,13 @@ class WhisperApr:
         # scan step at B>1 through qdecode.qf_supported)
         mode = self.compute.kv_mode
         if mode == "auto":
-            # round-5 measurement (probe qf_cross8): int8 CROSS cache only
-            # is the fastest single-stream step — 1.716 vs bf16's 1.800
-            # ms/step on large-v3 int8 B=1 (-4.7%; the cross K/V are the
+            # session-7 production-shaped A/B: int8 CROSS cache only is
+            # the fastest single-stream step — 1.715 vs bf16's 1.788
+            # ms/step on large-v3 int8 B=1 (the cross K/V are the
             # per-utterance-static bulk of step traffic). Self rows stay
             # bf16 (full-int8 measured SLOWER at B=1, BENCH_NOTES r3).
-            # Serving slots keep bf16 (cross8 un-measured at B>1 —
-            # parallel/serving.py maps it back).
+            # Serving slots (B>1) remap to FULL int8 KV — the measured
+            # batch winner (parallel/serving.py).
             return "cross8"
         return None if mode == "scan" else mode
 

@@ -32,13 +32,14 @@ _HIGHEST = jax.lax.Precision.HIGHEST
 # timestamp rules, replace the XLA vocab tail (logits round-trip + bias +
 # argmax + full log_softmax over ~52k) with the in-kernel greedy head
 # (ops/qmatvec.qmatvec_greedy_head). Token-exact vs the logits path
-# (pinned in tests/test_qdecode.py). Default OFF: the round-5 ablation
-# (qf_fusedhead 1.806 vs qf_defer 1.800 ms/step, large-v3 int8 B=1)
-# measured the head kernel no faster than the vocab matvec + argmax glue
-# it replaces — the 66 MB int8 vocab read dominates both. The probe body
-# omits the production loop's log_softmax, so a production-shaped A/B
-# (qf_prod / qf_prodhead) stays queued before flipping this on.
-FUSED_GREEDY_HEAD = False
+# (pinned in tests/test_qdecode.py). Default ON since the session-7
+# production-shaped A/B: with the cross8 B=1 cache the head kernel wins
+# (qf_prodhead_cross8 1.702 vs qf_prod_cross8 1.715 ms/step, large-v3
+# int8 B=1 — the in-kernel logsumexp replaces the loop's full [1, 52k]
+# log_softmax), and it is neutral at B=8 slots (0.910 vs 0.908
+# ms/slot-token). The plain probe bodies (qf_fusedhead ~ qf_defer,
+# session 6) showed neutral only because they omit that log_softmax.
+FUSED_GREEDY_HEAD = True
 
 
 class KVCache(NamedTuple):

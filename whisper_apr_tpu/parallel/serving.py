@@ -209,9 +209,12 @@ class BatchScheduler:
             self._qf = None if mesh is not None else engine._qf_mode
             if self._qf == "cross8":
                 # cross8 is the B=1 transcribe default; at B>1 slots the
-                # measured-best cache form is bf16 (BENCH_NOTES round 3/4
-                # — the int8 tile convert loses at batch)
-                self._qf = "bf16"
+                # measured-best cache form is FULL int8 (session-7 B=8
+                # KV-mode lineup: i8kv 0.778 vs bf16 0.913 / cross8 0.904
+                # ms/slot-token — at batch the per-slot KV bytes dominate
+                # the tick, so halving them beats the VPU cast tax; fp8
+                # forms are a Mosaic lowering pathology at B=8, 2.7x)
+                self._qf = "int8"
             # k-quant models at B>1: the engine transcodes the decoder
             # block linears to per-channel int8 once (qdecode.
             # transcode_kq_to_int8), so slots ride the batched int8

@@ -85,7 +85,10 @@ def bench_model(name: str, batch_size: int = 1, quant: str = "int8") -> dict:
             params, batch, fb._window, fb._basis, fb._filters_t,
             prompt, bias, 50257, cfg, max_len=max_len,
             prompt_len=prompt_len, compute_dtype=jnp.bfloat16, qd=qd,
-            qf_mode="cross8" if batch_size == 1 else "bf16")
+            # mirror the production kv_mode "auto" routing: cross8 for
+            # single-stream, FULL int8 for B>1 slots (session-7 B=8
+            # KV-mode lineup; parallel/serving.py)
+            qf_mode="cross8" if batch_size == 1 else "int8")
         return np.asarray(tokens)
 
     t0 = time.perf_counter()

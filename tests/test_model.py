@@ -204,6 +204,23 @@ class TestSuppressor:
         assert np.isneginf(applied[50258])  # SOT suppressed
         assert np.isfinite(applied[50257])  # EOT untouched
 
+    def test_apply_ignores_out_of_range_ids(self):
+        """apply() on logits NARROWER than n_vocab must skip ids outside
+        the row instead of indexing out of bounds (mutation survivors:
+        `0 <= t < n` flipped to `or`/`<=` both turn out-of-range suppress
+        ids into an IndexError — including the t == n boundary)."""
+        s = WhisperTokenSuppressor(n_vocab=51_865)
+        # suppress_ids span 50258..50363; cut the row INSIDE that span so
+        # both sides exist, with the boundary id t == n exercised too
+        n = 50_300
+        assert n in s.suppress_ids     # the t == n boundary case is live
+        logits = np.zeros(n, dtype=np.float32)
+        applied = s.apply(logits)          # must not raise
+        assert applied.shape == (n,)
+        in_range = [t for t in s.suppress_ids if t < n]
+        assert in_range and all(np.isneginf(applied[t]) for t in in_range)
+        assert np.isfinite(applied[50_257])  # EOT still untouched
+
 
 class TestParams:
     def test_init_params_schema(self, cfg):

@@ -50,6 +50,18 @@ class TestMesh:
             make_mesh(8, dp=3, tp=2)
 
     @needs_8
+    def test_make_mesh_subset_of_visible_devices(self):
+        """n_devices SMALLER than the visible pool must slice, not grab
+        all devices (mutation survivor: `n_devices or len(devices)`
+        flipped to `and` silently used every visible device)."""
+        m = make_mesh(4, tp=2)
+        assert m.shape == {"dp": 2, "tp": 2}
+        assert m.devices.size == 4
+        # and with no count at all: every visible device
+        m = make_mesh(tp=2)
+        assert m.devices.size == len(jax.devices())
+
+    @needs_8
     def test_param_specs_match_tree(self, setup, cfg):
         params, _ = setup
         specs = param_specs(params)
